@@ -1,0 +1,61 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else -1.0
+
+    from sklearn_raster_spark.session import get_spark
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    spark = get_spark(app_name="bench")
+    registry = load_all_queries()
+
+    # Warm the JVM/Python-worker pools once so per-query times measure the
+    # plan, not process startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(registry.items()):
+        start = time.perf_counter()
+        try:
+            df = spec.fn(spark, sf_dir)
+            # noop sink materializes every output column (a bare .count()
+            # would let Catalyst prune the projections we're measuring)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            timings[name] = round(elapsed, 4)
+        except Exception as exc:  # keep benching; a broken query shows as -1
+            timings[name] = -1.0
+            print(f"# bench error {name}: {exc}", file=sys.stderr)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+These settings are chosen for a large cluster (the 100 TB design point)
+but degrade gracefully on local[N]:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic join-strategy demotion replace hand-tuned partition counts.
+- Arrow on: every Python-boundary crossing (mapInPandas / pandas_udf /
+  createDataFrame) is vectorized batch transfer, never per-row pickling.
+- Partial aggregation, predicate pushdown, column pruning are Catalyst
+  defaults — we only have to not defeat them (no opaque UDFs in filters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "sklearn_raster_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    On a real cluster, pass ``master=None`` with an externally configured
+    session — every setting here is also safe cluster-side.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: the 100-TB safety net -------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---------------------------------------------
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        # --- Arrow everywhere at the Python boundary ---------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # --- scan sizing: one task per row-group-ish ---------------------
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- keep executor-side BLAS from oversubscribing (reference:
+        #     utils/decorators.py:84-126 thread limiting; here it is an
+        #     executor-env concern, SURVEY.md O14) -----------------------
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
