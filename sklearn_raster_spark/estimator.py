@@ -1,0 +1,256 @@
+"""SparkEstimator: apply a fitted sklearn-compatible estimator to a
+FeatureFrame, distributed.
+
+Reference parity: src/sklearn_raster/estimator.py wraps an estimator so
+predict / predict_proba / transform / inverse_transform / kneighbors
+run batch-wise over an n-d array with NoData handling. Here the batch
+engine is ``FeaturewiseUfunc`` (mapInPandas) and the model ships to
+executors via ``SparkContext.broadcast`` once, not per task.
+
+The wrapped estimator is duck-typed (fit/predict/...); no sklearn
+import is required — any object with the method works, including the
+numpy reference models in ``sklearn_raster_spark.estimators``.
+
+Output dtype policy (reference estimator.py:29-33, 200-203, 328,
+496-497): classifier/clusterer -> int, regressor/unknown -> double,
+predict_proba -> double, kneighbors -> (double distances, int indices).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from sklearn_raster_spark.features import FeatureFrame
+from sklearn_raster_spark.ufunc import FeaturewiseUfunc, Output
+
+_INT32_MIN = -(2**31)
+
+
+class NotFittedError(RuntimeError):
+    pass
+
+
+def _require_fitted(est: "SparkEstimator") -> None:
+    if not est._fitted:
+        raise NotFittedError(
+            "estimator is not fitted; call .fit(X, y) before applying it"
+        )
+
+
+def _require_method(obj: Any, name: str) -> None:
+    if not callable(getattr(obj, name, None)):
+        raise NotImplementedError(
+            f"wrapped estimator {type(obj).__name__} does not implement {name}()"
+        )
+
+
+class SparkEstimator:
+    """Wrap an sklearn-compatible estimator for distributed inference."""
+
+    def __init__(self, estimator: Any):
+        self.estimator = estimator
+        self._fitted = False
+        self.feature_names_in_: tuple[str, ...] | None = None
+        self.n_features_in_: int | None = None
+        self.target_names_in_: tuple[str, ...] = ("target",)
+
+    # -- fit (driver-side; reference estimator.py:81-115) --------------
+
+    def fit(
+        self,
+        X,
+        y=None,
+        feature_cols: Sequence[str] | None = None,
+        label_cols: Sequence[str] | None = None,
+        **kwargs,
+    ) -> "SparkEstimator":
+        """Fit driver-side. ``X`` may be a pandas DataFrame / ndarray, or
+        a Spark DataFrame (collected; sample upstream for big tables —
+        model fitting is intentionally NOT distributed, matching the
+        reference where fit runs on plot/sample tables, not rasters)."""
+        if isinstance(X, DataFrame):
+            if feature_cols is None:
+                raise ValueError("feature_cols is required when fitting from a Spark DataFrame")
+            pdf = X.select(*feature_cols, *(label_cols or [])).toPandas()
+            Xp = pdf[list(feature_cols)]
+            y = pdf[list(label_cols)] if label_cols else None
+        else:
+            Xp = X
+
+        if isinstance(Xp, pd.DataFrame):
+            self.feature_names_in_ = tuple(map(str, Xp.columns))
+            self.n_features_in_ = len(Xp.columns)
+            X_arr = Xp.to_numpy(dtype=np.float64)
+        else:
+            X_arr = np.asarray(Xp, dtype=np.float64)
+            self.feature_names_in_ = None
+            self.n_features_in_ = X_arr.shape[1]
+
+        y_arr = None
+        if y is not None:
+            if isinstance(y, pd.DataFrame):
+                self.target_names_in_ = tuple(map(str, y.columns))
+                y_arr = y.to_numpy()
+            elif isinstance(y, pd.Series):
+                self.target_names_in_ = (str(y.name or "target"),)
+                y_arr = y.to_numpy()
+            else:
+                y_arr = np.asarray(y)
+                self.target_names_in_ = tuple(
+                    f"target_{i}" for i in range(y_arr.shape[1])
+                ) if y_arr.ndim > 1 else ("target",)
+            # squeeze (n,1) -> (n,) like the reference (estimator.py:96-101)
+            if y_arr.ndim == 2 and y_arr.shape[1] == 1:
+                y_arr = y_arr[:, 0]
+
+        if y_arr is None:
+            self.estimator.fit(X_arr, **kwargs)
+        else:
+            self.estimator.fit(X_arr, y_arr, **kwargs)
+        self._fitted = True
+        return self
+
+    # -- name validation (reference estimator.py:796-851) --------------
+
+    def _check_feature_names(self, names: Sequence[str]) -> None:
+        fit_names = self.feature_names_in_
+        if fit_names is None:
+            warnings.warn(
+                "estimator was fitted without feature names; applying to named columns",
+                stacklevel=3,
+            )
+            return
+        if tuple(names) == tuple(fit_names):
+            return
+        missing = [n for n in fit_names if n not in names]
+        unseen = [n for n in names if n not in fit_names]
+        if missing or unseen:
+            raise ValueError(
+                f"feature names mismatch: missing={missing} unseen={unseen} "
+                f"(fitted on {list(fit_names)})"
+            )
+        raise ValueError(
+            f"feature names are reordered: got {list(names)}, fitted on {list(fit_names)}"
+        )
+
+    def _estimator_kind(self) -> str:
+        kind = getattr(self.estimator, "_estimator_type", None)
+        if kind in ("classifier", "clusterer", "regressor"):
+            return kind
+        return "unknown"
+
+    # -- the generic apply path ----------------------------------------
+
+    def _apply(
+        self,
+        ff: FeatureFrame | DataFrame,
+        method: str,
+        outputs: list[Output],
+        features: Sequence[str] | None = None,
+        call=None,
+        **ufunc_kwargs,
+    ) -> FeatureFrame:
+        _require_fitted(self)
+        _require_method(self.estimator, method)
+        if isinstance(ff, DataFrame):
+            if features is None:
+                if self.feature_names_in_ is None:
+                    raise ValueError("pass features= when the model has no fitted names")
+                features = list(self.feature_names_in_)
+            ff = FeatureFrame.from_dataframe(ff, features)
+        self._check_feature_names(ff.features)
+
+        spark = ff.df.sparkSession
+        bc = spark.sparkContext.broadcast(self.estimator)
+        m = method
+
+        if call is None:
+            def call(X):  # default: single-output method
+                return getattr(bc.value, m)(X)
+        kernel = call
+        kernel.__name__ = m
+        return FeaturewiseUfunc(kernel, outputs)(ff, **ufunc_kwargs)
+
+    # -- public surface (reference E3-E7) -------------------------------
+
+    def predict(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
+        kind = self._estimator_kind()
+        dtype = "int" if kind in ("classifier", "clusterer") else "double"
+        names = self.target_names_in_ if kind not in ("clusterer",) else ("cluster",)
+        out = Output(tuple(names), dtype=dtype, nodata=nodata_output)
+        return self._apply(ff, "predict", [out], features=features, **kw)
+
+    def predict_proba(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
+        _require_method(self.estimator, "predict_proba")
+        classes = getattr(self.estimator, "classes_", None)
+        if classes is None:
+            raise NotImplementedError("predict_proba requires fitted classes_")
+        names = tuple(f"proba_{c}" for c in classes)
+        out = Output(names, dtype="double", nodata=nodata_output)
+        return self._apply(ff, "predict_proba", [out], features=features, **kw)
+
+    def transform(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
+        _require_method(self.estimator, "get_feature_names_out")
+        names = tuple(map(str, self.estimator.get_feature_names_out()))
+        out = Output(names, dtype="double", nodata=nodata_output)
+        return self._apply(ff, "transform", [out], features=features, **kw)
+
+    def inverse_transform(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
+        if self.feature_names_in_ is not None:
+            names = tuple(self.feature_names_in_)
+        else:
+            names = tuple(f"feature_{i}" for i in range(self.n_features_in_ or 0))
+        out = Output(names, dtype="double", nodata=nodata_output)
+        # inverse input features are the TRANSFORMED columns, so skip the
+        # fit-name check by clearing expectations for this call
+        saved, self.feature_names_in_ = self.feature_names_in_, None
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                return self._apply(ff, "inverse_transform", [out], features=features, **kw)
+        finally:
+            self.feature_names_in_ = saved
+
+    def kneighbors(
+        self,
+        ff,
+        n_neighbors: int | None = None,
+        return_distance: bool = True,
+        features=None,
+        **kw,
+    ) -> FeatureFrame:
+        """Exact k-NN against the fit-time samples (reference
+        estimator.py:345-518; the fit set is small and broadcast — the
+        100 TB scale path is the LSH similarity join in
+        operators/similarity.py)."""
+        _require_fitted(self)
+        _require_method(self.estimator, "kneighbors")
+        k = n_neighbors or getattr(self.estimator, "n_neighbors", 5)
+
+        dist_out = Output(tuple(f"dist_{i}" for i in range(1, k + 1)), "double", nodata=float("nan"))
+        idx_out = Output(tuple(f"idx_{i}" for i in range(1, k + 1)), "int", nodata=_INT32_MIN)
+
+        spark = (ff.df if isinstance(ff, FeatureFrame) else ff).sparkSession
+        bc = spark.sparkContext.broadcast(self.estimator)
+
+        if return_distance:
+            def call(X):
+                dist, idx = bc.value.kneighbors(X, n_neighbors=k, return_distance=True)
+                return dist, idx
+            outputs = [dist_out, idx_out]
+        else:
+            def call(X):
+                return bc.value.kneighbors(X, n_neighbors=k, return_distance=False)
+            outputs = [idx_out]
+        return self._apply(ff, "kneighbors", outputs, features=features, call=call, **kw)
+
+
+def wrap(estimator: Any) -> SparkEstimator:
+    """Reference-compatible constructor name (estimator.py:855-883)."""
+    return SparkEstimator(estimator)

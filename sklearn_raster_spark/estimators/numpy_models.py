@@ -1,0 +1,206 @@
+"""Minimal sklearn-compatible estimators implemented with numpy only.
+
+This container ships without scikit-learn, so these textbook models
+(normal-equation least squares, SVD PCA, Lloyd k-means, Gaussian naive
+Bayes, brute-force k-NN) provide the estimator surface the engine
+wraps. Anything exposing the same duck-typed API (fit / predict /
+predict_proba / transform / inverse_transform / kneighbors /
+get_feature_names_out / classes_ / _estimator_type) works identically —
+including real sklearn estimators when available.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class StandardScalerNP:
+    """(x - mean) / std per feature."""
+
+    def fit(self, X, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        self.mean_ = X.mean(axis=0)
+        self.scale_ = X.std(axis=0)
+        self.scale_[self.scale_ == 0] = 1.0
+        self.n_features_in_ = X.shape[1]
+        return self
+
+    def transform(self, X):
+        return (np.asarray(X, dtype=np.float64) - self.mean_) / self.scale_
+
+    def inverse_transform(self, X):
+        return np.asarray(X, dtype=np.float64) * self.scale_ + self.mean_
+
+    def get_feature_names_out(self):
+        return [f"scaled_{i}" for i in range(self.n_features_in_)]
+
+
+class PCANP:
+    """Principal components via SVD of the centered data matrix."""
+
+    def __init__(self, n_components: int):
+        self.n_components = n_components
+
+    def fit(self, X, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        self.mean_ = X.mean(axis=0)
+        Xc = X - self.mean_
+        _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+        self.components_ = vt[: self.n_components]
+        self.n_features_in_ = X.shape[1]
+        return self
+
+    def transform(self, X):
+        Xc = np.asarray(X, dtype=np.float64) - self.mean_
+        return Xc @ self.components_.T
+
+    def inverse_transform(self, X):
+        return np.asarray(X, dtype=np.float64) @ self.components_ + self.mean_
+
+    def get_feature_names_out(self):
+        return [f"pc{i}" for i in range(self.n_components)]
+
+
+class LinearRegressionNP:
+    """Ordinary least squares via lstsq; supports multi-target y."""
+
+    _estimator_type = "regressor"
+
+    def fit(self, X, y):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        A = np.hstack([X, np.ones((X.shape[0], 1))])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        self.coef_ = coef[:-1]
+        self.intercept_ = coef[-1]
+        return self
+
+    def predict(self, X):
+        return np.asarray(X, dtype=np.float64) @ self.coef_ + self.intercept_
+
+
+class FixedLinearModel:
+    """A linear scorer with KNOWN weights (no data-dependent fit).
+
+    Exists so the distributed inference path has an exact SQL oracle:
+    ``y = x0*w0 + x1*w1 + ... + b`` evaluated with sequential
+    elementwise ops (same IEEE result as the SQL expression, no
+    BLAS/FMA reassociation).
+    """
+
+    _estimator_type = "regressor"
+
+    def __init__(self, weights, intercept: float = 0.0):
+        self.weights = [float(w) for w in weights]
+        self.intercept = float(intercept)
+
+    def fit(self, X, y=None):
+        return self
+
+    def predict(self, X):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.full(X.shape[0], self.intercept, dtype=np.float64)
+        for j, w in enumerate(self.weights):
+            y = y + X[:, j] * w
+        return y
+
+
+class GaussianNBNP:
+    """Gaussian naive Bayes classifier."""
+
+    _estimator_type = "classifier"
+
+    def fit(self, X, y):
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y)
+        self.classes_ = np.unique(y)
+        self.theta_ = np.stack([X[y == c].mean(axis=0) for c in self.classes_])
+        self.var_ = np.stack([X[y == c].var(axis=0) + 1e-9 for c in self.classes_])
+        self.priors_ = np.array([(y == c).mean() for c in self.classes_])
+        return self
+
+    def _joint_log_likelihood(self, X):
+        X = np.asarray(X, dtype=np.float64)
+        jll = []
+        for i in range(len(self.classes_)):
+            log_prob = -0.5 * (
+                np.log(2.0 * np.pi * self.var_[i])
+                + (X - self.theta_[i]) ** 2 / self.var_[i]
+            ).sum(axis=1)
+            jll.append(np.log(self.priors_[i]) + log_prob)
+        return np.stack(jll, axis=1)
+
+    def predict(self, X):
+        return self.classes_[np.argmax(self._joint_log_likelihood(X), axis=1)]
+
+    def predict_proba(self, X):
+        jll = self._joint_log_likelihood(X)
+        jll -= jll.max(axis=1, keepdims=True)
+        p = np.exp(jll)
+        return p / p.sum(axis=1, keepdims=True)
+
+
+class KMeansNP:
+    """Lloyd's algorithm with deterministic seeding."""
+
+    _estimator_type = "clusterer"
+
+    def __init__(self, n_clusters: int = 4, n_iter: int = 50, seed: int = 42):
+        self.n_clusters = n_clusters
+        self.n_iter = n_iter
+        self.seed = seed
+
+    def fit(self, X, y=None):
+        X = np.asarray(X, dtype=np.float64)
+        rng = np.random.default_rng(self.seed)
+        idx = rng.choice(X.shape[0], size=self.n_clusters, replace=False)
+        centers = X[idx].copy()
+        for _ in range(self.n_iter):
+            labels = self._assign(X, centers)
+            new = np.stack(
+                [
+                    X[labels == k].mean(axis=0) if np.any(labels == k) else centers[k]
+                    for k in range(self.n_clusters)
+                ]
+            )
+            if np.allclose(new, centers):
+                break
+            centers = new
+        self.cluster_centers_ = centers
+        return self
+
+    @staticmethod
+    def _assign(X, centers):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    def predict(self, X):
+        return self._assign(np.asarray(X, dtype=np.float64), self.cluster_centers_)
+
+
+class KNeighborsRegressorNP:
+    """Brute-force k-NN regressor over the fit-time samples."""
+
+    _estimator_type = "regressor"
+
+    def __init__(self, n_neighbors: int = 5):
+        self.n_neighbors = n_neighbors
+
+    def fit(self, X, y):
+        self._X = np.asarray(X, dtype=np.float64)
+        self._y = np.asarray(y, dtype=np.float64)
+        return self
+
+    def kneighbors(self, X, n_neighbors: int | None = None, return_distance: bool = True):
+        k = n_neighbors or self.n_neighbors
+        X = np.asarray(X, dtype=np.float64)
+        d2 = ((X[:, None, :] - self._X[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        if not return_distance:
+            return idx
+        dist = np.sqrt(np.take_along_axis(d2, idx, axis=1))
+        return dist, idx
+
+    def predict(self, X):
+        _, idx = self.kneighbors(X)
+        return self._y[idx].mean(axis=1)

@@ -1,0 +1,133 @@
+"""Distributed estimator inference as declared queries.
+
+These exercise the reference's core capability (estimator.py E3-E7:
+batch inference with NoData skip/scatter-back) through the driver's
+correctness gate. q40 has an EXACT DuckDB oracle because the model has
+fixed weights and the kernel evaluates the same IEEE expression order
+as the SQL; the fitted-model queries (q41-q43) are rows-only (model
+state is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.estimator import SparkEstimator
+from sklearn_raster_spark.estimators import (
+    FixedLinearModel,
+    GaussianNBNP,
+    PCANP,
+)
+from sklearn_raster_spark.features import FeatureFrame
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+EMB_DIM = 64
+
+
+@query(
+    "q40_linear_inference_nodata",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        CASE WHEN l_quantity = 50.0
+             THEN -9999.0
+             ELSE 10.0 + l_quantity * 0.5 + l_discount * (-100.0) + l_tax * 200.0
+        END AS score
+    FROM lineitem
+    """,
+    doc="Distributed mapInPandas inference with reference NoData "
+        "semantics: l_quantity=50 is an encoded NoData sentinel "
+        "(nullified at ingestion, O2), masked rows skip the model (O4) "
+        "and scatter back nodata_output=-9999 (O5). Fixed weights give "
+        "an exact SQL oracle.",
+)
+def q40_linear_inference_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    ff = FeatureFrame.from_dataframe(
+        li,
+        features=["l_quantity", "l_discount", "l_tax"],
+        nodata_input={"l_quantity": 50.0},
+    ).nullify_nodata()
+
+    model = FixedLinearModel(weights=[0.5, -100.0, 200.0], intercept=10.0)
+    est = SparkEstimator(model)
+    est.fit(pd.DataFrame(np.zeros((2, 3)), columns=["l_quantity", "l_discount", "l_tax"]))
+    est.target_names_in_ = ("score",)
+    out = est.predict(ff, nodata_output=-9999.0)
+    return out.df.select("l_orderkey", "l_linenumber", "score")
+
+
+def _embedding_frame(spark: SparkSession, sf_dir: str) -> FeatureFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id"), F.col("label")] + [
+        F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(EMB_DIM)
+    ]
+    df = emb.select(*cols)
+    return FeatureFrame.from_dataframe(df, features=[f"e{i}" for i in range(EMB_DIM)])
+
+
+def _collect_embeddings(spark: SparkSession, sf_dir: str):
+    """Deterministic driver-side training set: embeddings sorted by id."""
+    rows = (
+        read_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([r.label for r in rows])
+    return X, y
+
+
+@query(
+    "q41_nb_classify_embeddings",
+    doc="Fit Gaussian NB driver-side on the embeddings table (the "
+        "reference fits on small plot tables, estimator.py:81-115), "
+        "classify distributed via broadcast model + mapInPandas. "
+        "Rows-only check (fitted model state is not SQL).",
+)
+def q41_nb_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    X, y = _collect_embeddings(spark, sf_dir)
+    est = SparkEstimator(GaussianNBNP())
+    est.fit(pd.DataFrame(X, columns=[f"e{i}" for i in range(EMB_DIM)]), pd.Series(y, name="label"))
+    est.target_names_in_ = ("pred_label",)
+    ff = _embedding_frame(spark, sf_dir)
+    out = est.predict(ff)
+    return out.df.select("vec_id", F.col("label").alias("true_label"), "pred_label")
+
+
+@query(
+    "q42_nb_proba_embeddings",
+    doc="predict_proba surface: one column per class (reference "
+        "estimator.py:230-343). Rows-only check.",
+)
+def q42_nb_proba_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    X, y = _collect_embeddings(spark, sf_dir)
+    est = SparkEstimator(GaussianNBNP())
+    est.fit(pd.DataFrame(X, columns=[f"e{i}" for i in range(EMB_DIM)]), pd.Series(y, name="label"))
+    ff = _embedding_frame(spark, sf_dir)
+    out = est.predict_proba(ff)
+    proba_cols = [c for c in out.df.columns if c.startswith("proba_")]
+    return out.df.select("vec_id", *proba_cols)
+
+
+@query(
+    "q43_pca_transform_embeddings",
+    doc="transform surface (reference estimator.py:520-629): PCA fitted "
+        "driver-side, applied distributed; output names from "
+        "get_feature_names_out. Rows-only check.",
+)
+def q43_pca_transform_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    X, _ = _collect_embeddings(spark, sf_dir)
+    est = SparkEstimator(PCANP(n_components=4))
+    est.fit(pd.DataFrame(X, columns=[f"e{i}" for i in range(EMB_DIM)]))
+    ff = _embedding_frame(spark, sf_dir)
+    out = est.transform(ff)
+    return out.df.select("vec_id", "pc0", "pc1", "pc2", "pc3")

@@ -7,10 +7,10 @@ import pytest
 from sklearn_raster_spark.plans.registry import load_all_queries
 from tests.oracle_utils import compare_query
 
-RELATIONAL = [n for n in load_all_queries() if n.startswith("q0") or n.startswith("q1") or n.startswith("q2")]
+ALL_QUERIES = sorted(load_all_queries())
 
 
-@pytest.mark.parametrize("name", RELATIONAL)
+@pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, name):
     compare_query(spark, sf_dir, name)
 
