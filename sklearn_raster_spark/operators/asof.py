@@ -1,0 +1,112 @@
+"""As-of (most-recent-prior) join — the classic event-time enrichment
+operator Spark lacks natively (SURVEY.md §2.4 "Joins").
+
+Implementation is the scalable union-sort trick, NOT a join:
+tag left/right rows, union them, and carry the latest right-side value
+forward with ``last(..., ignorenulls=True)`` over a window ordered by
+(ts, is_left). One shuffle on the partition key, zero join explosion,
+no per-left-row probing — this survives 100 TB because it is a single
+sort-within-partitions of |L|+|R| rows (vs. a range-join's quadratic
+worst case). Skew on the partition key is handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time`` <= ``left_time`` (strict < when inclusive=False),
+    matching on ``on``. Right columns come back NULL when no prior row
+    exists (left-join semantics)."""
+    # Tag and union. At equal timestamps the right row must sort before
+    # the left row for inclusive semantics (after it for exclusive).
+    side_order = F.lit(0) if inclusive else F.lit(1)
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in right_values],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        (F.lit(0) if inclusive else F.lit(2)).alias("_is_left"),
+        F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+        for c in right_values
+    ]
+    out = (
+        u.select("*", *carried)
+        .filter(F.col("_is_left") == 1)
+        .select(
+            F.col("_lrow.*"),
+            *[F.col(f"_carry_{c}").alias(c) for c in right_values],
+        )
+    )
+    return out
+
+
+@query(
+    "q31_asof_join",
+    oracle="""
+    SELECT
+        l.event_id,
+        l.user_id,
+        l.ts,
+        r.event_id AS purchase_event_id,
+        r.ts AS purchase_ts,
+        r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join: for every click, the user's most recent prior "
+        "purchase. Union-sort implementation (one shuffle, no range "
+        "probe); DuckDB's native ASOF JOIN is the oracle.",
+)
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["purchase_event_id", "purchase_ts", "purchase_value"],
+    )

@@ -1,0 +1,186 @@
+"""Event-time windowed operators over the ``events`` table — the batch
+duals of the Structured Streaming surface (SURVEY.md §2.4 "Streaming";
+the streaming wiring itself lives in sklearn_raster_spark/streaming/).
+
+The reference is batch-only; this is [extension] surface. Every
+operator here runs identically under ``readStream`` (same window /
+session_window / dedup expressions), which is why the batch oracle is a
+fair correctness check for the streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sklearn_raster_spark.operators.relational import dec, dsum
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+
+@query(
+    "q26_tumbling_window",
+    oracle="""
+    SELECT
+        DATE_TRUNC('hour', ts) AS window_start,
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time window aggregation (streaming dual: "
+        "groupBy(window(ts,'1 hour')) with a watermark).",
+)
+def q26_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value", 18, 4), "total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "q27_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT DATE_TRUNC('hour', ts)
+               + CASE WHEN MINUTE(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+               AS slot_start, value FROM events
+        UNION ALL
+        SELECT DATE_TRUNC('hour', ts)
+               + CASE WHEN MINUTE(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+               - INTERVAL 30 MINUTE AS slot_start, value FROM events
+    )
+    SELECT
+        slot_start AS window_start,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1
+    """,
+    doc="Sliding window (1 h length, 30 min slide): each event lands in "
+        "two windows. Oracle expands each event into its two slots.",
+)
+def q27_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value", 18, 4), "total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "q28_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT
+            user_id, ts, value,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Session windows with a 30-minute inactivity gap "
+        "(F.session_window; streaming dual is identical). Session end = "
+        "last event + gap, matching Spark's semantics.",
+)
+def q28_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value", 18, 4), "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q29_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Keep-first dedup per (user_id, event_type) — the batch dual of "
+        "dropDuplicatesWithinWatermark.",
+)
+def q29_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@query(
+    "q30_event_pivot",
+    oracle="""
+    SELECT
+        user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+        COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot event counts per user (explicit value list so the plan "
+        "needs no discovery pass — required for large-scale pivots too).",
+)
+def q30_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )

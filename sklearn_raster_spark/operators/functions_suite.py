@@ -1,0 +1,182 @@
+"""Scalar-function surface: string / date / math / array / JSON
+(SURVEY.md §2.4 "Scalar functions"). All built-in pyspark.sql.functions
+— JVM-side, inside whole-stage codegen; no Python in the hot path.
+
+Cross-engine determinism notes:
+- libm-backed functions (ln/log10/exp) may differ from DuckDB in the
+  last ulp -> rounded to 6 decimals on BOTH sides;
+- sqrt/abs/floor/ceil/power(int) are IEEE-exact -> compared raw;
+- array folds use an explicit sequential lambda on both sides
+  (Spark ``aggregate`` starting at 0.0 == DuckDB ``list_reduce``,
+  since 0.0 + x == x) so float summation order is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+
+@query(
+    "q21_string_funcs",
+    oracle="""
+    SELECT
+        p_partkey,
+        LOWER(p_type) AS type_lower,
+        UPPER(p_name) AS name_upper,
+        SUBSTRING(p_name, 1, 4) AS name_prefix,
+        p_brand || '/' || p_type AS brand_type,
+        CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        (p_name LIKE '%red%') AS is_red,
+        CAST(LEVENSHTEIN(p_brand, 'Brand#13') AS INTEGER) AS brand_dist,
+        REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS brand_num,
+        CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INTEGER) AS n_words
+    FROM part
+    """,
+    doc="String functions: lower/upper/substring/concat/length/like/"
+        "levenshtein/regexp_extract/word-count.",
+)
+def q21_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_name").like("%red%").alias("is_red"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).alias("brand_dist"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        (F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))) + 1)
+        .cast("int")
+        .alias("n_words"),
+    )
+
+
+@query(
+    "q22_date_funcs",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+        CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+        CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+        CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        CAST(DATEDIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_epoch_start,
+        CAST(o_orderdate AS DATE) + 30 AS due_date
+    FROM orders
+    """,
+    doc="Date/time functions: year/month/quarter/date_trunc/datediff/"
+        "date arithmetic.",
+)
+def q22_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@query(
+    "q23_math_funcs",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        ABS(l_quantity - 25.0) AS qty_dev,
+        SQRT(l_quantity) AS qty_sqrt,
+        CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS price_floor,
+        CAST(CEIL(l_extendedprice / 100.0) AS BIGINT) AS price_ceil,
+        ROUND(LN(l_quantity), 6) AS qty_ln,
+        ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+        POWER(l_quantity, 2.0) AS qty_sq,
+        CAST(l_linenumber % 3 AS INTEGER) AS line_mod
+    FROM lineitem
+    """,
+    doc="Math functions: abs/sqrt/floor/ceil/ln/log10/power/mod; "
+        "libm-sensitive outputs rounded to 6.",
+)
+def q23_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.floor(F.col("l_extendedprice") / 100.0).alias("price_floor"),
+        F.ceil(F.col("l_extendedprice") / 100.0).alias("price_ceil"),
+        F.round(F.log(F.col("l_quantity")), 6).alias("qty_ln"),
+        F.round(F.log10(F.col("l_extendedprice")), 6).alias("price_log10"),
+        F.pow(F.col("l_quantity"), 2.0).alias("qty_sq"),
+        (F.col("l_linenumber") % 3).cast("int").alias("line_mod"),
+    )
+
+
+@query(
+    "q24_array_funcs",
+    oracle="""
+    SELECT
+        vec_id,
+        CAST(LEN(embedding) AS INTEGER) AS dim,
+        LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS vec_sum,
+        SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm,
+        LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS vec_max,
+        CAST(embedding[1] AS DOUBLE) AS first_component
+    FROM embeddings
+    """,
+    doc="Array functions over embedding vectors: size, sequential-fold "
+        "sum, L2 norm, max, element access. The fold order matches "
+        "DuckDB's list_reduce exactly (0.0+x==x).",
+)
+def q24_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    squares = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x).alias("vec_sum"),
+        F.sqrt(F.aggregate(squares, F.lit(0.0), lambda a, x: a + x)).alias("l2_norm"),
+        F.array_max(as_double).alias("vec_max"),
+        F.col("embedding")[0].cast("double").alias("first_component"),
+    )
+
+
+@query(
+    "q25_json_funcs",
+    oracle="""
+    SELECT
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_sum,
+        CAST(MIN(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS k_min,
+        CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON extraction (events.props is a JSON string) + agg.",
+)
+def q25_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
