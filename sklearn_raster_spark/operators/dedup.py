@@ -1,0 +1,211 @@
+"""Deduplication operators over the ``documents`` table — first-class
+LLM-data-pipeline surface (BASELINE.json north star; no reference
+analog, the closest structure is the kneighbors similarity join,
+reference estimator.py:345-518).
+
+Scale design:
+- exact dedup: hash-groupBy on sha2(text) — shuffles 32-byte digests,
+  never full documents;
+- n-gram Jaccard: token inverted-index join (PPJoin-lite) — candidate
+  pairs only materialize for docs sharing a token. At 100 TB add
+  prefix filtering (drop the most frequent tokens from the index);
+  here the synthetic vocab is small so the index join is exercised
+  fully;
+- MinHash LSH: sub-quadratic banding via pyspark.ml MinHashLSH
+  (seeded, deterministic) — THE scale path for near-dedup;
+- SimHash: 64-bit fingerprints entirely in JVM expressions
+  (xxhash64 + bit arithmetic), banded self-join on 16-bit keys,
+  hamming distance via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+
+@query(
+    "q50_exact_dedup",
+    oracle="""
+    SELECT
+        MIN(doc_id) AS keep_doc_id,
+        COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup: group by content hash, keep lowest doc_id. Spark "
+        "groups by sha2(text) so only 32-byte digests shuffle; the "
+        "oracle groups by raw text (same result absent collisions).",
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_h")
+    )
+
+
+def _distinct_tokens(col="text"):
+    return F.array_distinct(F.split(F.col(col), " "))
+
+
+@query(
+    "q51_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS ts
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, LEN(ts) AS ntok, UNNEST(ts) AS tok FROM toks
+    )
+    SELECT
+        a.doc_id AS doc_a,
+        b.doc_id AS doc_b,
+        COUNT(*) AS n_common,
+        CAST(COUNT(*) AS DOUBLE) / (a.ntok + b.ntok - COUNT(*)) AS jaccard
+    FROM ex a
+    JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.ntok, b.ntok
+    HAVING CAST(COUNT(*) AS DOUBLE) / (a.ntok + b.ntok - COUNT(*)) >= 0.6
+    """,
+    doc="Near-dup pairs by exact token-set Jaccard >= 0.6 via an "
+        "inverted-index self-join (PPJoin-lite): pairs only form when "
+        "docs share a token — no O(n^2) cross join.",
+)
+def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        _distinct_tokens().alias("ts"),
+    ).select("doc_id", F.size("ts").alias("ntok"), F.explode("ts").alias("tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.count(F.lit(1))
+    jac = inter.cast("double") / (F.col("a.ntok") + F.col("b.ntok") - inter)
+    return (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ntok").alias("ntok_a"),
+            F.col("b.ntok").alias("ntok_b"),
+        )
+        .agg(inter.alias("n_common"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@query(
+    "q52_minhash_lsh_pairs",
+    doc="MinHash LSH near-dup candidates (pyspark.ml MinHashLSH over "
+        "hashed 3-word shingles, seeded): the sub-quadratic banding "
+        "path for 100 TB near-dedup. Rows-only (randomized hash "
+        "family is not SQL-expressible).",
+)
+def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.split("text", " ").alias("words"))
+    shingles = tokens.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(words) - 3, 0)), "
+            "i -> concat_ws(' ', slice(words, i + 1, 3)))"
+        ).alias("shingles"),
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(shingles)
+    # MinHashLSH requires at least one non-zero entry
+    feat = feat.filter(F.size("shingles") > 0)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, threshold=0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash_col(words_col: str = "words", bits: int = 64) -> F.Column:
+    """64-bit SimHash as pure JVM expressions: xxhash64 each token, sum
+    +1/-1 per bit position, set bit where the sum is positive."""
+    tok_hashes = F.transform(F.col(words_col), lambda w: F.xxhash64(w))
+
+    def _vote_fn(bit: int):
+        def fn(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fn
+
+    terms = []
+    for b in range(bits):
+        # +1 if bit b set else -1, summed over tokens
+        vote = F.aggregate(tok_hashes, F.lit(0).cast("long"), _vote_fn(b))
+        terms.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp.bitwiseOR(t)
+    return fp
+
+
+@query(
+    "q53_simhash_neardup",
+    doc="SimHash near-dup: 64-bit fingerprint per doc (JVM-only bit "
+        "arithmetic), banded self-join on four 16-bit bands, keep pairs "
+        "with hamming distance <= 6 via bit_count(xor). Rows-only.",
+)
+def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", simhash_col("words").alias("fp")
+    )
+    # band keys: 4 x 16-bit slices; near-dups (hamming<=6) must agree on
+    # at least one band by pigeonhole when hamming <= 3 per 4 bands...
+    # we use <=6 with 4 bands as a recall-oriented candidate filter.
+    banded = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fp", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+    return pairs

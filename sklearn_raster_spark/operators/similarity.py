@@ -1,0 +1,171 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Two tiers, as a 100 TB engine needs both:
+- brute-force cosine top-k (q55): exact baseline. The query set is tiny
+  and broadcast; the corpus streams through a single narrow pass —
+  dot products run JVM-side via F.aggregate (no Python, no shuffle of
+  the corpus). Scales linearly; right up to ~10^9 corpus rows per query
+  batch.
+- LSH-bucketed ANN (q56): random-hyperplane buckets restrict candidates
+  to matching buckets — the sub-linear scale path. Rows-only check
+  (randomized projections aren't SQL).
+
+Reference analog: kneighbors (estimator.py:345-518) is exactly a
+similarity join of samples vs fit-set; q55 keeps its top-k-per-row
+semantics (Window + row_number).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+N_QUERIES = 5
+TOP_K = 5
+
+
+def dot_seq(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_reduce order:
+    0.0 + x == x, then left-to-right)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+@query(
+    "q55_knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT
+            q.qid,
+            e.vec_id AS nid,
+            ROUND(
+                LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, e.embedding),
+                            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)
+                / (SQRT(LIST_REDUCE(LIST_TRANSFORM(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+                 * SQRT(LIST_REDUCE(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)))
+            , 6) AS cosine
+        FROM q, embeddings e
+        WHERE e.vec_id != q.qid
+    )
+    SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        FROM sims
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="Exact cosine top-k: broadcast query vectors x corpus scan, "
+        "JVM-side sequential-fold dot product, per-query ranking window. "
+        "Cosine rounded to 6 on both sides before ranking (ties broken "
+        "by id) so cross-engine float summation cannot flip ranks.",
+)
+def q55_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    sims = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot_seq(F.col("qe"), F.col("ne")) / (l2_norm(F.col("qe")) * l2_norm(F.col("ne"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "nid", "cosine", "rn")
+    )
+
+
+@query(
+    "q56_ann_lsh",
+    doc="Approximate NN via BucketedRandomProjectionLSH over normalized "
+        "embeddings (euclidean distance on unit vectors is monotone in "
+        "cosine). Bucketing restricts candidates — the sub-linear path. "
+        "Rows-only (seeded random projections).",
+)
+def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    norm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
+        ).alias("unit"),
+    ).select("vec_id", array_to_vector("unit").alias("features"))
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(norm)
+    queries = norm.filter(F.col("vec_id") < N_QUERIES)
+    pairs = model.approxSimilarityJoin(queries, norm, threshold=1.2, distCol="euclid")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("qid"),
+            F.col("datasetB.vec_id").alias("nid"),
+            F.round("euclid", 6).alias("euclid"),
+        )
+    )
+
+
+@query(
+    "q57_embedding_neardup",
+    oracle="""
+    WITH sims AS (
+        SELECT
+            a.vec_id AS id_a,
+            b.vec_id AS id_b,
+            ROUND(
+                LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x + y)
+                / (SQRT(LIST_REDUCE(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y))
+                 * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y)))
+            , 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+    )
+    SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.99
+    """,
+    doc="Embedding near-dup pairs (cosine >= 0.99) blocked by label "
+        "(a cheap blocking key standing in for an LSH bucket — the "
+        "same pattern at scale, with hash buckets instead of labels).",
+)
+def q57_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(
+        dot_seq(F.col("a.embedding"), F.col("b.embedding"))
+        / (l2_norm(F.col("a.embedding")) * l2_norm(F.col("b.embedding"))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")) & (F.col("a.label") == F.col("b.label")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+    )

@@ -1,0 +1,208 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting (LLM-pipeline surface,
+BASELINE.json north star). Everything is built-in column expressions
+(codegen), zero Python in the hot path; every formula is replicated
+verbatim in the DuckDB oracle so results are exact matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# tiny per-language marker lists for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "fr": ("le", "la", "et", "de"),
+    "es": ("el", "la", "y", "de"),
+    "de": ("der", "die", "und", "von"),
+}
+
+
+@query(
+    "q60_text_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS ws, LENGTH(text) AS n_chars_txt
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        lang,
+        CAST(LEN(ws) AS INTEGER) AS n_tokens,
+        CAST(LEN(LIST_DISTINCT(ws)) AS INTEGER) AS n_distinct,
+        CAST(LEN(LIST_DISTINCT(ws)) AS DOUBLE) / LEN(ws) AS ttr,
+        CAST(n_chars_txt - (LEN(ws) - 1) AS DOUBLE) / LEN(ws) AS avg_token_len,
+        CAST(LEN(LIST_FILTER(ws, w -> w IN {STOPWORDS!r})) AS DOUBLE) / LEN(ws) AS stopword_ratio
+    FROM toks
+    """,
+    doc="Quality stats per doc: token count, type-token ratio, average "
+        "token length, stopword ratio — pure column expressions.",
+)
+def q60_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    ndis = F.size(F.array_distinct(ws))
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n_sw = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        ndis.alias("n_distinct"),
+        (ndis.cast("double") / n).alias("ttr"),
+        ((F.length("text") - (n - 1)).cast("double") / n).alias("avg_token_len"),
+        (n_sw.cast("double") / n).alias("stopword_ratio"),
+    )
+
+
+def _lang_case_sql() -> str:
+    hits = {
+        lang: f"LEN(LIST_FILTER(ws, w -> w IN {markers!r}))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # deterministic argmax: fixed evaluation order, strict > comparison
+    return f"""
+    CASE
+        WHEN {hits['en']} >= GREATEST({hits['fr']}, {hits['es']}, {hits['de']}, 1) THEN 'en'
+        WHEN {hits['fr']} >= GREATEST({hits['es']}, {hits['de']}, 1) THEN 'fr'
+        WHEN {hits['es']} >= GREATEST({hits['de']}, 1) THEN 'es'
+        WHEN {hits['de']} >= 1 THEN 'de'
+        ELSE 'unknown'
+    END
+    """
+
+
+@query(
+    "q61_language_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS ws FROM documents)
+    SELECT
+        doc_id,
+        lang AS labeled_lang,
+        {_lang_case_sql()} AS detected_lang
+    FROM toks
+    """,
+    doc="Stopword-marker language ID with a deterministic argmax "
+        "(fixed tie-break order). Both engines evaluate the identical "
+        "CASE over identical integer hit counts.",
+)
+def q61_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    # Spark accepts the same expression modulo list-function names
+    hits = {
+        lang: f"size(filter(ws, w -> w IN {markers!r}))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    case = f"""
+    CASE
+        WHEN {hits['en']} >= GREATEST({hits['fr']}, {hits['es']}, {hits['de']}, 1) THEN 'en'
+        WHEN {hits['fr']} >= GREATEST({hits['es']}, {hits['de']}, 1) THEN 'fr'
+        WHEN {hits['es']} >= GREATEST({hits['de']}, 1) THEN 'es'
+        WHEN {hits['de']} >= 1 THEN 'de'
+        ELSE 'unknown'
+    END
+    """
+    return spark.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, lang, SPLIT(text, ' ') AS ws FROM documents)
+        SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang
+        FROM toks
+        """
+    )
+
+
+@query(
+    "q62_fingerprint",
+    oracle="""
+    SELECT
+        doc_id,
+        LIST_REDUCE(
+            LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> CAST(LENGTH(w) AS BIGINT)),
+            (a, x) -> (a * 31 + x) % 1000000007
+        ) AS fingerprint
+    FROM documents
+    """,
+    doc="Rolling polynomial fingerprint over token lengths, mod 1e9+7 "
+        "(exact integer math; Spark's 0-seeded fold equals DuckDB's "
+        "first-element-seeded reduce because 0*31+x0 == x0).",
+)
+def q62_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    lens = F.transform(F.split("text", " "), lambda w: F.length(w).cast("bigint"))
+    fp = F.aggregate(
+        lens,
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * 31 + x) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q63_regex_tokens",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_regex_tokens,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiou]')) AS INTEGER) AS n_vowels
+    FROM documents
+    """,
+    doc="Regex (BPE-ish) tokenization counts.",
+)
+def q63_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias("n_regex_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+    )
+
+
+@query(
+    "q64_quality_filter",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id, lang, n_chars,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN {STOPWORDS!r})) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, ttr, stopword_ratio
+    FROM stats
+    WHERE n_tokens BETWEEN 20 AND 200 AND ttr >= 0.3 AND stopword_ratio <= 0.3
+    """,
+    doc="Composite quality gate (the filter stage of an LLM data "
+        "pipeline): length band + lexical diversity + stopword cap.",
+)
+def q64_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    ttr = F.size(F.array_distinct(ws)).cast("double") / n
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    swr = F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast("double") / n
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n.alias("n_tokens"),
+            ttr.alias("ttr"),
+            swr.alias("stopword_ratio"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 200)
+            & (F.col("ttr") >= 0.3)
+            & (F.col("stopword_ratio") <= 0.3)
+        )
+    )
