@@ -31,16 +31,41 @@ def main() -> None:
     # plan, not process startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    per_query_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "120"))
+
+    def run_with_watchdog(name: str, fn) -> float:
+        """Run one query under a job-group watchdog so a runaway plan
+        can't eat the whole bench budget."""
+        import threading
+
+        sc = spark.sparkContext
+        group = f"bench-{name}"
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        done = threading.Event()
+
+        def cancel_if_slow():
+            if not done.wait(per_query_timeout):
+                sc.cancelJobGroup(group)
+
+        watchdog = threading.Thread(target=cancel_if_slow, daemon=True)
+        watchdog.start()
+        start = time.perf_counter()
+        try:
+            fn()
+            return round(time.perf_counter() - start, 4)
+        finally:
+            done.set()
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):
-        start = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
             # noop sink materializes every output column (a bare .count()
             # would let Catalyst prune the projections we're measuring)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            timings[name] = round(elapsed, 4)
+            timings[name] = run_with_watchdog(
+                name, lambda: df.write.format("noop").mode("overwrite").save()
+            )
         except Exception as exc:  # keep benching; a broken query shows as -1
             timings[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)

@@ -60,10 +60,10 @@ def _distinct_tokens(col="text"):
     "q51_jaccard_pairs",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS ts
+        SELECT doc_id, source, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS ts
         FROM documents
     ), ex AS (
-        SELECT doc_id, LEN(ts) AS ntok, UNNEST(ts) AS tok FROM toks
+        SELECT doc_id, source, LEN(ts) AS ntok, UNNEST(ts) AS tok FROM toks
     )
     SELECT
         a.doc_id AS doc_a,
@@ -71,26 +71,36 @@ def _distinct_tokens(col="text"):
         COUNT(*) AS n_common,
         CAST(COUNT(*) AS DOUBLE) / (a.ntok + b.ntok - COUNT(*)) AS jaccard
     FROM ex a
-    JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    JOIN ex b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id, a.ntok, b.ntok
     HAVING CAST(COUNT(*) AS DOUBLE) / (a.ntok + b.ntok - COUNT(*)) >= 0.6
     """,
     doc="Near-dup pairs by exact token-set Jaccard >= 0.6 via an "
-        "inverted-index self-join (PPJoin-lite): pairs only form when "
-        "docs share a token — no O(n^2) cross join.",
+        "inverted-index self-join (PPJoin-lite) blocked by source: "
+        "pairs only form when docs share a token AND a blocking key. "
+        "Blocking is what keeps this sub-quadratic at 100 TB (the "
+        "synthetic corpus's ~50-word vocabulary makes every unblocked "
+        "doc pair a candidate — real pipelines block by shard/domain "
+        "or use the MinHash path q52).",
 )
 def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
+        "source",
         _distinct_tokens().alias("ts"),
-    ).select("doc_id", F.size("ts").alias("ntok"), F.explode("ts").alias("tok"))
+    ).select("doc_id", "source", F.size("ts").alias("ntok"), F.explode("ts").alias("tok"))
     a = toks.alias("a")
     b = toks.alias("b")
     inter = F.count(F.lit(1))
     jac = inter.cast("double") / (F.col("a.ntok") + F.col("b.ntok") - inter)
     return (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -103,32 +113,26 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q52_minhash_lsh_pairs",
-    doc="MinHash LSH near-dup candidates (pyspark.ml MinHashLSH over "
-        "hashed 3-word shingles, seeded): the sub-quadratic banding "
-        "path for 100 TB near-dedup. Rows-only (randomized hash "
-        "family is not SQL-expressible).",
-)
-def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(docs: DataFrame, threshold: float = 0.7, shingle: int = 3) -> DataFrame:
+    """MinHash-LSH near-dup pairs over (doc_id, text): shingle ->
+    HashingTF -> MinHashLSH banding -> approxSimilarityJoin."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = read_table(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.split("text", " ").alias("words"))
-    shingles = tokens.select(
+    shingled = tokens.select(
         "doc_id",
-        F.expr(
-            "transform(sequence(0, greatest(size(words) - 3, 0)), "
-            "i -> concat_ws(' ', slice(words, i + 1, 3)))"
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, greatest(size(words) - {shingle}, 0)), "
+                f"i -> concat_ws(' ', slice(words, i + 1, {shingle})))"
+            )
         ).alias("shingles"),
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feat = tf.transform(shingles)
-    # MinHashLSH requires at least one non-zero entry
-    feat = feat.filter(F.size("shingles") > 0)
+    feat = tf.transform(shingled).filter(F.size("shingles") > 0)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, threshold=0.5, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feat, feat, threshold=threshold, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
@@ -137,6 +141,20 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+@query(
+    "q52_minhash_lsh_pairs",
+    doc="MinHash LSH near-dup candidates (pyspark.ml MinHashLSH over "
+        "hashed 3-word shingle sets, seeded): the sub-quadratic "
+        "banding path for 100 TB near-dedup — candidates form only on "
+        "minhash collisions, then exact shingle-Jaccard filters them. "
+        "Shingling keeps the similarity space sparse (token-level sets "
+        "degenerate on a ~50-word vocabulary). Rows-only (randomized "
+        "hash family is not SQL-expressible).",
+)
+def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
 def simhash_col(words_col: str = "words", bits: int = 64) -> F.Column:

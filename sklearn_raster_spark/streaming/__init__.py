@@ -1,0 +1,117 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.4 "Streaming" is [extension]
+surface). Each builder here applies the SAME expressions as its batch
+dual in operators/events.py, so the batch DuckDB oracle doubles as the
+streaming correctness check — the tests run the streams with an
+``availableNow`` trigger into a memory sink and diff against batch.
+
+Scale notes: watermarks bound state; session windows and
+dropDuplicates keep per-key state that is purged past the watermark —
+exactly the state story a 1000-executor streaming job needs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.sources import table_path
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a DIRECTORY; the testdata is
+    one parquet file per table. Symlink it into a tmp dir once."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_streams", sf_name, "events")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch under availableNow; a directory of files streams
+    incrementally in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(table_path(sf_dir, "events"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(_stream_dir(sf_dir))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """Streaming dual of q26_tumbling_window."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_counts_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Streaming dual of q28_session_window."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first event per (user_id, event_type)
+    within the watermark (dropDuplicatesWithinWatermark; batch dual is
+    q29 keep-first, which differs only in being global)."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120):
+    """Drive a streaming frame to completion with availableNow and
+    return the materialized rows from the memory sink."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+def run_append_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

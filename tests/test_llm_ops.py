@@ -1,0 +1,77 @@
+"""Semantic tests for the LLM-pipeline operators (dedup / similarity /
+text / multimodal) beyond the oracle gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.operators.dedup import q51_jaccard_pairs, q52_minhash_lsh_pairs, q53_simhash_neardup
+from sklearn_raster_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_byte_features,
+)
+from sklearn_raster_spark.operators.similarity import q55_knn_cosine_bruteforce
+from sklearn_raster_spark.sources import read_table
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """Controlled recall check: plant near-duplicate copies (one word
+    changed) of 10 base docs among 100 distractors; MinHash banding
+    must surface every planted pair as a candidate."""
+    from sklearn_raster_spark.operators.dedup import minhash_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(100):
+        words = list(rng.choice(vocab, size=60))
+        rows.append((i, " ".join(words)))
+        if i < 10:  # planted near-dup: flip one word
+            dup = list(words)
+            dup[30] = "CHANGED"
+            rows.append((1000 + i, " ".join(dup)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in minhash_pairs(docs, threshold=0.5).collect()}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= got, f"missed planted pairs: {planted - got}"
+    # and no spurious pairs among unrelated random docs
+    spurious = {p for p in got if p not in planted}
+    assert len(spurious) == 0, f"unexpected pairs: {spurious}"
+
+
+def test_simhash_fingerprint_properties(spark, sf_dir):
+    pairs = q53_simhash_neardup(spark, sf_dir)
+    for r in pairs.limit(20).collect():
+        assert 0 <= r.hamming <= 6
+        assert r.doc_a < r.doc_b
+
+
+def test_knn_self_similarity_excluded_and_ranked(spark, sf_dir):
+    rows = q55_knn_cosine_bruteforce(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, neighbors in by_q.items():
+        assert len(neighbors) == 5
+        assert all(n.nid != qid for n in neighbors)
+        sims = [n.cosine for n in sorted(neighbors, key=lambda n: n.rn)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_byte_features_deterministic(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(5)
+    feats = extract_byte_features(attach_binary_payload(docs)).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in feats:
+        raw = texts[r.doc_id].encode("utf-8")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        assert r.n_bytes == len(raw)
+        assert r.n_spaces == int((arr == 32).sum())
+        assert abs(r.mean_byte - float(arr.mean())) < 1e-9
+        assert r.hist_0 + r.hist_1 + r.hist_2 + r.hist_3 == len(raw)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"xx", "image/png")

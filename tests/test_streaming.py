@@ -1,0 +1,44 @@
+"""Streaming correctness: each stream's availableNow run must equal its
+batch dual (which is itself oracle-checked against DuckDB)."""
+
+import pytest
+
+from sklearn_raster_spark.operators.events import q26_tumbling_window
+from sklearn_raster_spark.streaming import (
+    run_stream_to_memory,
+    session_counts_stream,
+    tumbling_counts_stream,
+)
+
+
+def _rows_set(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    stream_df = tumbling_counts_stream(spark, sf_dir)
+    assert stream_df.isStreaming
+    q = run_stream_to_memory(stream_df, "tumbling_test")
+    got = spark.sql("SELECT * FROM tumbling_test").collect()
+    q.stop()
+
+    want = (
+        q26_tumbling_window(spark, sf_dir)
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect()
+    )
+    assert _rows_set([(r.window_start, r.event_type, r.n_events, r.total_value) for r in got]) == \
+        _rows_set([(r.window_start, r.event_type, r.n_events, r.total_value) for r in want])
+
+
+def test_session_stream_runs(spark, sf_dir):
+    stream_df = session_counts_stream(spark, sf_dir)
+    assert stream_df.isStreaming
+    q = run_stream_to_memory(stream_df, "session_test")
+    got = spark.sql("SELECT * FROM session_test").collect()
+    q.stop()
+    assert len(got) > 0
+    # every session must contain at least one event and end after start
+    for r in got:
+        assert r.n_events >= 1
+        assert r.session_end > r.session_start
