@@ -157,10 +157,13 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
-def simhash_col(words_col: str = "words", bits: int = 64) -> F.Column:
-    """64-bit SimHash as pure JVM expressions: xxhash64 each token, sum
-    +1/-1 per bit position, set bit where the sum is positive."""
-    tok_hashes = F.transform(F.col(words_col), lambda w: F.xxhash64(w))
+def simhash_col(hashes_col: str = "tok_hashes", bits: int = 64) -> F.Column:
+    """64-bit SimHash over a precomputed array<long> of token hashes:
+    sum +1/-1 per bit position, set bit where the sum is positive.
+    Takes hashes (not words) so xxhash64 runs once per token, not once
+    per (token, bit) — Catalyst does not CSE lambda bodies across the
+    64 fold expressions."""
+    tok_hashes = F.col(hashes_col)
 
     def _vote_fn(bit: int):
         def fn(acc, h):
@@ -189,8 +192,13 @@ def simhash_col(words_col: str = "words", bits: int = 64) -> F.Column:
 )
 def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    fps = docs.select("doc_id", F.split("text", " ").alias("words")).select(
-        "doc_id", simhash_col("words").alias("fp")
+    fps = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.transform("words", lambda w: F.xxhash64(w)).alias("tok_hashes"),
+        )
+        .select("doc_id", simhash_col("tok_hashes").alias("fp"))
     )
     # band keys: 4 x 16-bit slices; near-dups (hamming<=6) must agree on
     # at least one band by pigeonhole when hamming <= 3 per 4 bands...
