@@ -17,6 +17,15 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# Executor Python workers inherit PYTHONPATH from the JVM's environment;
+# exporting it here (before the driver builds its SparkSession) lets the
+# broadcast-model kernels unpickle classes from this package regardless
+# of the driver's working directory. ufunc.py additionally ships the
+# package via addPyFile for sessions created before this import.
+import os  # noqa: E402
+
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 from sklearn_raster_spark.plans.registry import load_all_queries  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"

@@ -119,6 +119,27 @@ def q42_nb_proba_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q44_kneighbors_embeddings",
+    doc="kneighbors surface (reference estimator.py:345-518): exact "
+        "brute-force k-NN of every embedding against a 100-vector "
+        "broadcast fit set; per-output nodata (nan / int32 min). "
+        "Rows-only (fit-set state is not SQL).",
+)
+def q44_kneighbors_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.estimators import KNeighborsRegressorNP
+
+    X, y = _collect_embeddings(spark, sf_dir)
+    est = SparkEstimator(KNeighborsRegressorNP(n_neighbors=3))
+    est.fit(
+        pd.DataFrame(X[:100], columns=[f"e{i}" for i in range(EMB_DIM)]),
+        pd.Series(y[:100].astype(float), name="label"),
+    )
+    ff = _embedding_frame(spark, sf_dir)
+    out = est.kneighbors(ff, n_neighbors=3)
+    return out.df.select("vec_id", "dist_1", "dist_2", "dist_3", "idx_1", "idx_2", "idx_3")
+
+
+@query(
     "q43_pca_transform_embeddings",
     doc="transform surface (reference estimator.py:520-629): PCA fitted "
         "driver-side, applied distributed; output names from "

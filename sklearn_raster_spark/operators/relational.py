@@ -409,6 +409,21 @@ def q11_distinct_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "q32_approx_count_distinct",
+    doc="HyperLogLog++ approximate distinct counts per nation (the "
+        "scale path for cardinality: one pass, fixed memory, no "
+        "expand). Rows-only: HLL sketches differ across engines by "
+        "design; the exact dual is q11.",
+)
+def q32_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q12/q13/q14 — rollup / cube / grouping sets
 # ---------------------------------------------------------------------------

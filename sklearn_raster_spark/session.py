@@ -14,10 +14,46 @@ but degrade gracefully on local[N]:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+_PKG_ZIP: str | None = None
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Broadcast estimator instances pickle their classes BY REFERENCE
+    (cloudpickle), so the worker process must be able to import
+    ``sklearn_raster_spark``. When the driver's cwd is the repo this
+    works implicitly; any other cwd (or a real cluster) needs the
+    package on the workers' sys.path — a zip via addPyFile is the
+    session-agnostic way. Idempotent and cheap (~50 KB zip, built once
+    per process)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        fd, zpath = tempfile.mkstemp(prefix="sklearn_raster_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "sklearn_raster_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        _PKG_ZIP = zpath
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already added to this context
 
 
 def get_spark(

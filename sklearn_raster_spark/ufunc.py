@@ -34,6 +34,45 @@ from sklearn_raster_spark.features import FeatureFrame
 from sklearn_raster_spark.utils.casting import default_nodata_for, validate_nodata
 from sklearn_raster_spark.utils.threads import limit_inner_threads
 
+def align_feature_frames(ffs: "list[FeatureFrame]", on: "list[str]") -> FeatureFrame:
+    """Multi-input alignment (reference O11/O12, ufunc/_meta.py:263-285):
+    equi-join the frames on their coordinate/key columns so one batch
+    kernel sees all inputs' features; a sample is NoData if ANY input
+    masks it (ufunc/_base.py:101-113) — with each input nullified
+    first, NULL propagation through the join gives exactly that."""
+    if not ffs:
+        raise ValueError("need at least one FeatureFrame")
+    all_feats: list[str] = []
+    for ff in ffs:
+        for f in ff.features:
+            if f in all_feats:
+                raise ValueError(f"duplicate feature {f!r} across inputs")
+            all_feats.append(f)
+    base = ffs[0].nullify_nodata()
+    joined = base.df
+    for ff in ffs[1:]:
+        nn = ff.nullify_nodata()
+        joined = joined.join(nn.df.select(*on, *nn.features), on=on, how="inner")
+    md: dict = {}
+    for ff in ffs:
+        md.update(ff.metadata)
+    return FeatureFrame(df=joined, features=tuple(all_feats), nodata_input={}, metadata=md)
+
+
+def count_output_collisions(ff: FeatureFrame, nodata_output) -> int:
+    """Reference O8 (ufunc/_base.py:453-466): count rows where a
+    *valid* output legitimately equals the NoData encoding — the caller
+    can warn that those rows will be indistinguishable after encoding.
+    Eager (one count job); call only when the check matters."""
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    cond = None
+    for name in ff.features:
+        c = F.col(name) == F.lit(nodata_output)
+        cond = c if cond is None else (cond | c)
+    return ff.df.filter(cond).count() if cond is not None else 0
+
+
 _NP_DTYPE = {
     "double": np.float64,
     "float": np.float32,
@@ -83,6 +122,9 @@ class FeaturewiseUfunc:
         inner_thread_limit: int | None = 1,
         keep_features: bool = False,
     ) -> FeatureFrame:
+        from sklearn_raster_spark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(ff.df.sparkSession)
         df = ff.df
         features = list(ff.features)
         passthrough = [c for c in df.columns if c not in ff.features]

@@ -1,0 +1,104 @@
+"""Tests for multi-input ufunc alignment (O11/O12), collision counting
+(O8), the synthetic dataset generator (S4/S5), and parquet sinks (S6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.datasets import generate_fractal_noise, synthesize_feature_frame
+from sklearn_raster_spark.features import FeatureFrame
+from sklearn_raster_spark.sources import write_table
+from sklearn_raster_spark.ufunc import (
+    FeaturewiseUfunc,
+    Output,
+    align_feature_frames,
+    count_output_collisions,
+)
+
+
+def test_multi_input_alignment_propagates_nodata(spark):
+    """A sample masked in ANY input is masked in the joined frame
+    (reference ufunc/_base.py:101-113)."""
+    a = pd.DataFrame({"y": [0, 0, 1, 1], "x": [0, 1, 0, 1], "f1": [1.0, 2.0, -9.0, 4.0]})
+    b = pd.DataFrame({"y": [0, 0, 1, 1], "x": [0, 1, 0, 1], "f2": [5.0, np.nan, 7.0, 8.0]})
+    ffa = FeatureFrame.from_dataframe(spark.createDataFrame(a), ["f1"], nodata_input={"f1": -9.0})
+    ffb = FeatureFrame.from_dataframe(spark.createDataFrame(b), ["f2"])
+    joined = align_feature_frames([ffa, ffb], on=["y", "x"])
+    assert set(joined.features) == {"f1", "f2"}
+    assert joined.df.count() == 4
+    assert joined.invalid().count() == 2  # (1,0) sentinel + (0,1) NaN
+
+    def add(X):
+        return X[:, 0] + X[:, 1]
+
+    uf = FeaturewiseUfunc(add, [Output(("total",), "double")])
+    out = uf(joined).df.orderBy("y", "x").toPandas()
+    assert np.isnan(out.loc[1, "total"]) and np.isnan(out.loc[2, "total"])
+    np.testing.assert_allclose(out.loc[[0, 3], "total"], [6.0, 12.0])
+
+
+def test_duplicate_features_rejected(spark):
+    a = pd.DataFrame({"y": [0], "x": [0], "f1": [1.0]})
+    ffa = FeatureFrame.from_dataframe(spark.createDataFrame(a), ["f1"])
+    with pytest.raises(ValueError, match="duplicate feature"):
+        align_feature_frames([ffa, ffa], on=["y", "x"])
+
+
+def test_collision_count(spark):
+    pdf = pd.DataFrame({"id": range(4), "v": [1.0, -9999.0, 3.0, -9999.0]})
+    ff = FeatureFrame.from_dataframe(spark.createDataFrame(pdf), ["v"])
+    assert count_output_collisions(ff, -9999.0) == 2
+    assert count_output_collisions(ff, 12345.0) == 0
+
+
+def test_fractal_noise_properties():
+    noise = generate_fractal_noise((32, 48), 2, seed=42)
+    assert noise.shape == (2, 32, 48)
+    np.testing.assert_allclose(noise.mean(axis=(1, 2)), 0.0, atol=1e-9)
+    np.testing.assert_allclose(noise.std(axis=(1, 2)), 1.0, atol=1e-9)
+    again = generate_fractal_noise((32, 48), 2, seed=42)
+    np.testing.assert_array_equal(noise, again)  # deterministic
+
+    masked = generate_fractal_noise((32, 48), 2, seed=42, nodata_percentile=25.0)
+    frac = np.isnan(masked[0]).mean()
+    assert 0.2 < frac < 0.3  # ~25% masked, spatially coherent
+
+
+def test_synthesize_feature_frame(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(100, 4))
+    samples = pd.DataFrame(base @ np.diag([1, 2, 3, 4]) + [10, 20, 30, 40],
+                           columns=["a", "b", "c", "d"])
+    ff = synthesize_feature_frame(spark, samples, shape=(16, 16), seed=7)
+    assert set(ff.features) == {"a", "b", "c", "d"}
+    pdf = ff.df.toPandas()
+    assert len(pdf) == 256
+    assert {"y", "x"} <= set(pdf.columns)
+    # synthesized features live in a plausible range of the sample space
+    for col, mean in zip(["a", "b", "c", "d"], [10, 20, 30, 40]):
+        assert abs(pdf[col].mean() - mean) < 15
+
+
+def test_synthesize_with_nodata_mask(spark):
+    samples = pd.DataFrame(np.random.default_rng(1).normal(size=(50, 2)), columns=["u", "v"])
+    ff = synthesize_feature_frame(spark, samples, shape=(16, 16), seed=7, nodata_percentile=30.0)
+    pdf = ff.df.toPandas()
+    # masked pixels carry NaN/NULL in every output feature
+    n_missing = pdf["u"].isna().sum()
+    assert n_missing > 0.2 * len(pdf)
+    assert (pdf["u"].isna() == pdf["v"].isna()).all()
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame({"part": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "sink")
+    write_table(df, path, partition_by=["part"])
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    assert {r.part for r in back.select("part").distinct().collect()} == {"a", "b"}
+    # partition pruning: filtering on the partition col scans one dir
+    pruned = back.filter(F.col("part") == "a")
+    assert pruned.count() == 2
