@@ -159,6 +159,46 @@ class FeatureFrame:
         md.update(kv)
         return FeatureFrame(self.df, self.features, dict(self.nodata_input), md)
 
+    # -- persistence with metadata (reference O15/S6: _FillValue,
+    #    long_name, history survive into the stored artifact;
+    #    features.py:277-335) ---------------------------------------------
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Write with per-column StructField metadata: the feature flag,
+        its NoData encoding, and the frame-level history. Parquet
+        persists Spark field metadata, so a reader recovers the full
+        FeatureFrame without a side-channel."""
+        import json
+
+        frame_meta = json.dumps(self.metadata, default=str)
+        cols = []
+        for name in self.df.columns:
+            md = {"is_feature": name in self.features}
+            if name in self.nodata_input and self.nodata_input[name] is not None:
+                md["_FillValue"] = self.nodata_input[name]
+            if name == self.df.columns[0]:
+                md["frame_metadata"] = frame_meta
+            cols.append(F.col(name).alias(name, metadata=md))
+        self.df.select(*cols).write.mode(mode).parquet(path)
+
+    @classmethod
+    def read_parquet(cls, spark, path: str) -> "FeatureFrame":
+        """Recover a FeatureFrame (features, nodata registry, metadata)
+        from the StructField metadata written by ``write_parquet``."""
+        import json
+
+        df = spark.read.parquet(path)
+        features, nodata, meta = [], {}, {}
+        for field in df.schema.fields:
+            md = field.metadata or {}
+            if md.get("is_feature"):
+                features.append(field.name)
+                if "_FillValue" in md:
+                    nodata[field.name] = md["_FillValue"]
+            if "frame_metadata" in md:
+                meta = json.loads(md["frame_metadata"])
+        return cls(df=df, features=tuple(features), nodata_input=nodata, metadata=meta)
+
     # -- convenience ----------------------------------------------------
 
     @property

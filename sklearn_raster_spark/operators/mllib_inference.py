@@ -1,0 +1,107 @@
+"""MLlib-native inference: the fully-distributed counterpart of the
+broadcast-estimator path (BASELINE.json spark_approach: "MLlib for
+distributed prediction over partitioned rasters").
+
+Where operators/inference.py broadcasts a driver-fitted numpy model
+into mapInPandas (reference-parity E2/E3), these queries fit AND
+predict with pyspark.ml: training is distributed, and
+``model.transform`` is pure JVM — no Python boundary at all in the
+scoring hot path, which is the preferred shape when a native MLlib
+estimator matches the model family (SURVEY.md §1.4, E3 mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+
+@query(
+    "q45_mllib_linear_regression",
+    doc="Distributed MLlib LinearRegression: VectorAssembler features "
+        "from lineitem (quantity, discount, tax) -> fit on the full "
+        "table -> JVM-side transform. Deterministic ('normal' solver). "
+        "Rows-only (model state is not SQL).",
+)
+def q45_mllib_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    assembler = VectorAssembler(
+        inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
+    )
+    assembled = assembler.transform(li)
+    lr = LinearRegression(
+        featuresCol="features",
+        labelCol="l_extendedprice",
+        predictionCol="pred_price",
+        solver="normal",  # closed-form: deterministic across runs
+        regParam=0.0,
+    )
+    model = lr.fit(assembled)
+    return (
+        model.transform(assembled)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("pred_price", 4).alias("pred_price"),
+        )
+    )
+
+
+@query(
+    "q46_mllib_kmeans",
+    doc="Distributed MLlib KMeans over embeddings (seeded): fit and "
+        "assign entirely in the JVM; cluster sizes returned. Rows-only "
+        "(iterative algorithm state is not SQL).",
+)
+def q46_mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cluster")
+    model = km.fit(emb)
+    assigned = model.transform(emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+@query(
+    "q47_mllib_logistic_proba",
+    doc="Distributed MLlib LogisticRegression on embeddings (binary "
+        "label: label is even), probability column extracted per class "
+        "via vector_to_array — the MLlib dual of predict_proba (E4). "
+        "Rows-only.",
+)
+def q47_mllib_logistic_proba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        (F.col("label") % 2 == 0).cast("double").alias("is_even"),
+    )
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="is_even", probabilityCol="proba", maxIter=20
+    )
+    model = lr.fit(emb)
+    out = model.transform(emb)
+    proba = vector_to_array("proba")
+    return out.select(
+        "vec_id",
+        F.round(proba[0], 6).alias("proba_odd"),
+        F.round(proba[1], 6).alias("proba_even"),
+        F.col("prediction").cast("int").alias("pred_is_even"),
+    )

@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.similarity",
     "sklearn_raster_spark.operators.text",
     "sklearn_raster_spark.operators.inference",
+    "sklearn_raster_spark.operators.mllib_inference",
     "sklearn_raster_spark.operators.multimodal",
 )
 

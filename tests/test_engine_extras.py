@@ -102,3 +102,39 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     # partition pruning: filtering on the partition col scans one dir
     pruned = back.filter(F.col("part") == "a")
     assert pruned.count() == 2
+
+
+def test_featureframe_metadata_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame({"id": [1, 2], "f1": [1.0, -9.0], "f2": [3.0, 4.0]})
+    ff = FeatureFrame.from_dataframe(
+        spark.createDataFrame(pdf), ["f1", "f2"], nodata_input={"f1": -9.0},
+        metadata={"long_name": "test frame"},
+    )
+    ff._append_history("created")
+    path = str(tmp_path / "ffmeta")
+    ff.write_parquet(path)
+    back = FeatureFrame.read_parquet(spark, path)
+    assert set(back.features) == {"f1", "f2"}
+    assert back.nodata_input == {"f1": -9.0}
+    assert back.metadata["long_name"] == "test frame"
+    assert any("created" in h for h in back.metadata["history"])
+    assert back.invalid().count() == 1  # sentinel still recognized
+
+
+def test_mllib_queries_run(spark, sf_dir):
+    from sklearn_raster_spark.operators.mllib_inference import (
+        q45_mllib_linear_regression,
+        q46_mllib_kmeans,
+        q47_mllib_logistic_proba,
+    )
+
+    pred = q45_mllib_linear_regression(spark, sf_dir)
+    assert pred.count() > 0 and "pred_price" in pred.columns
+    from sklearn_raster_spark.sources import read_table
+
+    clusters = q46_mllib_kmeans(spark, sf_dir).collect()
+    n_emb = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in clusters) == n_emb
+    proba = q47_mllib_logistic_proba(spark, sf_dir).limit(20).collect()
+    for r in proba:
+        assert abs(r.proba_odd + r.proba_even - 1.0) < 1e-5
