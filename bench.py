@@ -27,9 +27,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = load_all_queries()
 
-    # Warm the JVM/Python-worker pools once so per-query times measure the
-    # plan, not process startup.
+    # Warm the JVM, Python-worker pool, and parquet footers once so
+    # per-query times measure the plan, not process startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from sklearn_raster_spark.sources import TABLES, read_table
+
+    for t in TABLES:
+        try:
+            read_table(spark, sf_dir, t).limit(1).collect()
+        except Exception:
+            pass
 
     per_query_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "120"))
 

@@ -154,6 +154,71 @@ def q24_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q33_explode_ordinality",
+    oracle="""
+    SELECT
+        doc_id,
+        UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+        CAST(GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS INTEGER) AS pos
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="Generator/UDTF surface: posexplode tokens with 1-based "
+        "ordinality (UNNEST WITH ORDINALITY dual).",
+)
+def q33_explode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", "tok", (F.col("pos0") + 1).cast("int").alias("pos"))
+
+
+@query(
+    "q34_map_funcs",
+    oracle="""
+    SELECT
+        event_id,
+        CAST(props->>'k' AS INTEGER) AS k_value,
+        1 AS n_keys,
+        'k' AS first_key
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="Map-typed columns: from_json into map<string,int>, then "
+        "element_at / map_keys / size.",
+)
+def q34_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("n_keys"),
+        F.map_keys(m)[0].alias("first_key"),
+    )
+
+
+@query(
+    "q35_union_type_promotion",
+    oracle="""
+    SELECT kind, CAST(val AS DOUBLE) AS val FROM (
+        SELECT 'price' AS kind, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT 'size' AS kind, CAST(p_size AS DOUBLE) AS val FROM part
+    )
+    """,
+    doc="unionByName with dtype promotion (int -> double), the dual of "
+        "the reference's raster-stack dtype promotion (S3, "
+        "datasets/_base.py:93-104).",
+)
+def q35_union_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    prices = p.select(F.lit("price").alias("kind"), F.col("p_retailprice").alias("val"))
+    sizes = p.select(F.lit("size").alias("kind"), F.col("p_size").cast("double").alias("val"))
+    return prices.unionByName(sizes)
+
+
+@query(
     "q25_json_funcs",
     oracle="""
     SELECT

@@ -31,6 +31,20 @@ def test_tumbling_stream_matches_batch(spark, sf_dir):
         _rows_set([(r.window_start, r.event_type, r.n_events, r.total_value) for r in want])
 
 
+def test_dedup_stream_matches_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps one row per key; with all
+    data inside the watermark this equals the batch keep-first key set
+    (q29) — values may differ in ties, keys may not."""
+    from sklearn_raster_spark.operators.events import q29_dedup_keep_first
+    from sklearn_raster_spark.streaming import dedup_stream, run_append_stream_to_memory
+
+    q = run_append_stream_to_memory(dedup_stream(spark, sf_dir), "dedup_cmp")
+    got = spark.sql("SELECT user_id, event_type FROM dedup_cmp").collect()
+    q.stop()
+    want = q29_dedup_keep_first(spark, sf_dir).select("user_id", "event_type").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_session_stream_runs(spark, sf_dir):
     stream_df = session_counts_stream(spark, sf_dir)
     assert stream_df.isStreaming
