@@ -410,6 +410,68 @@ def q11_distinct_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "q36_sort_merge_join",
+    oracle="""
+    SELECT
+        o.o_orderstatus,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="Fact-fact join pinned to SORT-MERGE via the MERGE hint — the "
+        "strategy this join takes at 100 TB where neither side fits a "
+        "broadcast (at test scale AQE would otherwise demote it). The "
+        "equi-join key is bucketing-compatible: writing both tables "
+        "bucketed by orderkey removes the shuffle entirely.",
+)
+def q36_sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dec("l_extendedprice"), "total_price"),
+        )
+    )
+
+
+@query(
+    "q37_ranking_functions",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        CAST(RANK() OVER w AS INTEGER) AS price_rank,
+        CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank,
+        CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-window family: rank / dense_rank / ntile / "
+        "percent_rank over a deterministic ordering.",
+)
+def q37_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )
+
+
+@query(
     "q32_approx_count_distinct",
     doc="HyperLogLog++ approximate distinct counts per nation (the "
         "scale path for cardinality: one pass, fixed memory, no "

@@ -50,8 +50,14 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
                         )
                         zf.write(full, rel)
         _PKG_ZIP = zpath
+    sc = spark.sparkContext
+    # remember per-context so repeated applies don't re-add (and don't
+    # spam "path has been added already" warnings)
+    if getattr(sc, "_srs_pkg_shipped", None) == _PKG_ZIP:
+        return
     try:
-        spark.sparkContext.addPyFile(_PKG_ZIP)
+        sc.addPyFile(_PKG_ZIP)
+        sc._srs_pkg_shipped = _PKG_ZIP
     except Exception:
         pass  # already added to this context
 
