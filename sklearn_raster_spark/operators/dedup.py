@@ -130,7 +130,10 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.7, shingle: int = 3) -> 
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feat = tf.transform(shingled).filter(F.size("shingles") > 0)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    # 5 OR-amplified tables: P(miss) for a 0.5-sim pair is (1-0.5)^5 ≈ 3%,
+    # for real near-dups (sim>0.9) negligible — and the candidate join is
+    # 38% narrower than 8 tables
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = mh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, threshold=threshold, distCol="jaccard_dist")
     return (
