@@ -179,12 +179,48 @@ class SparkEstimator:
 
     # -- public surface (reference E3-E7) -------------------------------
 
-    def predict(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
+    def predict(self, ff, features=None, nodata_output=None, compile_expressions=True, **kw) -> FeatureFrame:
         kind = self._estimator_kind()
         dtype = "int" if kind in ("classifier", "clusterer") else "double"
         names = self.target_names_in_ if kind not in ("clusterer",) else ("cluster",)
         out = Output(tuple(names), dtype=dtype, nodata=nodata_output)
+        if compile_expressions and callable(getattr(self.estimator, "to_spark_columns", None)):
+            return self._apply_compiled(ff, [out], features=features)
         return self._apply(ff, "predict", [out], features=features, **kw)
+
+    def _apply_compiled(self, ff, outputs: list[Output], features=None) -> FeatureFrame:
+        """Expression-compiled scoring: the model emits Catalyst column
+        expressions, so prediction runs inside whole-stage codegen with
+        ZERO Python boundary. NoData semantics are identical to the
+        skip/scatter path — one when(mask, nodata).otherwise(expr) per
+        output replaces filter+UDF+union."""
+        import pyspark.sql.functions as F
+
+        _require_fitted(self)
+        if isinstance(ff, DataFrame):
+            ff = FeatureFrame.from_dataframe(ff, list(features or self.feature_names_in_))
+        self._check_feature_names(ff.features)
+        exprs = self.estimator.to_spark_columns(list(ff.features))
+        names = [n for o in outputs for n in o.names]
+        if len(exprs) != len(names):
+            raise ValueError(f"compiled {len(exprs)} expressions for {len(names)} outputs")
+        mask = ff.nodata_mask()
+        dtypes = [o.dtype for o in outputs for _ in o.names]
+        nodatas = [o.resolved_nodata() for o in outputs for _ in o.names]
+        passthrough = [c for c in ff.df.columns if c not in ff.features]
+        cols = [
+            F.when(mask, F.lit(nd)).otherwise(e).cast(dt).alias(n)
+            for e, n, dt, nd in zip(exprs, names, dtypes, nodatas)
+        ]
+        out_df = ff.df.select(*passthrough, *cols)
+        result = FeatureFrame(
+            df=out_df,
+            features=tuple(names),
+            nodata_input={},
+            metadata=dict(ff.metadata),
+        )
+        result._append_history("predict:compiled")
+        return result
 
     def predict_proba(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
         _require_method(self.estimator, "predict_proba")

@@ -78,6 +78,20 @@ class LinearRegressionNP:
     def predict(self, X):
         return np.asarray(X, dtype=np.float64) @ self.coef_ + self.intercept_
 
+    def to_spark_columns(self, feature_cols):
+        """Compile predict to Catalyst expressions (one per target)."""
+        from pyspark.sql import functions as F
+
+        coef = np.atleast_2d(self.coef_.T if self.coef_.ndim > 1 else self.coef_)
+        intercept = np.atleast_1d(self.intercept_)
+        out = []
+        for t in range(coef.shape[0]):
+            expr = F.lit(float(intercept[t]))
+            for c, w in zip(feature_cols, coef[t]):
+                expr = expr + F.col(c) * F.lit(float(w))
+            out.append(expr)
+        return out
+
 
 class FixedLinearModel:
     """A linear scorer with KNOWN weights (no data-dependent fit).
@@ -103,6 +117,17 @@ class FixedLinearModel:
         for j, w in enumerate(self.weights):
             y = y + X[:, j] * w
         return y
+
+    def to_spark_columns(self, feature_cols):
+        """Compile predict to a Catalyst expression (same sequential
+        IEEE evaluation order as the numpy kernel): the engine then
+        scores JVM-side with zero Python boundary."""
+        from pyspark.sql import functions as F
+
+        expr = F.lit(float(self.intercept))
+        for c, w in zip(feature_cols, self.weights):
+            expr = expr + F.col(c) * F.lit(float(w))
+        return [expr]
 
 
 class GaussianNBNP:

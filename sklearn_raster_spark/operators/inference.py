@@ -61,7 +61,43 @@ def q40_linear_inference_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = SparkEstimator(model)
     est.fit(pd.DataFrame(np.zeros((2, 3)), columns=["l_quantity", "l_discount", "l_tax"]))
     est.target_names_in_ = ("score",)
-    out = est.predict(ff, nodata_output=-9999.0)
+    # deliberately the Arrow/mapInPandas path — q48 is the compiled dual
+    out = est.predict(ff, nodata_output=-9999.0, compile_expressions=False)
+    return out.df.select("l_orderkey", "l_linenumber", "score")
+
+
+@query(
+    "q48_compiled_linear_inference",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        CASE WHEN l_quantity = 50.0
+             THEN -9999.0
+             ELSE 10.0 + l_quantity * 0.5 + l_discount * (-100.0) + l_tax * 200.0
+        END AS score
+    FROM lineitem
+    """,
+    doc="Expression-COMPILED inference: the same model and NoData "
+        "semantics as q40, but predict compiles to Catalyst column "
+        "expressions (when(mask, nodata).otherwise(w·x+b)) — zero "
+        "Python boundary, whole-stage codegen end to end. The bench "
+        "delta vs q40 is the cost of the Arrow/pandas path.",
+)
+def q48_compiled_linear_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    ff = FeatureFrame.from_dataframe(
+        li,
+        features=["l_quantity", "l_discount", "l_tax"],
+        nodata_input={"l_quantity": 50.0},
+    ).nullify_nodata()
+    model = FixedLinearModel(weights=[0.5, -100.0, 200.0], intercept=10.0)
+    est = SparkEstimator(model)
+    est.fit(pd.DataFrame(np.zeros((2, 3)), columns=["l_quantity", "l_discount", "l_tax"]))
+    est.target_names_in_ = ("score",)
+    out = est.predict(ff, nodata_output=-9999.0)  # compiled by default
     return out.df.select("l_orderkey", "l_linenumber", "score")
 
 

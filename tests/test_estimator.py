@@ -41,18 +41,20 @@ def _collect_sorted(df, key="id"):
     return df.orderBy(key).toPandas()
 
 
-def test_predict_parity_with_bare_estimator(spark, sdf, train):
+@pytest.mark.parametrize("compiled", [False, True], ids=["mapinpandas", "compiled"])
+def test_predict_parity_with_bare_estimator(spark, sdf, train, compiled):
     """Differential oracle: wrapped == bare (reference
-    tests/test_estimator.py:300-318)."""
+    tests/test_estimator.py:300-318) — on both execution paths."""
     Xp, y = train
     est = SparkEstimator(LinearRegressionNP()).fit(Xp, y)
     ff = FeatureFrame.from_dataframe(sdf, FEATURES)
-    got = _collect_sorted(est.predict(ff).df)["y"].to_numpy()
+    got = _collect_sorted(est.predict(ff, compile_expressions=compiled).df)["y"].to_numpy()
     want = est.estimator.predict(Xp.to_numpy())
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
-def test_predict_skips_and_scatters_nodata(spark, train):
+@pytest.mark.parametrize("compiled", [False, True], ids=["mapinpandas", "compiled"])
+def test_predict_skips_and_scatters_nodata(spark, train, compiled):
     Xp, y = train
     est = SparkEstimator(LinearRegressionNP()).fit(Xp, y)
     pdf = Xp.copy()
@@ -60,7 +62,7 @@ def test_predict_skips_and_scatters_nodata(spark, train):
     pdf.loc[pdf.index[:20], "f1"] = np.nan  # NaN is implicit NoData
     sdf = spark.createDataFrame(pdf).repartition(4)
     ff = FeatureFrame.from_dataframe(sdf, FEATURES)
-    out = _collect_sorted(est.predict(ff, nodata_output=-9999.0).df)
+    out = _collect_sorted(est.predict(ff, nodata_output=-9999.0, compile_expressions=compiled).df)
     assert (out.loc[:19, "y"] == -9999.0).all()
     want = est.estimator.predict(Xp.to_numpy()[20:])
     np.testing.assert_allclose(out.loc[20:, "y"].to_numpy(), want, rtol=1e-12)
