@@ -72,6 +72,52 @@ def asof_join(
 
 
 @query(
+    "q38_interval_join",
+    oracle="""
+    SELECT
+        c.event_id AS click_id,
+        p.event_id AS purchase_id,
+        c.user_id,
+        CAST(DATEDIFF('second', p.ts, c.ts) AS BIGINT) AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts <= c.ts
+     AND p.ts > c.ts - INTERVAL 1 HOUR
+    """,
+    doc="Event-time interval join: every (click, purchase-by-same-user-"
+        "within-preceding-hour) pair. This exact shape runs as a "
+        "Structured Streaming stream-stream join with watermarks "
+        "(streaming.interval_join_stream); the batch oracle checks the "
+        "join semantics.",
+)
+def q38_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") <= F.col("click_ts"))
+            & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts")).alias("gap_seconds"),
+        )
+    )
+
+
+@query(
     "q31_asof_join",
     oracle="""
     SELECT

@@ -166,6 +166,40 @@ def q63_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65_bigram_counts",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    grams AS (
+        SELECT UNNEST(LIST_TRANSFORM(
+            LIST_SORT(RANGE(1, LEN(ws))),
+            i -> ws[i] || ' ' || ws[i + 1]
+        )) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) >= 10
+    """,
+    doc="Corpus bigram frequencies (n-gram extraction -> hash agg), the "
+        "vocabulary-building stage of a text pipeline.",
+)
+def q65_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
     "q64_quality_filter",
     oracle=f"""
     WITH stats AS (

@@ -91,6 +91,40 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the streaming dual of
+    q38_interval_join): clicks x purchases by the same user within the
+    preceding hour. Watermarks bound both sides' state; the range
+    condition lets Spark expire right-side rows past click_ts - 1h."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts")).alias("gap_seconds"),
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120):
     """Drive a streaming frame to completion with availableNow and
     return the materialized rows from the memory sink."""

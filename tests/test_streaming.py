@@ -56,3 +56,18 @@ def test_session_stream_runs(spark, sf_dir):
     for r in got:
         assert r.n_events >= 1
         assert r.session_end > r.session_start
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    """Stream-stream interval join under availableNow must equal the
+    batch interval join (q38)."""
+    from sklearn_raster_spark.operators.asof import q38_interval_join
+    from sklearn_raster_spark.streaming import interval_join_stream, run_append_stream_to_memory
+
+    s = interval_join_stream(spark, sf_dir)
+    assert s.isStreaming
+    q = run_append_stream_to_memory(s, "ivj")
+    got = spark.sql("SELECT click_id, purchase_id, user_id, gap_seconds FROM ivj").collect()
+    q.stop()
+    want = q38_interval_join(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
