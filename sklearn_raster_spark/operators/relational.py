@@ -410,6 +410,34 @@ def q11_distinct_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "q39_stat_aggregates",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+        ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25_price,
+        ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75_price,
+        ROUND(STDDEV_SAMP(o_totalprice), 2) AS std_price,
+        ROUND(CORR(o_totalprice, o_custkey), 6) AS price_cust_corr
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Ordered-set + moment aggregates: exact interpolated median/"
+        "quantiles, sample stddev, correlation. Rounded on both sides "
+        "(moment aggregates accumulate in engine-specific order).",
+)
+def q39_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+    )
+
+
+@query(
     "q36_sort_merge_join",
     oracle="""
     SELECT
