@@ -1,0 +1,80 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join splitting (on by default, session.py) handles most
+skew at runtime. Salting is the manual fallback for the cases AQE
+can't fix — e.g. a single hot key that dominates a partition even
+after splitting, or aggregations (AQE skew handling only covers
+joins). Classic technique: SALT the big side's key with a random
+suffix, REPLICATE the small side once per salt value, join on the
+salted key, then drop the salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join a skewed big side to a small side by salting.
+
+    The big side gets a per-ROW salt in [0, n_salts) from
+    monotonically_increasing_id — NOT a content hash: a hot key whose
+    rows are identical (dedup counts, flag columns) would collide onto
+    one salt under any content-derived scheme and not spread at all.
+    The small side is exploded once per salt. Each hot key's rows
+    spread over n_salts partitions instead of one. The salt value only
+    affects distribution, never results, so id-assignment variance
+    across retries is harmless.
+    """
+    salt = (F.monotonically_increasing_id() % n_salts).cast("int").alias("_salt")
+    big_salted = big.withColumn("_salt", salt)
+    small_rep = small.withColumn(
+        "_salt", F.explode(F.array([F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_salted.join(
+        small_rep,
+        (big_salted[big_key] == small_rep[small_key]) & (big_salted["_salt"] == small_rep["_salt"]),
+        how,
+    )
+    return out.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: aggregate on
+    (key, salt) first — spreading a hot key over n_salts reducers —
+    then re-aggregate on the key. Only algebraic aggregates (sum,
+    count, min, max) compose this way; avg must be derived as
+    sum/count by the caller.
+
+    agg_exprs: {column: fn} with fn in {"sum", "count", "min", "max"}.
+    """
+    _RECOMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for fn in agg_exprs.values():
+        if fn not in _RECOMBINE:
+            raise ValueError(f"{fn!r} is not algebraic; use sum/count/min/max")
+    salt = (F.monotonically_increasing_id() % n_salts).cast("int").alias("_salt")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(*[getattr(F, fn)(c).alias(f"_p_{c}") for c, fn in agg_exprs.items()])
+    )
+    phase2 = phase1.groupBy(*group_cols).agg(
+        *[
+            getattr(F, _RECOMBINE[fn])(f"_p_{c}").alias(f"{fn}_{c}")
+            for c, fn in agg_exprs.items()
+        ]
+    )
+    return phase2
