@@ -91,6 +91,29 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scored_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inference: score each event with a compiled linear
+    model as it arrives. The expression-compiled predict path (q48) is
+    pure Catalyst columns, so the SAME estimator API runs unchanged on
+    an unbounded stream — a capability the (batch-only) reference has
+    no analog for. NoData semantics included: value=NULL rows score as
+    the nodata_output sentinel."""
+    from sklearn_raster_spark.estimator import SparkEstimator
+    from sklearn_raster_spark.estimators import FixedLinearModel
+    from sklearn_raster_spark.features import FeatureFrame
+    import numpy as np
+    import pandas as pd
+
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    ff = FeatureFrame.from_dataframe(ev, features=["value"])
+    model = FixedLinearModel(weights=[2.5], intercept=1.0)
+    est = SparkEstimator(model)
+    est.fit(pd.DataFrame(np.zeros((2, 1)), columns=["value"]))
+    est.target_names_in_ = ("score",)
+    out = est.predict(ff, nodata_output=-1.0)  # compiled -> stream-safe
+    return out.df.select("event_id", "user_id", "score")
+
+
 def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (the streaming dual of
     q38_interval_join): clicks x purchases by the same user within the

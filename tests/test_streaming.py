@@ -71,3 +71,20 @@ def test_interval_join_stream_matches_batch(spark, sf_dir):
     q.stop()
     want = q38_interval_join(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_inference_matches_batch(spark, sf_dir):
+    """Compiled-model scoring over a stream equals batch scoring."""
+    from sklearn_raster_spark.sources import read_table
+    from sklearn_raster_spark.streaming import run_append_stream_to_memory, scored_events_stream
+
+    s = scored_events_stream(spark, sf_dir)
+    assert s.isStreaming
+    q = run_append_stream_to_memory(s, "scored")
+    got = spark.sql("SELECT event_id, score FROM scored").collect()
+    q.stop()
+    ev = read_table(spark, sf_dir, "events")
+    want = {r.event_id: 1.0 + 2.5 * r.value for r in ev.select("event_id", "value").collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert abs(r.score - want[r.event_id]) < 1e-12
