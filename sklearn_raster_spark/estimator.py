@@ -231,11 +231,48 @@ class SparkEstimator:
         out = Output(names, dtype="double", nodata=nodata_output)
         return self._apply(ff, "predict_proba", [out], features=features, **kw)
 
-    def transform(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
+    def transform(self, ff, features=None, nodata_output=None, compile_expressions=True, **kw) -> FeatureFrame:
         _require_method(self.estimator, "get_feature_names_out")
         names = tuple(map(str, self.estimator.get_feature_names_out()))
         out = Output(names, dtype="double", nodata=nodata_output)
+        if compile_expressions and callable(getattr(self.estimator, "transform_to_spark_columns", None)):
+            self._check_feature_names(
+                ff.features if isinstance(ff, FeatureFrame) else (features or self.feature_names_in_)
+            )
+            return self._apply_compiled_with(
+                ff, [out], self.estimator.transform_to_spark_columns, features=features
+            )
         return self._apply(ff, "transform", [out], features=features, **kw)
+
+    def _apply_compiled_with(self, ff, outputs, compile_fn, features=None) -> FeatureFrame:
+        """_apply_compiled with an explicit expression factory (used by
+        transform/inverse_transform, which compile differently from
+        predict)."""
+        import pyspark.sql.functions as F
+
+        _require_fitted(self)
+        if isinstance(ff, DataFrame):
+            ff = FeatureFrame.from_dataframe(ff, list(features or self.feature_names_in_))
+        exprs = compile_fn(list(ff.features))
+        names = [n for o in outputs for n in o.names]
+        if len(exprs) != len(names):
+            raise ValueError(f"compiled {len(exprs)} expressions for {len(names)} outputs")
+        mask = ff.nodata_mask()
+        dtypes = [o.dtype for o in outputs for _ in o.names]
+        nodatas = [o.resolved_nodata() for o in outputs for _ in o.names]
+        passthrough = [c for c in ff.df.columns if c not in ff.features]
+        cols = [
+            F.when(mask, F.lit(nd)).otherwise(e).cast(dt).alias(n)
+            for e, n, dt, nd in zip(exprs, names, dtypes, nodatas)
+        ]
+        result = FeatureFrame(
+            df=ff.df.select(*passthrough, *cols),
+            features=tuple(names),
+            nodata_input={},
+            metadata=dict(ff.metadata),
+        )
+        result._append_history("transform:compiled")
+        return result
 
     def inverse_transform(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
         if self.feature_names_in_ is not None:

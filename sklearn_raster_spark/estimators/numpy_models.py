@@ -34,6 +34,23 @@ class StandardScalerNP:
     def get_feature_names_out(self):
         return [f"scaled_{i}" for i in range(self.n_features_in_)]
 
+    def transform_to_spark_columns(self, feature_cols):
+        """Compile transform to Catalyst expressions (affine per column)."""
+        from pyspark.sql import functions as F
+
+        return [
+            (F.col(c) - F.lit(float(m))) / F.lit(float(s))
+            for c, m, s in zip(feature_cols, self.mean_, self.scale_)
+        ]
+
+    def inverse_transform_to_spark_columns(self, feature_cols):
+        from pyspark.sql import functions as F
+
+        return [
+            F.col(c) * F.lit(float(s)) + F.lit(float(m))
+            for c, m, s in zip(feature_cols, self.mean_, self.scale_)
+        ]
+
 
 class PCANP:
     """Principal components via SVD of the centered data matrix."""
