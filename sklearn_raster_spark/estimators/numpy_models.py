@@ -213,7 +213,13 @@ class KMeansNP:
 
     @staticmethod
     def _assign(X, centers):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # gemm identity (see KNeighborsRegressorNP.kneighbors): O(n*k)
+        # temporary instead of the O(n*k*dim) broadcast difference
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            + (centers * centers).sum(axis=1)[None, :]
+            - 2.0 * (X @ centers.T)
+        )
         return np.argmin(d2, axis=1)
 
     def predict(self, X):
@@ -234,9 +240,18 @@ class KNeighborsRegressorNP:
         return self
 
     def kneighbors(self, X, n_neighbors: int | None = None, return_distance: bool = True):
+        """Exact k-NN with the gemm distance identity
+        ``||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b``: peak temporary is the
+        (batch, fit) distance matrix itself — O(batch*fit) — instead of
+        the (batch, fit, dim) broadcast difference, which at the
+        engine's 65k-row Arrow batches would allocate gigabytes per
+        batch for even a 100-point fit set."""
         k = n_neighbors or self.n_neighbors
         X = np.asarray(X, dtype=np.float64)
-        d2 = ((X[:, None, :] - self._X[None, :, :]) ** 2).sum(axis=2)
+        x_sq = (X * X).sum(axis=1)[:, None]
+        f_sq = (self._X * self._X).sum(axis=1)[None, :]
+        d2 = x_sq + f_sq - 2.0 * (X @ self._X.T)
+        np.maximum(d2, 0.0, out=d2)  # clamp the tiny negatives from fp error
         idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
         if not return_distance:
             return idx

@@ -132,16 +132,24 @@ class FeatureFrame:
         if not isinstance(nodata_output, Mapping):
             nodata_output = {f: nodata_output for f in self.features}
         cols = []
+        encoded: dict[str, Any] = {}
         for name in self.df.columns:
             if name in nodata_output:
                 val = validate_nodata(nodata_output[name], dtypes[name], allow_cast=allow_cast)
+                encoded[name] = val
                 cols.append(F.coalesce(F.col(name), F.lit(val).cast(dtypes[name])).alias(name))
             else:
                 cols.append(F.col(name))
+        # the encoded sentinel IS the new NoData registration: a reader
+        # of the result (e.g. after a write_parquet round-trip) must
+        # recognize those rows as masked, so the registry is updated to
+        # the just-encoded values rather than copied from the input
+        nodata = dict(self.nodata_input)
+        nodata.update(encoded)
         ff = FeatureFrame(
             df=self.df.select(*cols),
             features=self.features,
-            nodata_input=dict(self.nodata_input),
+            nodata_input=nodata,
             metadata=dict(self.metadata),
         )
         ff._append_history("encode_nodata")

@@ -35,20 +35,27 @@ def asof_join(
     exists (left-join semantics)."""
     # Tag and union. At equal timestamps the right row must sort before
     # the left row for inclusive semantics (after it for exclusive).
-    side_order = F.lit(0) if inclusive else F.lit(1)
+    # All right_values travel as ONE struct carried by a single
+    # last(ignorenulls=True): the struct is non-null for every right
+    # row even when individual value columns are NULL, so the attached
+    # values always come from the SAME (latest) right row — per-column
+    # carries would backfill a NULL field from an older row.
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_values])
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in right_values],
+        F.lit(None).cast(
+            right.select(r_struct.alias("_rv")).schema["_rv"].dataType
+        ).alias("_rv"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         (F.lit(0) if inclusive else F.lit(2)).alias("_is_left"),
         F.lit(None).cast(l.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        r_struct.alias("_rv"),
     )
     u = l.unionByName(r)
     w = (
@@ -56,16 +63,12 @@ def asof_join(
         .orderBy("_t", "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-        for c in right_values
-    ]
     out = (
-        u.select("*", *carried)
+        u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_carry"))
         .filter(F.col("_is_left") == 1)
         .select(
             F.col("_lrow.*"),
-            *[F.col(f"_carry_{c}").alias(c) for c in right_values],
+            *[F.col(f"_carry.{c}").alias(c) for c in right_values],
         )
     )
     return out

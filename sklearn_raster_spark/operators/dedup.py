@@ -75,41 +75,78 @@ def _distinct_tokens(col="text"):
     GROUP BY a.doc_id, b.doc_id, a.ntok, b.ntok
     HAVING CAST(COUNT(*) AS DOUBLE) / (a.ntok + b.ntok - COUNT(*)) >= 0.6
     """,
-    doc="Near-dup pairs by exact token-set Jaccard >= 0.6 via an "
-        "inverted-index self-join (PPJoin-lite) blocked by source: "
-        "pairs only form when docs share a token AND a blocking key. "
-        "Blocking is what keeps this sub-quadratic at 100 TB (the "
-        "synthetic corpus's ~50-word vocabulary makes every unblocked "
-        "doc pair a candidate — real pipelines block by shard/domain "
-        "or use the MinHash path q52).",
+    doc="Near-dup pairs by exact token-set Jaccard >= 0.6 via PPJoin "
+        "prefix filtering: tokens are globally ordered by ascending "
+        "document frequency, each doc indexes ONLY its prefix "
+        "(|d| - ceil(t*|d|) + 1 rarest tokens) — any pair with "
+        "J >= t must collide on at least one prefix token, so hot "
+        "high-df tokens never enter the index and the candidate join "
+        "stays sub-quadratic. Candidates are then verified with an "
+        "exact array_intersect Jaccard, so results are IDENTICAL to "
+        "the full inverted-index join (same oracle).",
 )
-def q51_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = docs.select("doc_id", "source", _distinct_tokens().alias("ts"))
+
+    # global token order by ascending document frequency (ties by token):
+    # the df table is |vocab| rows — tiny at any corpus size — and
+    # broadcast into the re-sort join.
+    exploded = toks.select("doc_id", "source", F.explode("ts").alias("tok"))
+    tok_df = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        exploded.join(F.broadcast(tok_df), "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))), lambda s: s["tok"]
+            ).alias("ts_sorted")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "ts_sorted",
+            F.size("ts_sorted").alias("ntok"),
+        )
+    )
+    # PPJoin prefix: a pair with Jaccard >= t shares a token within the
+    # first |d| - ceil(t*|d|) + 1 tokens of the global order.
+    prefix_len = (F.col("ntok") - F.ceil(F.lit(threshold) * F.col("ntok")) + 1).cast("int")
+    prefixed = ranked.select(
         "doc_id",
         "source",
-        _distinct_tokens().alias("ts"),
-    ).select("doc_id", "source", F.size("ts").alias("ntok"), F.explode("ts").alias("tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = F.count(F.lit(1))
-    jac = inter.cast("double") / (F.col("a.ntok") + F.col("b.ntok") - inter)
-    return (
+        "ntok",
+        F.explode(F.slice("ts_sorted", 1, F.greatest(prefix_len, F.lit(1)))).alias("tok"),
+    )
+    a, b = prefixed.alias("a"), prefixed.alias("b")
+    candidates = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces t*|x| <= |y| <= |x|/t
+            & (F.col("b.ntok") * threshold <= F.col("a.ntok"))
+            & (F.col("a.ntok") * threshold <= F.col("b.ntok")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.ntok").alias("ntok_a"),
-            F.col("b.ntok").alias("ntok_b"),
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on the candidate set only
+    ta = ranked.select(F.col("doc_id").alias("doc_a"), F.col("ts_sorted").alias("ts_a"), F.col("ntok").alias("ntok_a"))
+    tb = ranked.select(F.col("doc_id").alias("doc_b"), F.col("ts_sorted").alias("ts_b"), F.col("ntok").alias("ntok_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter.cast("double") / (F.col("ntok_a") + F.col("ntok_b") - inter)
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_common"),
+            jac.alias("jaccard"),
         )
-        .agg(inter.alias("n_common"), jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

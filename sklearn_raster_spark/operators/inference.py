@@ -110,11 +110,21 @@ def _embedding_frame(spark: SparkSession, sf_dir: str) -> FeatureFrame:
     return FeatureFrame.from_dataframe(df, features=[f"e{i}" for i in range(EMB_DIM)])
 
 
-def _collect_embeddings(spark: SparkSession, sf_dir: str):
-    """Deterministic driver-side training set: embeddings sorted by id."""
+FIT_SAMPLE_CAP = 10_000
+
+
+def _collect_embeddings(spark: SparkSession, sf_dir: str, cap: int = FIT_SAMPLE_CAP):
+    """Deterministic driver-side training set: the first ``cap``
+    embeddings by vec_id. The cap bounds driver memory at any scale
+    factor — fit runs on a sample table, matching the reference's
+    fit-on-plot-tables contract (estimator.py:81-115), never on the
+    full distributed table. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-N, then a merge of N-row
+    partials), so no executor or the driver ever holds the full table."""
     rows = (
         read_table(spark, sf_dir, "embeddings")
         .orderBy("vec_id")
+        .limit(cap)
         .collect()
     )
     X = np.array([r.embedding for r in rows], dtype=np.float64)

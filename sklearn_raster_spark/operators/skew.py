@@ -33,7 +33,17 @@ def salted_join(
     spread over n_salts partitions instead of one. The salt value only
     affects distribution, never results, so id-assignment variance
     across retries is harmless.
+
+    Only ``inner`` and ``left`` joins are supported: replicate-and-salt
+    duplicates every unmatched small-side row once per salt under
+    ``right``/``full``, which would emit it n_salts times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "right/full outer would replicate unmatched small-side rows "
+            "once per salt"
+        )
     salt = (F.monotonically_increasing_id() % n_salts).cast("int").alias("_salt")
     big_salted = big.withColumn("_salt", salt)
     small_rep = small.withColumn(

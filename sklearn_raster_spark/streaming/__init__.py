@@ -148,27 +148,33 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120):
+def run_stream_to_memory(
+    df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+):
     """Drive a streaming frame to completion with availableNow and
-    return the materialized rows from the memory sink."""
+    return the query handle (rows are in the ``name`` memory sink).
+
+    ``output_mode`` must match the query shape: "complete" for
+    streaming aggregations, "append" for append-only queries (dedup,
+    stream-stream joins, stateful map). Raises if the run does not
+    finish inside ``timeout_sec`` — a partial memory sink must never
+    masquerade as the full result."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_sec}s; "
+            "memory sink contents would be partial"
+        )
     return q
 
 
 def run_append_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120):
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return q
+    return run_stream_to_memory(df, name, timeout_sec, output_mode="append")
