@@ -36,6 +36,31 @@ class NotFittedError(RuntimeError):
     pass
 
 
+def out_nd_collidable(out: Output) -> bool:
+    """True when the output's NoData encoding could collide with a valid
+    value (i.e. it is not NaN — NaN never equals a valid float)."""
+    nd = out.resolved_nodata()
+    return not (isinstance(nd, float) and np.isnan(nd))
+
+
+def warn_if_output_collisions(result: FeatureFrame) -> int:
+    """Emit the reference's nodata-collision warning
+    (ufunc/_base.py:453-466) if the predict kernel counted any valid
+    outputs equal to the NoData encoding. Call after an action has run
+    on the result (accumulators populate with job execution). Returns
+    the collision count."""
+    acc = getattr(result, "_collision_acc", None)
+    n = acc.value if acc is not None else 0
+    if n:
+        warnings.warn(
+            f"{n} valid output value(s) equal the nodata_output encoding and "
+            "will be indistinguishable from masked NoData downstream. Choose "
+            "a nodata_output outside the estimator's output range.",
+            stacklevel=2,
+        )
+    return n
+
+
 def _require_fitted(est: "SparkEstimator") -> None:
     if not est._fitted:
         raise NotFittedError(
@@ -179,14 +204,38 @@ class SparkEstimator:
 
     # -- public surface (reference E3-E7) -------------------------------
 
-    def predict(self, ff, features=None, nodata_output=None, compile_expressions=True, **kw) -> FeatureFrame:
+    def predict(
+        self,
+        ff,
+        features=None,
+        nodata_output=None,
+        compile_expressions=True,
+        check_output_for_nodata=True,
+        **kw,
+    ) -> FeatureFrame:
+        """``check_output_for_nodata`` (reference estimator.py predict
+        kwarg; warning logic ufunc/_base.py:453-466): when True and the
+        NoData encoding is not NaN, the Arrow kernel counts valid
+        predictions that equal the encoding into a Spark accumulator;
+        after any action on the result, ``warn_if_output_collisions``
+        raises the reference's warning. (Execution is lazy, so the
+        warning cannot fire before a job runs — the accumulator is the
+        Spark dual of the reference's in-kernel warn.)"""
         kind = self._estimator_kind()
         dtype = "int" if kind in ("classifier", "clusterer") else "double"
         names = self.target_names_in_ if kind not in ("clusterer",) else ("cluster",)
         out = Output(tuple(names), dtype=dtype, nodata=nodata_output)
         if compile_expressions and callable(getattr(self.estimator, "to_spark_columns", None)):
             return self._apply_compiled(ff, [out], features=features)
-        return self._apply(ff, "predict", [out], features=features, **kw)
+        acc = None
+        if check_output_for_nodata and out_nd_collidable(out):
+            spark = (ff.df if isinstance(ff, FeatureFrame) else ff).sparkSession
+            acc = spark.sparkContext.accumulator(0)
+            kw["collision_counter"] = acc
+        result = self._apply(ff, "predict", [out], features=features, **kw)
+        if acc is not None:
+            result._collision_acc = acc
+        return result
 
     def _apply_compiled(self, ff, outputs: list[Output], features=None) -> FeatureFrame:
         """Expression-compiled scoring: the model emits Catalyst column
@@ -274,12 +323,18 @@ class SparkEstimator:
         result._append_history("transform:compiled")
         return result
 
-    def inverse_transform(self, ff, features=None, nodata_output=None, **kw) -> FeatureFrame:
+    def inverse_transform(self, ff, features=None, nodata_output=None, compile_expressions=True, **kw) -> FeatureFrame:
         if self.feature_names_in_ is not None:
             names = tuple(self.feature_names_in_)
         else:
             names = tuple(f"feature_{i}" for i in range(self.n_features_in_ or 0))
         out = Output(names, dtype="double", nodata=nodata_output)
+        if compile_expressions and callable(
+            getattr(self.estimator, "inverse_transform_to_spark_columns", None)
+        ):
+            return self._apply_compiled_with(
+                ff, [out], self.estimator.inverse_transform_to_spark_columns, features=features
+            )
         # inverse input features are the TRANSFORMED columns, so skip the
         # fit-name check by clearing expectations for this call
         saved, self.feature_names_in_ = self.feature_names_in_, None
@@ -290,21 +345,47 @@ class SparkEstimator:
         finally:
             self.feature_names_in_ = saved
 
+    # fit sets at or below this row count broadcast comfortably; larger
+    # ones route to the LSH similarity join under method="auto"
+    KNN_BROADCAST_MAX_ROWS = 1_000_000
+
     def kneighbors(
         self,
         ff,
         n_neighbors: int | None = None,
         return_distance: bool = True,
         features=None,
+        method: str = "auto",
         **kw,
     ) -> FeatureFrame:
-        """Exact k-NN against the fit-time samples (reference
-        estimator.py:345-518; the fit set is small and broadcast — the
-        100 TB scale path is the LSH similarity join in
-        operators/similarity.py)."""
+        """k-NN of every row against the fit-time samples (reference
+        estimator.py:345-518: distances + indices into the fit set,
+        per-output nodata nan / int32 min).
+
+        ``method``:
+        - "exact": broadcast the fit set, brute-force per Arrow batch —
+          exact, right whenever the fit set broadcasts (the reference's
+          regime: plot tables).
+        - "lsh": BucketedRandomProjectionLSH similarity join — the fit
+          set becomes a DataFrame, candidates form only on bucket
+          collisions, then per-row top-k. Approximate (rows with no
+          colliding candidate get nodata), sub-linear candidate work:
+          the 100 TB path when the fit set outgrows a broadcast.
+        - "auto": exact while the fit set is broadcastable, else lsh.
+        """
         _require_fitted(self)
         _require_method(self.estimator, "kneighbors")
         k = n_neighbors or getattr(self.estimator, "n_neighbors", 5)
+
+        if method not in ("auto", "exact", "lsh"):
+            raise ValueError(f"method must be auto/exact/lsh, got {method!r}")
+        if method == "auto":
+            n_fit = len(getattr(self.estimator, "_X", ()))
+            method = "exact" if n_fit <= self.KNN_BROADCAST_MAX_ROWS else "lsh"
+        if method == "lsh":
+            return self._kneighbors_lsh(
+                ff, k, return_distance=return_distance, features=features, **kw
+            )
 
         dist_out = Output(tuple(f"dist_{i}" for i in range(1, k + 1)), "double", nodata=float("nan"))
         idx_out = Output(tuple(f"idx_{i}" for i in range(1, k + 1)), "int", nodata=_INT32_MIN)
@@ -322,6 +403,94 @@ class SparkEstimator:
                 return bc.value.kneighbors(X, n_neighbors=k, return_distance=False)
             outputs = [idx_out]
         return self._apply(ff, "kneighbors", outputs, features=features, call=call, **kw)
+
+    def _kneighbors_lsh(
+        self,
+        ff,
+        k: int,
+        return_distance: bool = True,
+        features=None,
+        bucket_length: float = 2.0,
+        num_hash_tables: int = 6,
+        max_distance: float = 1e18,
+    ) -> FeatureFrame:
+        """Approximate kneighbors as an LSH similarity join (euclidean,
+        same metric as the exact path): fit samples -> DataFrame,
+        ``approxSimilarityJoin`` against the feature rows, per-row
+        top-k by (distance, fit_idx). Rows whose buckets caught fewer
+        than k candidates carry the per-output nodata (nan / int32
+        min) in the tail slots — same encoding as the exact path."""
+        import pyspark.sql.functions as F
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        if isinstance(ff, DataFrame):
+            ff = FeatureFrame.from_dataframe(ff, list(features or self.feature_names_in_))
+        self._check_feature_names(ff.features)
+        fit_X = np.asarray(getattr(self.estimator, "_X"), dtype=np.float64)
+        spark = ff.df.sparkSession
+
+        fit_df = spark.createDataFrame(
+            [(int(i), [float(v) for v in row]) for i, row in enumerate(fit_X)],
+            ["fit_idx", "fit_arr"],
+        ).select("fit_idx", array_to_vector("fit_arr").alias("features"))
+
+        data = ff.df.withColumn("_rid", F.monotonically_increasing_id())
+        # NoData rows never enter the join (the skip-compaction filter,
+        # O4); they fall out of the left join below with NULL candidates
+        # and therefore carry the nodata encodings — scatter-back for free
+        vec = data.filter(~ff.nodata_mask()).select(
+            "_rid",
+            array_to_vector(
+                F.array(*[F.col(c).cast("double") for c in ff.features])
+            ).alias("features"),
+        )
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="features",
+            outputCol="hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=42,
+        )
+        model = lsh.fit(fit_df)
+        pairs = model.approxSimilarityJoin(vec, fit_df, max_distance, distCol="dist")
+        # per-row top-k: sort the (dist, fit_idx) candidate list map-side
+        topk = (
+            pairs.select(
+                F.col("datasetA._rid").alias("_rid"),
+                F.struct(
+                    F.col("dist").alias("d"), F.col("datasetB.fit_idx").alias("i")
+                ).alias("cand"),
+            )
+            .groupBy("_rid")
+            .agg(F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("top"))
+        )
+        dist_cols = [
+            F.coalesce(F.col("top")[i - 1]["d"], F.lit(float("nan"))).alias(f"dist_{i}")
+            for i in range(1, k + 1)
+        ]
+        idx_cols = [
+            F.coalesce(F.col("top")[i - 1]["i"].cast("int"), F.lit(_INT32_MIN)).alias(f"idx_{i}")
+            for i in range(1, k + 1)
+        ]
+        out_cols = (dist_cols + idx_cols) if return_distance else idx_cols
+        passthrough = [c for c in data.columns if c not in ff.features and c != "_rid"]
+        out_df = (
+            data.join(topk, "_rid", "left")
+            .select(*passthrough, *out_cols)
+        )
+        names = tuple(
+            ([f"dist_{i}" for i in range(1, k + 1)] if return_distance else [])
+            + [f"idx_{i}" for i in range(1, k + 1)]
+        )
+        result = FeatureFrame(
+            df=out_df,
+            features=names,
+            nodata_input={n: (_INT32_MIN if n.startswith("idx_") else None) for n in names},
+            metadata=dict(ff.metadata),
+        )
+        result._append_history("kneighbors:lsh")
+        return result
 
 
 def wrap(estimator: Any) -> SparkEstimator:

@@ -77,6 +77,33 @@ class PCANP:
     def get_feature_names_out(self):
         return [f"pc{i}" for i in range(self.n_components)]
 
+    def transform_to_spark_columns(self, feature_cols):
+        """Compile transform to Catalyst expressions: PCA projection is
+        affine, ``pc_j = sum_i (x_i - mean_i) * V[j,i]`` — one codegen
+        expression per component, zero Python boundary (same trick as
+        the scaler/linear compiled paths)."""
+        from pyspark.sql import functions as F
+
+        out = []
+        for j in range(self.n_components):
+            expr = F.lit(0.0)
+            for c, m, v in zip(feature_cols, self.mean_, self.components_[j]):
+                expr = expr + (F.col(c) - F.lit(float(m))) * F.lit(float(v))
+            out.append(expr)
+        return out
+
+    def inverse_transform_to_spark_columns(self, feature_cols):
+        """Compiled inverse: ``x_i = sum_j pc_j * V[j,i] + mean_i``."""
+        from pyspark.sql import functions as F
+
+        out = []
+        for i in range(self.n_features_in_):
+            expr = F.lit(float(self.mean_[i]))
+            for c, v in zip(feature_cols, self.components_[:, i]):
+                expr = expr + F.col(c) * F.lit(float(v))
+            out.append(expr)
+        return out
+
 
 class LinearRegressionNP:
     """Ordinary least squares via lstsq; supports multi-target y."""

@@ -186,6 +186,41 @@ def q44_kneighbors_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q67_inverse_transform_roundtrip",
+    oracle="SELECT vec_id, TRUE AS ok FROM embeddings",
+    doc="transform -> inverse_transform round-trip (reference E6/E7, "
+        "estimator.py:520-737), both legs through the COMPILED affine "
+        "path (pure Catalyst expressions, zero Python). The query "
+        "asserts the round-trip property IN the result: ok = max "
+        "reconstruction error < 1e-9 per row, which the oracle pins "
+        "to TRUE for every vec_id — a non-SQL computation reduced to "
+        "an exact SQL-checkable invariant.",
+)
+def q67_inverse_transform_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.estimators import StandardScalerNP
+
+    feats = [f"e{i}" for i in range(EMB_DIM)]
+    X, _ = _collect_embeddings(spark, sf_dir)
+    est = SparkEstimator(StandardScalerNP())
+    est.fit(pd.DataFrame(X, columns=feats))
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id",
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(EMB_DIM)],
+    )
+    # originals ride along as passthrough for the final comparison
+    df = df.select("*", *[F.col(f"e{i}").alias(f"orig_{i}") for i in range(EMB_DIM)])
+    ff = FeatureFrame.from_dataframe(df, features=feats)
+    scaled = est.transform(ff)          # compiled: (x - m) / s
+    restored = est.inverse_transform(scaled)  # compiled: x * s + m
+    err = F.greatest(
+        *[F.abs(F.col(f"e{i}") - F.col(f"orig_{i}")) for i in range(EMB_DIM)]
+    )
+    return restored.df.select("vec_id", (err < F.lit(1e-9)).alias("ok"))
+
+
+@query(
     "q43_pca_transform_embeddings",
     doc="transform surface (reference estimator.py:520-629): PCA fitted "
         "driver-side, applied distributed; output names from "

@@ -137,6 +137,38 @@ def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_kneighbors_lsh",
+    doc="kneighbors through the LSH backend: the SAME estimator "
+        "surface as q44 (SparkEstimator.kneighbors) with method='lsh' "
+        "— fit set joined via BucketedRandomProjectionLSH buckets "
+        "instead of broadcast brute force, the path that survives fit "
+        "sets too big to broadcast. Rows-only (seeded random "
+        "projections; recall >= 0.9 vs the exact path is pytest-"
+        "asserted).",
+)
+def q54_kneighbors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sklearn_raster_spark.estimator import SparkEstimator
+    from sklearn_raster_spark.estimators import KNeighborsRegressorNP
+    from sklearn_raster_spark.operators.inference import (
+        EMB_DIM,
+        _collect_embeddings,
+        _embedding_frame,
+    )
+
+    X, y = _collect_embeddings(spark, sf_dir)
+    est = SparkEstimator(KNeighborsRegressorNP(n_neighbors=3))
+    est.fit(
+        pd.DataFrame(X[:100], columns=[f"e{i}" for i in range(EMB_DIM)]),
+        pd.Series(y[:100].astype(float), name="label"),
+    )
+    ff = _embedding_frame(spark, sf_dir)
+    out = est.kneighbors(ff, n_neighbors=3, method="lsh")
+    return out.df.select("vec_id", "dist_1", "dist_2", "dist_3", "idx_1", "idx_2", "idx_3")
+
+
+@query(
     "q57_embedding_neardup",
     oracle="""
     WITH sims AS (

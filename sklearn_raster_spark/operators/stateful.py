@@ -1,0 +1,132 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The standard Structured Streaming surface (windowed aggs, session
+windows, watermark dedup, stream-stream joins — streaming/__init__.py)
+covers built-in stateful ops; this module is the engine's EXTENSION
+POINT for arbitrary per-key state machines, the streaming dual of the
+reference's arbitrary-batch-callable ufunc harness (SURVEY.md §2.4
+"UDF surface"; reference ufunc/_base.py:120-139).
+
+Operator: per-user RUNNING statistics over the event stream — for
+every event, the count of events seen so far for that user and the
+running max of ``value`` — with the (count, max) tuple carried in
+GroupState BETWEEN micro-batches. Within a batch events are processed
+in (ts, event_id) order; across batches state continues, so a
+time-split stream produces byte-identical output to one big batch
+(asserted in tests, and q59's DuckDB window oracle checks the batch
+semantics end-to-end).
+
+Scale: state is two scalars per user — O(distinct keys) store, the
+shape GroupState is built for; the watermark-less NoTimeout config
+matches a finite backfill run (production would set a timeout).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from sklearn_raster_spark.plans.registry import query
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("running_n", LongType()),
+        StructField("running_max", DoubleType()),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("vmax", DoubleType())]
+)
+
+
+def _running_stats(
+    key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, vmax = state.get
+    else:
+        n, vmax = 0, None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ids, ns, maxes = [], [], []
+        for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+            n += 1
+            if pd.notna(v) and (vmax is None or float(v) > vmax):
+                vmax = float(v)
+            ids.append(int(ev_id))
+            ns.append(n)
+            maxes.append(vmax)
+        yield pd.DataFrame(
+            {
+                "event_id": pd.array(ids, dtype="Int64"),
+                "user_id": pd.array([int(user_id)] * len(ids), dtype="Int64"),
+                "running_n": pd.array(ns, dtype="Int64"),
+                "running_max": pd.array(maxes, dtype="Float64"),
+            }
+        )
+    state.update((n, vmax))
+
+
+def running_user_stats_stream(events: DataFrame) -> DataFrame:
+    """Attach the stateful kernel to a (streaming or batch-test)
+    events frame: groupBy(user_id) -> applyInPandasWithState."""
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(events.sparkSession)
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_stats,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "q59_stateful_running_agg",
+    oracle="""
+    SELECT
+        event_id,
+        user_id,
+        ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+        ) AS running_n,
+        MAX(value) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running_max
+    FROM events
+    """,
+    doc="Custom stateful streaming op, driven END-TO-END as a real "
+        "availableNow streaming query into a memory sink: per-user "
+        "running count and running max with GroupState carried across "
+        "micro-batches. The DuckDB window oracle hash-checks every "
+        "per-event running value.",
+)
+def q59_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.streaming import (
+        read_events_stream,
+        run_append_stream_to_memory,
+    )
+
+    stream = running_user_stats_stream(read_events_stream(spark, sf_dir))
+    sink = "q59_running_stats"
+    run_append_stream_to_memory(stream, sink)
+    return spark.table(sink)

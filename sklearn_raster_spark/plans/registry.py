@@ -47,6 +47,9 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.inference",
     "sklearn_raster_spark.operators.mllib_inference",
     "sklearn_raster_spark.operators.multimodal",
+    "sklearn_raster_spark.operators.io_formats",
+    "sklearn_raster_spark.operators.reshape",
+    "sklearn_raster_spark.operators.stateful",
 )
 
 

@@ -37,11 +37,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+FORMATS = ("parquet", "csv", "json")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
     """Scan one table. Keep this the ONLY entry point for reads so that
-    format/bucketing/source swaps are one-line changes."""
+    format/bucketing/source swaps are one-line changes.
+
+    ``fmt``: "parquet" (native testdata), or "csv"/"json" to read a
+    materialized copy (see ``materialize_table_as``) — reference S1/S2
+    ingest multiple container formats (datasets/_base.py:71-104); here
+    every format funnels through one choke point with an EXPLICIT
+    schema (taken from the parquet original), so downstream plans are
+    format-independent and never depend on schema inference."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if fmt not in FORMATS:
+        raise KeyError(f"unknown format {fmt!r}; expected one of {FORMATS}")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects; read nanos as long and truncate to microsecond
@@ -50,8 +62,37 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if fmt != "parquet":
+            raise ValueError("events is parquet-only (nanos timestamps)")
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    if fmt == "parquet":
+        return spark.read.parquet(table_path(sf_dir, name))
+    schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    path = materialize_table_as(spark, sf_dir, name, fmt)
+    if fmt == "csv":
+        return spark.read.schema(schema).option("header", "true").csv(path)
+    return spark.read.schema(schema).json(path)
+
+
+def materialize_table_as(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> str:
+    """Write a one-time CSV/JSON copy of a parquet table under /tmp and
+    return its path (idempotent via the _SUCCESS marker). Only used to
+    exercise the non-parquet read paths against driver testdata, which
+    ships as parquet."""
+    import tempfile
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, f"{name}.{fmt}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = spark.read.parquet(table_path(sf_dir, name))
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            raise KeyError(f"materialize supports csv/json, not {fmt!r}")
+    return path
 
 
 def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

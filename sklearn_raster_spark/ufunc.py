@@ -121,11 +121,23 @@ class FeaturewiseUfunc:
         nan_fill: float | None = 0.0,
         inner_thread_limit: int | None = 1,
         keep_features: bool = False,
+        collision_counter=None,
     ) -> FeatureFrame:
         from sklearn_raster_spark.session import ensure_workers_can_import
 
         ensure_workers_can_import(ff.df.sparkSession)
         df = ff.df
+        if ensure_min_samples > 1:
+            # reference O6 validation (ufunc/_base.py:367-371): a minimum
+            # that exceeds the TOTAL sample count can never be satisfied
+            # by unmasking — padding would silently fabricate data. Costs
+            # one count job, only on the non-default path.
+            total = df.count()
+            if ensure_min_samples > total:
+                raise ValueError(
+                    f"Cannot ensure {ensure_min_samples} samples: the input "
+                    f"has only {total} rows in total."
+                )
         features = list(ff.features)
         passthrough = [c for c in df.columns if c not in ff.features]
         keep_cols = df.columns if keep_features else passthrough
@@ -140,6 +152,16 @@ class FeaturewiseUfunc:
         outputs = self.outputs
         out_names = [list(o.names) for o in outputs]
         out_np = [_NP_DTYPE[o.dtype] for o in outputs]
+        # reference O8 (ufunc/_base.py:453-466): detect VALID outputs that
+        # legitimately equal the NoData encoding (indistinguishable from
+        # masked rows downstream). NaN encodings can't collide with valid
+        # values by definition and are skipped.
+        out_collision_vals = [
+            None
+            if (isinstance(nd := o.resolved_nodata(), float) and np.isnan(nd))
+            else nd
+            for o in outputs
+        ]
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             with limit_inner_threads(inner_thread_limit):
@@ -175,6 +197,13 @@ class FeaturewiseUfunc:
                             )
                         for j, name in enumerate(names):
                             out[name] = arr[:, j].astype(npdt, copy=False)
+                    if collision_counter is not None:
+                        hits = 0
+                        for arr, cval in zip(res, out_collision_vals):
+                            if cval is not None:
+                                hits += int((np.asarray(arr)[:n] == cval).sum())
+                        if hits:
+                            collision_counter.add(hits)
                     yield out
 
         if skip_nodata:

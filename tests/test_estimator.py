@@ -170,12 +170,15 @@ def test_ensure_min_samples_pads_small_batches(spark):
         assert X.shape[0] >= 5, f"batch of {X.shape[0]} reached the func"
         return X.sum(axis=1)
 
-    pdf = pd.DataFrame({"id": range(3), "a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]})
-    sdf = spark.createDataFrame(pdf).repartition(2)  # batches smaller than 5
+    vals = [float(i) for i in range(1, 7)]
+    pdf = pd.DataFrame({"id": range(6), "a": vals, "b": [v + 3 for v in vals]})
+    # total rows (6) satisfy the global check; per-partition batches (3)
+    # are still smaller than the requested minimum, so padding kicks in
+    sdf = spark.createDataFrame(pdf).repartition(2)
     ff = FeatureFrame.from_dataframe(sdf, ["a", "b"])
     uf = FeaturewiseUfunc(needs_five, [Output(("total",), "double")])
     out = uf(ff, ensure_min_samples=5).df.orderBy("id").toPandas()
-    np.testing.assert_allclose(out["total"].to_numpy(), [5.0, 7.0, 9.0])
+    np.testing.assert_allclose(out["total"].to_numpy(), [v * 2 + 3 for v in vals])
 
 
 def test_multi_output_ufunc(spark):
