@@ -28,11 +28,24 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     inclusive: bool = True,
+    time_bucket: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_time`` <= ``left_time`` (strict < when inclusive=False),
     matching on ``on``. Right columns come back NULL when no prior row
-    exists (left-join semantics)."""
+    exists (left-join semantics).
+
+    ``time_bucket`` (e.g. ``"1 hour"``): opt-in skew mitigation. The
+    plain path windows on the raw key, so ONE hot key serializes its
+    entire sort into one task (AQE splits skewed joins, not window
+    sorts). With a bucket, the carry becomes a two-phase parallel
+    prefix scan: phase 1 computes the running carry WITHIN each
+    (key, time-bucket) partition — a hot key now spreads across as
+    many tasks as it has buckets — and phase 2 computes each bucket's
+    carry-in over the per-(key, bucket) summary table, which has one
+    row per bucket regardless of how many events the bucket holds.
+    Results are identical to the plain path (asserted in
+    tests/test_round2.py on a 95%-one-key fixture)."""
     # Tag and union. At equal timestamps the right row must sort before
     # the left row for inclusive semantics (after it for exclusive).
     # All right_values travel as ONE struct carried by a single
@@ -58,14 +71,44 @@ def asof_join(
         r_struct.alias("_rv"),
     )
     u = l.unionByName(r)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if time_bucket is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_t", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_carry"))
+    else:
+        # Phase 1: running carry within (key, bucket) — window sorts are
+        # bounded by the bucket's row count, not the key's.
+        u = u.withColumn("_b", F.window("_t", time_bucket)["start"])
+        wb = (
+            Window.partitionBy("_k", "_b")
+            .orderBy("_t", "_is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        phase1 = u.select(
+            "*", F.last("_rv", ignorenulls=True).over(wb).alias("_bcarry")
+        )
+        # Phase 2: per-(key, bucket) summary — ONE row per bucket — so
+        # the strictly-prior-buckets carry-in window is tiny even for a
+        # key with millions of events per bucket.
+        summary = phase1.groupBy("_k", "_b").agg(
+            F.max_by("_bcarry", F.struct("_t", "_is_left")).alias("_bfinal")
+        )
+        w_in = (
+            Window.partitionBy("_k")
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = summary.select(
+            "_k", "_b", F.last("_bfinal", ignorenulls=True).over(w_in).alias("_cin")
+        )
+        carried = phase1.join(carry_in, ["_k", "_b"], "left").select(
+            phase1["*"], F.coalesce("_bcarry", "_cin").alias("_carry")
+        )
     out = (
-        u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_carry"))
-        .filter(F.col("_is_left") == 1)
+        carried.filter(F.col("_is_left") == 1)
         .select(
             F.col("_lrow.*"),
             *[F.col(f"_carry.{c}").alias(c) for c in right_values],
