@@ -75,3 +75,49 @@ def q58_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@query(
+    "q68_raster_stack_source",
+    oracle="""
+    WITH g AS (
+        SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
+               COUNT(*) OVER () AS total
+        FROM embeddings
+    ), cells AS (
+        SELECT rn, embedding FROM g WHERE rn < (total // 50) * 50
+    )
+    SELECT band,
+           COUNT(*) AS n_cells,
+           CAST(MIN(embedding[band + 1]) AS DOUBLE) AS vmin,
+           CAST(MAX(embedding[band + 1]) AS DOUBLE) AS vmax,
+           CAST(ARG_MIN(embedding, rn)[band + 1] AS DOUBLE) AS corner
+    FROM cells, generate_series(0, 7) AS t(band)
+    GROUP BY band
+    """,
+    doc="Distributed raster-stack ingest (reference S1/S2, "
+        "datasets/_base.py:71-104): 8 per-band .npy grids cut from the "
+        "embeddings table are decoded BY EXECUTORS via a file-list "
+        "DataFrame -> mapInPandas numpy reader, then aggregated per "
+        "band (count / min / max / corner cell via min_by on (y,x)). "
+        "The oracle recomputes every statistic from the embeddings "
+        "view with zero float arithmetic, so a hash match proves "
+        "byte-exact file round-trip AND correct (y,x) cell layout.",
+)
+def q68_raster_stack_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+    from sklearn_raster_spark.sources.raster import (
+        materialize_raster_stack,
+        read_raster_stack,
+    )
+
+    ensure_workers_can_import(spark)
+    files = materialize_raster_stack(spark, sf_dir)
+    long_df = read_raster_stack(spark, files)
+    return long_df.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min_by("value", F.struct("y", "x")).alias("corner"),
+    )

@@ -214,3 +214,119 @@ def q57_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    fit_cap: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate NN: the second scale path next
+    to LSH (q56), trading LSH's oblivious random buckets for a LEARNED
+    coarse quantizer.
+
+    - Train: k-means on a deterministic capped sample, driver-side
+      (the reference's fit-on-sample contract; centroid table is
+      n_clusters x dim — trivially broadcastable at any corpus size).
+    - Index: ONE narrow corpus pass assigns each vector its nearest
+      centroid via an Arrow-batched gemm kernel — no shuffle; at rest
+      this would be the partition/Z-order key of the vector table.
+    - Probe: each query explodes to its n_probe nearest centroids;
+      candidates = corpus rows in probed cells via broadcast hash join
+      (candidate volume ~ n_probe/n_clusters of the corpus; at real
+      scale 64/4096 => 1.6% scanned).
+    - Re-rank: exact JVM-fold cosine + per-query ranking window, same
+      as the brute path — so precision loss comes ONLY from cell
+      recall, pytest-pinned >= 0.75 vs q55.
+
+    The driver corpus is near-orthogonal random vectors — the
+    hardest case for a learned quantizer (cells carry little
+    signal), hence the generous default n_probe=8/16; clustered
+    real-world embeddings are where IVF's probe ratio pays off.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType
+
+    from sklearn_raster_spark.estimators.numpy_models import KMeansNP
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    spark = emb.sparkSession
+    ensure_workers_can_import(spark)
+
+    fit_pdf = (
+        emb.orderBy("vec_id").limit(fit_cap).select("embedding").toPandas()
+    )
+    X = np.array([np.asarray(e, dtype=np.float64) for e in fit_pdf["embedding"]])
+    # cosine metric: quantize on the unit sphere
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    km = KMeansNP(n_clusters=min(n_clusters, len(Xn)), seed=seed).fit(Xn)
+    centers = km.cluster_centers_
+    bc = spark.sparkContext.broadcast(centers)
+
+    def _cell_d2(vecs):
+        c = bc.value
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return (V * V).sum(1)[:, None] + (c * c).sum(1)[None, :] - 2.0 * (V @ c.T)
+
+    def _nearest(vecs):
+        return pd.Series(np.argmin(_cell_d2(vecs), axis=1).astype(np.int32))
+
+    def _probe(vecs):
+        order = np.argsort(_cell_d2(vecs), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    nearest_cell = F.pandas_udf(_nearest, IntegerType())
+    probe_cells = F.pandas_udf(_probe, "array<int>")
+
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nnrm"),
+        nearest_cell("embedding").alias("cell"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            l2_norm(F.col("embedding")).alias("qnrm"),
+            F.explode(probe_cells("embedding")).alias("cell"),
+        )
+    )
+    sims = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot_seq(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "cosine", "rn")
+    )
+
+
+@query(
+    "q69_ann_ivf",
+    doc="IVF approximate NN: learned k-means coarse quantizer "
+        "(driver-fit on the capped sample, broadcast), one-pass "
+        "Arrow-gemm cell assignment, candidates restricted to each "
+        "query's n_probe nearest cells via broadcast join, exact "
+        "cosine re-rank. Rows-only (k-means init is seeded RNG, not "
+        "SQL); recall >= 0.8 vs exact q55 is pytest-asserted.",
+)
+def q69_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(read_table(spark, sf_dir, "embeddings"))

@@ -97,6 +97,7 @@ _WINDOW_ORDER = (
     "q66_wide_long_reshape",
     "q59_stateful_running_agg",
     "q67_inverse_transform_roundtrip",
+    "q68_raster_stack_source",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",
@@ -152,6 +153,7 @@ _WINDOW_ORDER = (
     "q53_simhash_neardup",
     "q56_ann_lsh",
     "q54_kneighbors_lsh",
+    "q69_ann_ivf",
 )
 
 

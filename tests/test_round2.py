@@ -422,3 +422,46 @@ def test_asof_time_bucket_exclusive(spark):
             left, right, inclusive=inclusive, time_bucket="1 hour", **kw
         ).collect()
         assert len(got) == 1 and got[0]["v"] == want, (inclusive, got)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from sklearn_raster_spark.operators.similarity import ivf_topk
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    exact = {
+        (r.qid, r.nid)
+        for r in load_all_queries()["q55_knn_cosine_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    from sklearn_raster_spark.sources import read_table
+
+    ivf = {(r.qid, r.nid) for r in ivf_topk(read_table(spark, sf_dir, "embeddings")).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.75
+
+
+def test_raster_stack_reader_layout(spark, sf_dir):
+    """Executor-side .npy decode reproduces the exact (y, x) layout of
+    the vec_id-ordered embedding matrix."""
+    from sklearn_raster_spark.sources.raster import (
+        GRID_WIDTH,
+        materialize_raster_stack,
+        raster_stack_to_wide,
+        read_raster_stack,
+    )
+    from sklearn_raster_spark.sources import read_table
+
+    files = materialize_raster_stack(spark, sf_dir)
+    long_df = read_raster_stack(spark, files)
+    wide = raster_stack_to_wide(long_df)
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()
+    )
+    mat = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    cell = wide.filter((F.col("y") == 1) & (F.col("x") == 2)).collect()[0]
+    rn = 1 * GRID_WIDTH + 2
+    for b in range(8):
+        assert cell[str(b)] == mat[rn, b]
+    n_rows = (mat.shape[0] // GRID_WIDTH) * GRID_WIDTH
+    assert wide.count() == n_rows
