@@ -263,6 +263,9 @@ def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("words", lambda w: F.xxhash64(w)).alias("tok_hashes"),
         )
         .select("doc_id", simhash_col("tok_hashes").alias("fp"))
+        # both sides of the banded self-join read this lineage; without
+        # a persist the 64-term fingerprint fold runs TWICE per doc
+        .persist()
     )
     # band keys: 4 x 16-bit slices; near-dups (hamming<=6) must agree on
     # at least one band by pigeonhole when hamming <= 3 per 4 bands...
@@ -295,7 +298,9 @@ def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
-        .distinct()
+        # hamming filter BEFORE the dedup shuffle: far-apart pairs that
+        # happen to collide on one band never enter the distinct
         .filter(F.col("hamming") <= 6)
+        .distinct()
     )
     return pairs
