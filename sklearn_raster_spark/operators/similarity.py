@@ -112,13 +112,21 @@ def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     emb = read_table(spark, sf_dir, "embeddings")
-    norm = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double") / l2_norm(F.col("embedding")),
-        ).alias("unit"),
-    ).select("vec_id", array_to_vector("unit").alias("features"))
+    # norm projected FIRST: referencing l2_norm(embedding) inside the
+    # transform lambda re-evaluates the whole norm fold per element
+    # (O(d^2) per row)
+    norm = (
+        emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
+        )
+        .select("vec_id", array_to_vector("unit").alias("features"))
+        .persist()
+    )
+    # eager: the approxSimilarityJoin scans this lineage for both the
+    # query side and the corpus side inside one job — materialize once
+    norm.count()
 
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
