@@ -121,3 +121,86 @@ def q68_raster_stack_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("vmax"),
         F.min_by("value", F.struct("y", "x")).alias("corner"),
     )
+
+
+@query(
+    "q74_orc_source",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(28, 10))) AS DOUBLE) AS sum_acctbal,
+        MIN(c_custkey) AS min_key,
+        MAX(c_custkey) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="ORC source path: customer round-tripped through ORC (Spark's "
+        "second native columnar container — its own schema, column "
+        "stats, predicate pushdown) then hash-aggregated per segment; "
+        "the oracle runs on the parquet original, so a hash match "
+        "proves full-fidelity ORC round-trip including doubles.",
+)
+def q74_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer", fmt="orc")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double").alias("sum_acctbal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+def materialize_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """One-time write of orders partitioned by order month under /tmp
+    (idempotent): the partitioned-sink layout a 100 TB fact table
+    actually uses — each month is a directory, so time-windowed scans
+    touch only matching directories (partition pruning), not the whole
+    table."""
+    import os
+    import tempfile
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, "orders_by_month")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders = read_table(spark, sf_dir, "orders")
+        (
+            orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .repartition("o_month")  # one shuffle -> one file per partition dir
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "q75_partitioned_sink_prune",
+    oracle="""
+    SELECT
+        STRFTIME(o_orderdate, '%Y-%m') AS o_month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE STRFTIME(o_orderdate, '%Y-%m') BETWEEN '1997-03' AND '1997-05'
+    GROUP BY 1
+    """,
+    doc="Partitioned sink + pruned scan: orders written partitionBy("
+        "month), read back with a month-range predicate that resolves "
+        "at PLANNING time against directory names (PartitionFilters in "
+        "the scan node — pytest-asserted), so only 3 of the months are "
+        "ever read. The oracle recomputes from the unpartitioned "
+        "original: a hash match proves the sink wrote every row into "
+        "the right partition.",
+)
+def q75_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = materialize_partitioned_orders(spark, sf_dir)
+    by_month = spark.read.parquet(path)
+    return (
+        by_month.filter(F.col("o_month").between("1997-03", "1997-05"))
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double").alias("total_price"),
+        )
+    )

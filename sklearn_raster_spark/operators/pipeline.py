@@ -1,0 +1,196 @@
+"""Training-data-pipeline operators: MERGE upsert, deterministic
+train/val/test splits, stratified sampling.
+
+These are the bookkeeping stages around the dedup/similarity/text
+surface (operators/dedup.py, text.py): land a refreshed batch into the
+corpus (upsert), carve reproducible splits, and downsample strata to a
+target mix. No reference analog (the reference is single-snapshot,
+datasets/_base.py); the design constraints are Spark's:
+
+- upsert = anti-join + union, with the delta side broadcast when small
+  (the common case: a day's refresh against a years-deep corpus). No
+  full-table rewrite semantics — at rest this is the same plan a
+  MERGE INTO executes on a transactional table format.
+- splits/samples use a cross-engine content hash (md5 prefix -> int),
+  NOT Spark's seeded RNG: assignment is a pure function of the row
+  key, so it is stable across engines, partitionings, retries and
+  re-runs — the property a training pipeline actually needs from a
+  split. RNG sampling (df.sample/sampleBy) exists in Spark but is
+  plan-dependent; hash-gating is the deterministic dual and is what
+  the oracle replicates bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+
+def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from a column's md5. The
+    6-hex-digit prefix (24 bits) fits exactly in both engines' BIGINT
+    parsing, so Spark ``conv`` and DuckDB ``CAST('0x…')`` agree."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def _oracle_bucket(expr: str, n_buckets: int = 100) -> str:
+    return f"CAST(('0x' || SUBSTR(MD5(CAST({expr} AS VARCHAR)), 1, 6)) AS BIGINT) % {n_buckets}"
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE INTO semantics as a composition: matched target rows are
+    replaced by their source version, unmatched source rows are
+    inserted, untouched target rows pass through.
+
+    Plan shape: ONE anti-join (target minus matched) + union. The
+    source is broadcast when under the auto-broadcast threshold, so a
+    small delta never shuffles the big corpus; a big delta falls back
+    to a shuffled anti-join on the key — both correct, Catalyst picks.
+    """
+    return target.join(source.select(*keys), keys, "left_anti").unionByName(source)
+
+
+@query(
+    "q71_merge_upsert",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey, o_custkey,
+               'R' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N',
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0
+    ), merged AS (
+        SELECT o.* FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) AS DOUBLE) AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    doc="MERGE INTO (upsert) as anti-join + union: a synthetic refresh "
+        "batch (10% updated rows, 1% inserts with shifted keys) lands "
+        "into orders; per-status aggregate proves matched rows were "
+        "replaced (not duplicated) and inserts arrived exactly once. "
+        "Delta side broadcasts; the corpus is never shuffled.",
+)
+def q71_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("R"),
+            "o_totalprice": F.col("o_totalprice") * 1.1,
+        }
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 100 == 0).withColumns(
+        {
+            "o_orderkey": F.col("o_orderkey") + 10_000_000,
+            "o_orderstatus": F.lit("N"),
+        }
+    )
+    merged = merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+SPLIT_BOUNDS = (80, 90)  # train < 80 <= val < 90 <= test
+
+
+def train_val_test(df: DataFrame, key: Column) -> Column:
+    b = hash_bucket(key)
+    return (
+        F.when(b < SPLIT_BOUNDS[0], "train")
+        .when(b < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "q72_hash_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN {_oracle_bucket('doc_id')} < {SPLIT_BOUNDS[0]} THEN 'train'
+                    WHEN {_oracle_bucket('doc_id')} < {SPLIT_BOUNDS[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split: assignment is "
+        "md5(doc_id) bucketed, a pure row-key function — stable under "
+        "repartitioning, retries and engine swaps (the oracle computes "
+        "the identical assignment). The per-split aggregate pins every "
+        "row's membership via count + content sums.",
+)
+def q72_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", train_val_test(docs, F.col("doc_id")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+STRATA_PCT = {"en": 10, "fr": 50, "es": 50, "de": 100}
+DEFAULT_PCT = 25
+
+
+def stratified_sample(df: DataFrame, stratum: Column, key: Column, pct_map: dict, default_pct: int) -> DataFrame:
+    """Keep a per-stratum deterministic fraction: row survives iff its
+    md5 bucket falls under the stratum's percentage. One narrow scan,
+    no shuffle, no RNG — the downsample-to-target-mix stage of a
+    training pipeline (e.g. rebalancing languages), reproducible by
+    construction."""
+    pct = F.lit(default_pct)
+    for k, v in sorted(pct_map.items()):
+        pct = F.when(stratum == k, v).otherwise(pct)
+    return df.filter(hash_bucket(key) < pct)
+
+
+@query(
+    "q73_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_oracle_bucket('doc_id')} <
+          CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_PCT.items()))}
+               ELSE {DEFAULT_PCT} END
+    """,
+    doc="Stratified downsample to a target language mix (10% en, 50% "
+        "fr/es, 100% de): hash-gated per-stratum fractions, zero "
+        "shuffle, fully reproducible. Row-level output (doc_id, lang) "
+        "so the oracle pins every kept row, not just counts.",
+)
+def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, F.col("lang"), F.col("doc_id"), STRATA_PCT, DEFAULT_PCT
+    ).select("doc_id", "lang")

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.io_formats",
     "sklearn_raster_spark.operators.reshape",
     "sklearn_raster_spark.operators.stateful",
+    "sklearn_raster_spark.operators.pipeline",
 )
 
 
@@ -98,6 +99,11 @@ _WINDOW_ORDER = (
     "q59_stateful_running_agg",
     "q67_inverse_transform_roundtrip",
     "q68_raster_stack_source",
+    "q71_merge_upsert",
+    "q72_hash_split",
+    "q73_stratified_sample",
+    "q74_orc_source",
+    "q75_partitioned_sink_prune",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",
@@ -127,6 +133,8 @@ _WINDOW_ORDER = (
     "q12_rollup_order_status",
     "q13_cube_returnflag_status",
     "q14_grouping_sets",
+    # ---- 50-query window boundary (everything below was green in
+    #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
     "q15_top3_orders_per_customer",
     "q16_running_totals",
     "q17_topk_orders",
@@ -134,8 +142,6 @@ _WINDOW_ORDER = (
     "q19_orders_above_customer_avg",
     "q20_price_band_join",
     "q36_sort_merge_join",
-    # ---- 50-query window boundary (everything below was green in
-    #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
     "q39_stat_aggregates",
     "q37_ranking_functions",
     "q03_top_revenue_orders",

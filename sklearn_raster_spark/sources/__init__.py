@@ -37,7 +37,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
@@ -71,6 +71,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
     path = materialize_table_as(spark, sf_dir, name, fmt)
     if fmt == "csv":
         return spark.read.schema(schema).option("header", "true").csv(path)
+    if fmt == "orc":
+        # ORC keeps its own schema + column statistics; pushdown and
+        # pruning work as with parquet, so no explicit schema needed
+        return spark.read.orc(path)
     return spark.read.schema(schema).json(path)
 
 
@@ -90,8 +94,10 @@ def materialize_table_as(spark: SparkSession, sf_dir: str, name: str, fmt: str) 
             writer.option("header", "true").csv(path)
         elif fmt == "json":
             writer.json(path)
+        elif fmt == "orc":
+            writer.orc(path)
         else:
-            raise KeyError(f"materialize supports csv/json, not {fmt!r}")
+            raise KeyError(f"materialize supports csv/json/orc, not {fmt!r}")
     return path
 
 

@@ -1,0 +1,107 @@
+"""Pipeline operators: MERGE upsert, hash splits, stratified sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from sklearn_raster_spark.operators.pipeline import (
+    hash_bucket,
+    merge_upsert,
+    stratified_sample,
+    train_val_test,
+)
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v="old1"), Row(k=2, v="old2"), Row(k=3, v="old3")]
+    )
+    source = spark.createDataFrame([Row(k=2, v="new2"), Row(k=9, v="new9")])
+    got = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    # matched replaced, unmatched inserted, untouched passed through
+    assert got == {1: "old1", 2: "new2", 3: "old3", 9: "new9"}
+
+
+def test_merge_upsert_no_duplicate_keys(spark, sf_dir):
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    out = load_all_queries()["q71_merge_upsert"].fn(spark, sf_dir)
+    # per-status counts must sum to |orders| + |inserts| exactly
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = orders.count()
+    n_inserts = orders.filter(F.col("o_orderkey") % 100 == 0).count()
+    assert sum(r.n_orders for r in out.collect()) == n_orders + n_inserts
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = docs.select(
+        "doc_id", train_val_test(docs, F.col("doc_id")).alias("split")
+    )
+    a = dict(assigned.collect())
+    b = dict(
+        docs.repartition(17)
+        .select("doc_id", train_val_test(docs, F.col("doc_id")).alias("split"))
+        .collect()
+    )
+    assert a == b  # pure function of the key, not of partitioning
+    fracs = {
+        r["split"]: r["n"]
+        for r in assigned.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(fracs.values())
+    assert fracs["train"] / n == pytest.approx(0.8, abs=0.1)
+    assert fracs.get("val", 0) / n == pytest.approx(0.1, abs=0.08)
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(
+        docs, F.col("lang"), F.col("doc_id"), {"en": 10, "de": 100}, 50
+    )
+    by_lang = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    tot = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["de"] == tot["de"]  # 100% stratum keeps everything
+    assert by_lang["en"] / tot["en"] == pytest.approx(0.10, abs=0.08)
+    # every kept row exists in the source (it's a filter, never a rewrite)
+    assert kept.count() == kept.join(docs, ["doc_id"], "left_semi").count()
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(1000).select(hash_bucket(F.col("id")).alias("b"))
+    mn, mx = df.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx <= 99
+
+
+def test_orc_roundtrip_fidelity(spark, sf_dir):
+    from sklearn_raster_spark.sources import read_table
+
+    pq = read_table(spark, sf_dir, "customer")
+    orc = read_table(spark, sf_dir, "customer", fmt="orc")
+    assert orc.schema == pq.schema
+    assert orc.exceptAll(pq).count() == 0 and pq.exceptAll(orc).count() == 0
+
+
+def test_partitioned_sink_prunes(spark, sf_dir):
+    from sklearn_raster_spark.operators.io_formats import (
+        materialize_partitioned_orders,
+    )
+
+    path = materialize_partitioned_orders(spark, sf_dir)
+    scan = spark.read.parquet(path).filter(
+        F.col("o_month").between("1997-03", "1997-05")
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the month predicate must resolve against directory names at
+    # planning time, not as a data filter after a full scan
+    assert "PartitionFilters" in plan and "o_month" in plan.split("PartitionFilters")[1][:200]
+    n_parts = scan.select("o_month").distinct().count()
+    assert n_parts == 3
