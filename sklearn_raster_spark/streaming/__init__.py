@@ -178,3 +178,33 @@ def run_stream_to_memory(
 
 def run_append_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120):
     return run_stream_to_memory(df, name, timeout_sec, output_mode="append")
+
+
+def file_stream_windowed_counts(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling windowed counts over a JSON-lines file stream, one file
+    per micro-batch (``maxFilesPerTrigger=1``) so arrival order is the
+    file order — the harness for watermark/late-data semantics.
+
+    In append mode a window is emitted exactly once, when the watermark
+    passes its end; rows arriving after their window was finalized are
+    DROPPED (bounded state — the property that keeps a 100 TB stream's
+    state store from growing without limit). Late-vs-dropped behavior
+    is pinned by tests/test_streaming.py::test_watermark_drops_late_rows.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )

@@ -88,3 +88,52 @@ def test_streaming_inference_matches_batch(spark, sf_dir):
     assert len(got) == len(want)
     for r in got:
         assert abs(r.score - want[r.event_id]) < 1e-12
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Stragglers older than the finalized horizon are dropped and
+    every window emits exactly once (bounded state + no duplicate
+    appends). File order = micro-batch order via maxFilesPerTrigger."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    from sklearn_raster_spark.streaming import (
+        file_stream_windowed_counts,
+        run_append_stream_to_memory,
+    )
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_file(name, stamps, age):
+        p = src / name
+        p.write_text("\n".join(json.dumps({"ts": s}) for s in stamps) + "\n")
+        os.utime(p, (time.time() - age,) * 2)
+
+    write_file("a.json", ["2024-01-01 09:30:00", "2024-01-01 10:05:00"], 90)
+    write_file("b.json", ["2024-01-01 11:05:00"], 60)
+    # two stragglers for the long-finalized [08:00, 09:00) window,
+    # arriving when the watermark is already hours past it
+    write_file("c.json", ["2024-01-01 08:40:00", "2024-01-01 12:05:00"], 30)
+    write_file("d.json", ["2024-01-01 08:45:00", "2024-01-01 13:05:00"], 0)
+
+    schema = StructType([StructField("ts", TimestampType())])
+    counts = file_stream_windowed_counts(spark, str(src), schema)
+    q = run_append_stream_to_memory(counts, "late_demo")
+    got = {
+        r.window_start.strftime("%H:%M"): r.n_events
+        for r in spark.sql("SELECT * FROM late_demo").collect()
+    }
+    # the stragglers' window NEVER appears (they were dropped, not
+    # re-aggregated into a duplicate append of a finalized window) and
+    # each emitted window appears exactly once
+    assert got == {"09:00": 1, "10:00": 1, "11:00": 1}
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 2
