@@ -1,0 +1,134 @@
+"""Execution-surface extensions: vectorized grouped-agg UDAF,
+value-range window frames, Python UDTF driven through SQL LATERAL.
+
+Each exercises a DISTINCT executor path the rest of the registry does
+not: Arrow-batched grouped aggregation (SQL_GROUPED_AGG_PANDAS_UDF),
+RangeFrame (value-based window bounds, deterministic under duplicate
+order keys where row frames are not), and the Python user-defined
+table function channel (one input row -> N output rows, evaluated in
+a lateral join position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table, register_temp_views
+
+
+@query(
+    "q76_grouped_agg_pandas_udaf",
+    oracle="""
+    SELECT lang,
+           CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Vectorized grouped-agg UDAF (SQL_GROUPED_AGG_PANDAS_UDF): "
+        "per-language median document length via Arrow-batched pandas "
+        "aggregations (Spark disallows mixing pandas and JVM "
+        "aggregates in one agg, so the count is a pandas UDAF too). "
+        "Median of integers is exact in both engines (.5 "
+        "interpolation is representable), so the oracle hash-matches "
+        "— UDAF results are not approximations.",
+)
+def q76_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies the hints, which breaks pandas_udf signature inference
+    def _median(v):
+        return float(np.median(v.to_numpy(dtype=np.int64)))
+
+    median_udaf = F.pandas_udf(_median, "double", F.PandasUDFType.GROUPED_AGG)
+    count_udaf = F.pandas_udf(lambda v: len(v), "long", F.PandasUDFType.GROUPED_AGG)
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        median_udaf("n_chars").alias("median_chars"),
+        count_udaf("n_chars").alias("n_docs"),
+    )
+
+
+TRAILING_DAYS = 90
+
+
+@query(
+    "q77_range_interval_window",
+    oracle=f"""
+    SELECT o_orderkey,
+           o_custkey,
+           COUNT(*) OVER w AS trailing_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) OVER w AS DOUBLE)
+               AS trailing_spend
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL {TRAILING_DAYS} DAYS PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Value-range window frame: per-customer trailing-90-day order "
+        "count and spend. RANGE frames bound by VALUE distance (epoch "
+        "seconds in Spark, INTERVAL in DuckDB — same peer sets), so "
+        "results are deterministic even when order dates tie — the "
+        "property ROWS frames lack. Decimal sum keeps the float "
+        "addition order-independent across engines.",
+)
+def q77_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-TRAILING_DAYS * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_spend"),
+    )
+
+
+@query(
+    "q78_udtf_lateral_trigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS pos,
+           ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS trigram
+    FROM toks, UNNEST(RANGE(1, LEN(ws) - 1)) AS t(i)
+    """,
+    doc="Python UDTF in a SQL LATERAL position: one document row fans "
+        "out to one row per word trigram (pos, trigram). Exercises the "
+        "user-defined TABLE function channel — N output rows per input "
+        "row from Python, joined laterally — distinct from scalar "
+        "UDFs (q40) and grouped-map kernels (q59). The oracle "
+        "replicates the fan-out with UNNEST(RANGE(...)).",
+)
+def q78_udtf_lateral_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, trigram: string", useArrow=True)
+    class Trigrams:
+        def eval(self, doc_id: int, text: str):
+            ws = text.split(" ")
+            for i in range(len(ws) - 2):
+                yield i + 1, " ".join(ws[i : i + 3])
+
+    spark.udtf.register("trigrams_udtf", Trigrams)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.trigram
+        FROM documents d, LATERAL trigrams_udtf(d.doc_id, d.text) t
+        """
+    )

@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.reshape",
     "sklearn_raster_spark.operators.stateful",
     "sklearn_raster_spark.operators.pipeline",
+    "sklearn_raster_spark.operators.extras",
 )
 
 
@@ -104,6 +105,9 @@ _WINDOW_ORDER = (
     "q73_stratified_sample",
     "q74_orc_source",
     "q75_partitioned_sink_prune",
+    "q76_grouped_agg_pandas_udaf",
+    "q77_range_interval_window",
+    "q78_udtf_lateral_trigrams",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",
@@ -130,11 +134,11 @@ _WINDOW_ORDER = (
     "q04_order_priority",
     "q05_local_supplier_volume",
     "q09_customers_without_orders",
+    # ---- 50-query window boundary (everything below was green in
+    #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
     "q12_rollup_order_status",
     "q13_cube_returnflag_status",
     "q14_grouping_sets",
-    # ---- 50-query window boundary (everything below was green in
-    #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
     "q15_top3_orders_per_customer",
     "q16_running_totals",
     "q17_topk_orders",
