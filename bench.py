@@ -30,6 +30,11 @@ def main() -> None:
     # Warm the JVM, Python-worker pool, and parquet footers once so
     # per-query times measure the plan, not process startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    # fork the Python UDF workers + Arrow serialization path once
+    warm_udf = F.pandas_udf(lambda s: s, "long")
+    spark.range(32 * 1000).repartition(32).select(warm_udf("id")).collect()
     from sklearn_raster_spark.sources import TABLES, read_table
 
     for t in TABLES:

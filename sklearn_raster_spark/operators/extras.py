@@ -132,3 +132,54 @@ def q78_udtf_lateral_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL trigrams_udtf(d.doc_id, d.text) t
         """
     )
+
+
+@query(
+    "q79_zorder_layout",
+    oracle=None,  # set below: the oracle is generated from the same formula
+    doc="Z-order (Morton) clustering key over the engine's (y, x) "
+        "coordinate grid (plans/zorder.py): bit-interleaved JVM "
+        "arithmetic, no UDF. The oracle evaluates the IDENTICAL "
+        "generated formula in DuckDB, so a hash match proves the "
+        "interleave bit-for-bit. At rest, repartitionByRange on this "
+        "key + a sorted write is what makes 2-D window predicates "
+        "prune files at scan time (pytest asserts the locality).",
+)
+def q79_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.plans.zorder import zvalue
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    grid = emb.select(
+        "vec_id",
+        (F.col("vec_id") / 50).cast("long").alias("y"),
+        F.pmod(F.col("vec_id"), F.lit(50)).cast("long").alias("x"),
+    )
+    return (
+        grid.select("vec_id", "y", "x", zvalue(F.col("y"), F.col("x")).alias("z"))
+        .filter(F.col("z") < 4096)  # the first 64x64 Z-block
+    )
+
+
+def _q79_oracle() -> str:
+    from sklearn_raster_spark.plans.zorder import zvalue_sql
+
+    formula = zvalue_sql("y", "x")
+    return f"""
+    WITH grid AS (
+        SELECT vec_id,
+               CAST(vec_id // 50 AS BIGINT) AS y,
+               CAST(vec_id % 50 AS BIGINT) AS x
+        FROM embeddings
+    )
+    SELECT vec_id, y, x, ({formula}) AS z
+    FROM grid
+    WHERE ({formula}) < 4096
+    """
+
+
+# patch the registered oracle with the generated SQL (kept out of the
+# decorator so the Spark and DuckDB sides share one formula builder)
+from sklearn_raster_spark.plans.registry import REGISTRY as _REG
+from dataclasses import replace as _replace
+
+_REG["q79_zorder_layout"] = _replace(_REG["q79_zorder_layout"], oracle=_q79_oracle())

@@ -108,6 +108,7 @@ _WINDOW_ORDER = (
     "q76_grouped_agg_pandas_udaf",
     "q77_range_interval_window",
     "q78_udtf_lateral_trigrams",
+    "q79_zorder_layout",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",

@@ -105,3 +105,56 @@ def test_partitioned_sink_prunes(spark, sf_dir):
     assert "PartitionFilters" in plan and "o_month" in plan.split("PartitionFilters")[1][:200]
     n_parts = scan.select("o_month").distinct().count()
     assert n_parts == 3
+
+
+def test_zorder_locality(spark):
+    """Each Z-ordered partition covers a compact (y, x) box, so a
+    small window's predicate overlaps few partition bounding boxes —
+    the file-statistics pruning a sorted write would give. (Filtering
+    the DataFrame directly would be pushed BELOW the repartition by
+    Catalyst, so the assertion works on per-partition min/max stats,
+    exactly like parquet footer pruning does.)"""
+    from sklearn_raster_spark.plans.zorder import zorder_by
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("long").alias("y"),
+        F.pmod(F.col("id"), F.lit(256)).cast("long").alias("x"),
+    )
+
+    def overlapping_boxes(df):
+        stats = (
+            df.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+            )
+            .collect()
+        )
+        # window y in [64, 79], x in [128, 143]
+        return sum(
+            1 for r in stats if r.y0 <= 79 and r.y1 >= 64 and r.x0 <= 143 and r.x1 >= 128
+        ), len(stats)
+
+    z_hit, z_total = overlapping_boxes(zorder_by(grid, "y", "x", num_partitions=64))
+    r_hit, r_total = overlapping_boxes(grid.repartitionByRange(64, "x"))
+    assert z_total == 64 and r_total == 64
+    # 16x16 window = 1/256 of the grid: Z-layout confines it to a few
+    # compact curve segments; the 1-D x-layout crosses every y stripe,
+    # so ~4 x-ranges overlap but each spans ALL y (no y pruning at all)
+    assert z_hit <= 4, z_hit
+    # the 1-D layout's overlapping boxes are full-height x-stripes —
+    # they match the window's x-range but can never prune on y
+    assert r_hit >= 3, r_hit
+
+
+def test_zvalue_matches_sql_formula(spark):
+    from sklearn_raster_spark.plans.zorder import zvalue, zvalue_sql
+
+    df = spark.range(1000).select(
+        (F.col("id") / 31).cast("long").alias("y"),
+        F.pmod(F.col("id"), F.lit(31)).cast("long").alias("x"),
+    )
+    via_col = df.select(zvalue(F.col("y"), F.col("x")).alias("z"))
+    via_sql = df.selectExpr(f"({zvalue_sql('y', 'x')}) AS z")
+    assert via_col.exceptAll(via_sql).count() == 0
