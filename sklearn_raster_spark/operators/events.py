@@ -184,3 +184,59 @@ def q30_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, types)
     )
+
+
+@query(
+    "q80_dynamic_session_window",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, EPOCH_US(ts) AS ts_us,
+               CASE WHEN event_type = 'purchase' THEN 3600000000
+                    ELSE 1800000000 END AS gap_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, ts_us, gap_us,
+               CASE WHEN MAX(ts_us + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                 OR ts_us >= MAX(ts_us + gap_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS new_session
+        FROM ev
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING
+        ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAKE_TIMESTAMP(MAX(ts_us + gap_us)) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="DYNAMIC-gap session windows: each event extends its session "
+        "by an event-type-dependent gap (purchases keep sessions alive "
+        "60 min, everything else 30) — F.session_window with a Column "
+        "gap. Merge rule: windows [ts, ts+gap) union while they "
+        "overlap, so session end = running max of per-event ends; the "
+        "oracle reconstructs exactly that with a cumulative-max window "
+        "in microseconds (no float time arithmetic).",
+)
+def q80_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "1 hour").otherwise("30 minutes")
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

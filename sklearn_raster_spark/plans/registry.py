@@ -109,6 +109,7 @@ _WINDOW_ORDER = (
     "q77_range_interval_window",
     "q78_udtf_lateral_trigrams",
     "q79_zorder_layout",
+    "q80_dynamic_session_window",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",
@@ -133,10 +134,10 @@ _WINDOW_ORDER = (
     "q01_pricing_summary",
     "q02_filter_project",
     "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q09_customers_without_orders",
     # ---- 50-query window boundary (everything below was green in
     #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
+    "q05_local_supplier_volume",
+    "q09_customers_without_orders",
     "q12_rollup_order_status",
     "q13_cube_returnflag_status",
     "q14_grouping_sets",
