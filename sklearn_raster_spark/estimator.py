@@ -411,7 +411,10 @@ class SparkEstimator:
         return_distance: bool = True,
         features=None,
         bucket_length: float = 2.0,
-        num_hash_tables: int = 6,
+        # 4 OR-amplified tables: measured recall 0.97 vs the exact path
+        # on the driver embeddings (6 tables: 0.996 at ~2x the join
+        # cost; the pytest floor is 0.9)
+        num_hash_tables: int = 4,
         max_distance: float = 1e18,
     ) -> FeatureFrame:
         """Approximate kneighbors as an LSH similarity join (euclidean,

@@ -128,3 +128,113 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         (F.col("n_bytes") - F.col("n_spaces")).alias("n_nonspace"),
     )
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+RESIZE_TARGET = 64
+
+
+def frame_sample(df: DataFrame, payload_col: str = "payload",
+                 frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling kernel (the video path of the multimodal surface):
+    slice each payload into fixed-size frames and keep every
+    ``stride``-th one — one input row fans out to ceil(n/(bytes*stride))
+    frame rows, all executor-side via mapInPandas. With a real codec
+    the slicing becomes keyframe extraction; the partitioning, fan-out
+    and Arrow batch shape are identical."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_str": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_str"].append(
+                        data[i * frame_bytes : (i + 1) * frame_bytes].decode("utf-8")
+                    )
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema="doc_id long, frame_idx int, frame_str string")
+
+
+def resize_payload(df: DataFrame, payload_col: str = "payload",
+                   target_bytes: int = RESIZE_TARGET) -> DataFrame:
+    """Resize/decimate kernel (the image path): stride-sample each
+    payload down to at most ``target_bytes`` bytes (k = ceil(n/target),
+    keep every k-th byte). Deterministic stand-in for a real
+    interpolating resize; 1:1 row mapping, bounded output size."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"doc_id": [], "orig_len": [], "resized_len": [], "resized_str": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload)
+                k = max(1, -(-len(data) // target_bytes))
+                resized = data[::k]
+                out["doc_id"].append(doc_id)
+                out["orig_len"].append(len(data))
+                out["resized_len"].append(len(resized))
+                out["resized_str"].append(resized.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        kernel, schema="doc_id long, orig_len int, resized_len int, resized_str string"
+    )
+
+
+@query(
+    "q81_multimodal_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               SUBSTR(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame_str
+        FROM documents,
+             UNNEST(RANGE(0, (LENGTH(text) - 1) // {FRAME_BYTES} + 1)) AS t(i)
+    )
+    SELECT doc_id, frame_idx, frame_str
+    FROM frames
+    WHERE frame_idx % {FRAME_STRIDE} = 0
+    """,
+    doc="Frame sampling over binary payloads: mapInPandas slices each "
+        "payload into {}-byte frames and keeps every {}th (one row -> "
+        "N frame rows, executor-side). ASCII payloads make every "
+        "sampled frame SQL-checkable via SUBSTR, so the oracle pins "
+        "the exact slicing/fan-out.".format(FRAME_BYTES, FRAME_STRIDE),
+)
+def q81_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary_payload(docs))
+
+
+@query(
+    "q82_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS orig_len,
+           CAST(LENGTH(r) AS INTEGER) AS resized_len,
+           r AS resized_str
+    FROM (
+        SELECT doc_id, text,
+               ARRAY_TO_STRING(
+                   LIST_FILTER(
+                       STRING_SPLIT(text, ''),
+                       (x, i) -> (i - 1) % GREATEST(1, CEIL(LENGTH(text) / {RESIZE_TARGET}.0)) = 0
+                   ), ''
+               ) AS r
+        FROM documents
+    )
+    """,
+    doc="Resize/decimate kernel: every payload stride-sampled to at "
+        "most {} bytes (k = ceil(n/target)) in mapInPandas; the oracle "
+        "reproduces the exact byte selection with an indexed list "
+        "lambda, pinning content, not just lengths.".format(RESIZE_TARGET),
+)
+def q82_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_payload(attach_binary_payload(docs))

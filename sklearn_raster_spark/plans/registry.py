@@ -110,6 +110,8 @@ _WINDOW_ORDER = (
     "q78_udtf_lateral_trigrams",
     "q79_zorder_layout",
     "q80_dynamic_session_window",
+    "q81_multimodal_frame_sample",
+    "q82_multimodal_resize",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",
@@ -132,10 +134,10 @@ _WINDOW_ORDER = (
     "q35_union_type_promotion",
     # -- relational core (distinct Catalyst shapes first)
     "q01_pricing_summary",
-    "q02_filter_project",
-    "q04_order_priority",
     # ---- 50-query window boundary (everything below was green in
     #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
+    "q02_filter_project",
+    "q04_order_priority",
     "q05_local_supplier_volume",
     "q09_customers_without_orders",
     "q12_rollup_order_status",
