@@ -769,3 +769,43 @@ def q20_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("p_retailprice"), "total_price"),
         )
     )
+
+
+@query(
+    "q83_full_outer_join",
+    oracle="""
+    WITH big AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 6000
+    ), recent AS (
+        SELECT o_custkey, COUNT(*) AS n_recent
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY o_custkey
+    )
+    SELECT
+        COALESCE(b.c_custkey, r.o_custkey) AS custkey,
+        (b.c_custkey IS NOT NULL) AS is_high_balance,
+        COALESCE(r.n_recent, 0) AS n_recent
+    FROM big b
+    FULL OUTER JOIN recent r ON b.c_custkey = r.o_custkey
+    """,
+    doc="FULL OUTER join with both null sides populated (high-balance "
+        "customers without recent orders, recently-active customers "
+        "below the balance cut): the one join shape the rest of the "
+        "registry lacks. Shuffled SMJ (full outer cannot broadcast "
+        "or build single-sided); COALESCE key reconstruction.",
+)
+def q83_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    big = c.filter(F.col("c_acctbal") > 6000).select("c_custkey")
+    recent = (
+        o.filter(F.col("o_orderdate") >= "2000-01-01")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    return big.join(recent, big.c_custkey == recent.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("is_high_balance"),
+        F.coalesce("n_recent", F.lit(0)).alias("n_recent"),
+    )

@@ -112,6 +112,7 @@ _WINDOW_ORDER = (
     "q80_dynamic_session_window",
     "q81_multimodal_frame_sample",
     "q82_multimodal_resize",
+    "q83_full_outer_join",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",
@@ -133,9 +134,9 @@ _WINDOW_ORDER = (
     "q34_map_funcs",
     "q35_union_type_promotion",
     # -- relational core (distinct Catalyst shapes first)
-    "q01_pricing_summary",
     # ---- 50-query window boundary (everything below was green in
     #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
+    "q01_pricing_summary",
     "q02_filter_project",
     "q04_order_priority",
     "q05_local_supplier_volume",
