@@ -529,7 +529,7 @@ def q32_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
-    doc="ROLLUP hierarchy totals.",
+    doc="ROLLUP hierarchy totals: per (priority, status), per priority, grand total — one shuffle, grouping-id expansion.",
 )
 def q12_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
@@ -550,7 +550,7 @@ def q12_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="CUBE over two dims.",
+    doc="CUBE over two dims: all four grouping-set combinations from a single scan via grouping-id expansion.",
 )
 def q13_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
@@ -570,7 +570,7 @@ def q13_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
     """,
-    doc="Explicit GROUPING SETS.",
+    doc="Explicit GROUPING SETS with GROUPING() disambiguation of NULL group keys vs NULL data.",
 )
 def q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
