@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.stateful",
     "sklearn_raster_spark.operators.pipeline",
     "sklearn_raster_spark.operators.extras",
+    "sklearn_raster_spark.operators.graph",
 )
 
 
@@ -113,6 +114,7 @@ _WINDOW_ORDER = (
     "q81_multimodal_frame_sample",
     "q82_multimodal_resize",
     "q83_full_outer_join",
+    "q84_copurchase_components",
     # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
     "q50_exact_dedup",
     "q51_jaccard_pairs",
@@ -132,10 +134,10 @@ _WINDOW_ORDER = (
     "q25_json_funcs",
     "q33_explode_ordinality",
     "q34_map_funcs",
-    "q35_union_type_promotion",
-    # -- relational core (distinct Catalyst shapes first)
     # ---- 50-query window boundary (everything below was green in
     #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
+    "q35_union_type_promotion",
+    # -- relational core (distinct Catalyst shapes first)
     "q01_pricing_summary",
     "q02_filter_project",
     "q04_order_priority",

@@ -158,3 +158,46 @@ def test_zvalue_matches_sql_formula(spark):
     via_col = df.select(zvalue(F.col("y"), F.col("x")).alias("z"))
     via_sql = df.selectExpr(f"({zvalue_sql('y', 'x')}) AS z")
     assert via_col.exceptAll(via_sql).count() == 0
+
+
+def test_connected_components_model(spark):
+    """Random-ish small graph vs a pure-Python union-find model."""
+    from sklearn_raster_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 1)]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), []).append(n)
+    model = {min(v): sorted(v) for v in want.values()}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got_rows = connected_components(df).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.component, []).append(r.node)
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == model
+
+
+def test_connected_components_chain_diameter(spark):
+    """A 64-node path graph (worst-case diameter) still converges —
+    pointer jumping keeps rounds logarithmic."""
+    from sklearn_raster_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(63)], ["src", "dst"])
+    rows = connected_components(df, max_iter=12).collect()
+    assert {r.component for r in rows} == {0} and len(rows) == 64
