@@ -1,0 +1,137 @@
+"""Analytic aggregate surface: argmax/argmin aggregates, exact
+interpolated percentiles, and fixed-width histogram binning.
+
+These cover three aggregate families the rest of the registry does not
+exercise: value-at-extremum (``max_by``/``min_by``), exact ordered-set
+percentiles with linear interpolation (``percentile`` — the exact dual
+of q32's approximate HLL counting), and scalar binning as a group key
+(the OLAP histogram pattern).
+
+Determinism notes (the reason each oracle hash-matches):
+- ``max_by``/``min_by`` are keyed on the UNIQUE ``o_orderkey``, so no
+  extremum ties exist and the picked row is well-defined in any engine;
+- ``percentile`` fractions are limited to {0.25, 0.5, 0.75} over
+  integral-valued doubles, where both engines' interpolation formulas
+  (``lo + (hi-lo)*f`` vs ``(1-f)*lo + f*hi``) are exact in binary
+  floating point — no last-ULP divergence;
+- the histogram bucket is ``floor(x / 50000.0)`` in pure double
+  arithmetic, which is IEEE-identical across engines (scalar double
+  ops are bit-reproducible; only aggregation ORDER is not, and the
+  per-bucket sums go through DECIMAL as everywhere else).
+
+Scale notes (100 TB design point): all three are single hash
+aggregates with map-side partial aggregation over a handful of groups;
+``percentile`` is the one exception — exact percentiles buffer each
+group's values, so at extreme cardinality per group the right tool is
+``percentile_approx`` (t-digest-like sketch, mergeable, bounded
+memory); the exact form here is the correctness anchor for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+
+@query(
+    "q85_argmax_aggregates",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        ARG_MAX(o_totalprice, o_orderkey) AS latest_order_price,
+        ARG_MIN(o_totalprice, o_orderkey) AS earliest_order_price,
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Value-at-extremum aggregates: per priority class, the price "
+        "of the highest- and lowest-numbered order (max_by/min_by "
+        "keyed on the unique o_orderkey, so the extremum is tie-free "
+        "and deterministic), alongside a plain max. One hash "
+        "aggregate, map-side combinable: max_by's partial state is "
+        "just (key, value) pairs merged by key comparison.",
+)
+def q85_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_totalprice", "o_orderkey").alias("latest_order_price"),
+            F.min_by("o_totalprice", "o_orderkey").alias("earliest_order_price"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("max_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q86_exact_percentiles",
+    oracle="""
+    SELECT
+        l_returnflag,
+        QUANTILE_CONT(l_quantity, 0.25) AS qty_p25,
+        QUANTILE_CONT(l_quantity, 0.50) AS qty_p50,
+        QUANTILE_CONT(l_quantity, 0.75) AS qty_p75,
+        COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact ordered-set percentiles (quartiles of quantity per "
+        "return flag) with linear interpolation — the exact "
+        "correctness anchor for percentile_approx at scale. Fractions "
+        "{.25,.5,.75} over integral doubles interpolate exactly in "
+        "binary FP, so Spark and DuckDB agree bitwise despite "
+        "different interpolation formulas.",
+)
+def q86_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("qty_p25"),
+            F.percentile("l_quantity", F.lit(0.50)).alias("qty_p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("qty_p75"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q87_price_histogram",
+    oracle="""
+    SELECT
+        CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS price_bucket,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_revenue,
+        MIN(o_totalprice) AS bucket_min,
+        MAX(o_totalprice) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram: bucket key is floor(price/50000.0) in "
+        "pure double arithmetic (bit-identical across engines — "
+        "scalar IEEE ops are reproducible; only aggregation order is "
+        "not, and the revenue sum goes through DECIMAL). The "
+        "standard OLAP binning pattern: one narrow scan, one hash "
+        "aggregate over ~tens of buckets, fully map-side combinable.",
+)
+def q87_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bucket_revenue"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )

@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.pipeline",
     "sklearn_raster_spark.operators.extras",
     "sklearn_raster_spark.operators.graph",
+    "sklearn_raster_spark.operators.analytics",
 )
 
 
@@ -171,6 +172,9 @@ _WINDOW_ORDER = (
     "q56_ann_lsh",
     "q54_kneighbors_lsh",
     "q69_ann_ivf",
+    "q85_argmax_aggregates",
+    "q86_exact_percentiles",
+    "q87_price_histogram",
 )
 
 

@@ -1,0 +1,57 @@
+"""Analytic aggregate operators (operators/analytics.py): oracle
+parity plus the determinism properties each query's hash-match relies
+on (tie-free argmax keys, exactly-representable interpolation, scalar
+double binning).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import compare_query
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q85_argmax_aggregates", "q86_exact_percentiles", "q87_price_histogram"],
+)
+def test_analytics_oracle_parity(spark, sf_dir, name):
+    assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_argmax_key_is_unique(spark, sf_dir):
+    # q85's determinism rests on o_orderkey being tie-free.
+    from sklearn_raster_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    total, distinct = orders.agg(
+        F.count(F.lit(1)), F.countDistinct("o_orderkey")
+    ).first()
+    assert total == distinct
+
+
+def test_percentile_results_on_quarter_grid(spark, sf_dir):
+    # The hash-match claim rests on quartiles of integral values lying
+    # on the .25 grid, where linear interpolation is exact in binary FP
+    # regardless of which of the two textbook formulas an engine uses.
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    rows = load_all_queries()["q86_exact_percentiles"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.qty_p25 <= r.qty_p50 <= r.qty_p75
+        for v in (r.qty_p25, r.qty_p50, r.qty_p75):
+            assert (v * 4) == int(v * 4)
+
+
+def test_histogram_buckets_partition_rows(spark, sf_dir):
+    # Bucket counts must sum to the table row count (every row binned
+    # exactly once) and bucket bounds must respect the bin width.
+    from sklearn_raster_spark.plans.registry import load_all_queries
+    from sklearn_raster_spark.sources import read_table
+
+    rows = load_all_queries()["q87_price_histogram"].fn(spark, sf_dir).collect()
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert r.bucket_min >= r.price_bucket * 50000.0
+        assert r.bucket_max < (r.price_bucket + 1) * 50000.0
