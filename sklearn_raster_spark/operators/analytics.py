@@ -103,6 +103,94 @@ def q86_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q88_order_gaps_islands",
+    oracle="""
+    WITH om AS (
+        SELECT DISTINCT
+            o_custkey,
+            EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS m
+        FROM orders
+    ),
+    g AS (
+        SELECT o_custkey, m,
+               m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+        FROM om
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(MIN(m) AS BIGINT) AS start_month,
+           CAST(MAX(m) AS BIGINT) AS end_month,
+           COUNT(*) AS n_months
+    FROM g
+    GROUP BY o_custkey, grp
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive active months "
+        "per customer, via the classic month_index - row_number "
+        "grouping trick (all-integer arithmetic, so no FP hazards). "
+        "The retention/streak primitive for activity analysis. One "
+        "shuffle on o_custkey serves both the window sort and the "
+        "island aggregate (same partitioning reused across stages).",
+)
+def q88_order_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    month_idx = (F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")).cast("bigint")
+    om = orders.select("o_custkey", month_idx.alias("m")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    islands = om.withColumn("grp", F.col("m") - F.row_number().over(w))
+    return (
+        islands.groupBy("o_custkey", "grp")
+        .agg(
+            F.min("m").alias("start_month"),
+            F.max("m").alias("end_month"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .drop("grp")
+    )
+
+
+@query(
+    "q89_conditional_aggregates",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (WHERE o_totalprice > 200000), 0) AS DOUBLE) AS high_value_revenue,
+        COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregation (SQL FILTER clause): several "
+        "differently-predicated aggregates from ONE scan — the "
+        "segmented-metrics pattern that otherwise costs one scan per "
+        "segment. Spark expresses FILTER as count_if / sum(CASE "
+        "WHEN); both engines fold it into a single hash aggregate "
+        "with map-side partials. Revenue goes through DECIMAL for "
+        "order-independent sums.",
+)
+def q89_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_totalprice") > 200000, price_dec)),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("high_value_revenue"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+@query(
     "q87_price_histogram",
     oracle="""
     SELECT

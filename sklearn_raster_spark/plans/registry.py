@@ -175,6 +175,8 @@ _WINDOW_ORDER = (
     "q85_argmax_aggregates",
     "q86_exact_percentiles",
     "q87_price_histogram",
+    "q88_order_gaps_islands",
+    "q89_conditional_aggregates",
 )
 
 

@@ -12,7 +12,13 @@ from tests.oracle_utils import compare_query
 
 @pytest.mark.parametrize(
     "name",
-    ["q85_argmax_aggregates", "q86_exact_percentiles", "q87_price_histogram"],
+    [
+        "q85_argmax_aggregates",
+        "q86_exact_percentiles",
+        "q87_price_histogram",
+        "q88_order_gaps_islands",
+        "q89_conditional_aggregates",
+    ],
 )
 def test_analytics_oracle_parity(spark, sf_dir, name):
     assert compare_query(spark, sf_dir, name) > 0
@@ -41,6 +47,23 @@ def test_percentile_results_on_quarter_grid(spark, sf_dir):
         assert r.qty_p25 <= r.qty_p50 <= r.qty_p75
         for v in (r.qty_p25, r.qty_p50, r.qty_p75):
             assert (v * 4) == int(v * 4)
+
+
+def test_islands_are_maximal_disjoint_runs(spark, sf_dir):
+    # Each island spans exactly its month count (no holes) and islands
+    # of one customer never touch (else the run was not maximal).
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    rows = load_all_queries()["q88_order_gaps_islands"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cust = {}
+    for r in rows:
+        assert r.n_months == r.end_month - r.start_month + 1
+        by_cust.setdefault(r.o_custkey, []).append((r.start_month, r.end_month))
+    for spans in by_cust.values():
+        spans.sort()
+        for (_, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1
 
 
 def test_histogram_buckets_partition_rows(spark, sf_dir):
