@@ -191,6 +191,98 @@ def q89_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q90_null_safe_join",
+    oracle="""
+    WITH lhs AS (
+        SELECT o_orderpriority,
+               NULLIF(o_orderstatus, 'P') AS status_key,
+               COUNT(*) AS n_all
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    rhs AS (
+        SELECT o_orderpriority,
+               NULLIF(o_orderstatus, 'P') AS status_key,
+               COUNT(*) AS n_high
+        FROM orders
+        WHERE o_totalprice > 150000
+        GROUP BY 1, 2
+    )
+    SELECT lhs.o_orderpriority,
+           lhs.status_key,
+           lhs.n_all,
+           COALESCE(rhs.n_high, 0) AS n_high
+    FROM lhs
+    LEFT JOIN rhs
+      ON lhs.o_orderpriority = rhs.o_orderpriority
+     AND lhs.status_key IS NOT DISTINCT FROM rhs.status_key
+    """,
+    doc="Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the "
+        "NULLIF turns one order status into genuine NULL join keys on "
+        "BOTH sides, which plain equality would silently drop — the "
+        "semantics that distinguish this from q03-style equi-joins. "
+        "Both sides pre-aggregate to a handful of rows before the "
+        "join, so at scale this is two map-side-combined aggregates "
+        "and a broadcast join of tiny summaries.",
+)
+def q90_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    status_key = F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key")
+    lhs = orders.groupBy("o_orderpriority", status_key).agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    rhs = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderpriority", status_key)
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    joined = lhs.alias("l").join(
+        rhs.alias("r"),
+        (F.col("l.o_orderpriority") == F.col("r.o_orderpriority"))
+        & F.col("l.status_key").eqNullSafe(F.col("r.status_key")),
+        "left",
+    )
+    return joined.select(
+        F.col("l.o_orderpriority").alias("o_orderpriority"),
+        F.col("l.status_key").alias("status_key"),
+        F.col("l.n_all").alias("n_all"),
+        F.coalesce(F.col("r.n_high"), F.lit(0)).alias("n_high"),
+    )
+
+
+@query(
+    "q91_ordered_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation (LISTAGG/STRING_AGG dual): "
+        "collect_list -> array_sort -> array_join gives a "
+        "deterministic CSV regardless of row arrival order — the "
+        "explicit sort is what makes a collect-based aggregate "
+        "hash-stable across partitionings (bare collect_list is "
+        "order-nondeterministic and would not oracle-match).",
+)
+def q91_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
     "q87_price_histogram",
     oracle="""
     SELECT

@@ -177,6 +177,8 @@ _WINDOW_ORDER = (
     "q87_price_histogram",
     "q88_order_gaps_islands",
     "q89_conditional_aggregates",
+    "q90_null_safe_join",
+    "q91_ordered_string_agg",
 )
 
 

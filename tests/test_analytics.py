@@ -18,6 +18,8 @@ from tests.oracle_utils import compare_query
         "q87_price_histogram",
         "q88_order_gaps_islands",
         "q89_conditional_aggregates",
+        "q90_null_safe_join",
+        "q91_ordered_string_agg",
     ],
 )
 def test_analytics_oracle_parity(spark, sf_dir, name):
@@ -64,6 +66,20 @@ def test_islands_are_maximal_disjoint_runs(spark, sf_dir):
         spans.sort()
         for (_, e1), (s2, _) in zip(spans, spans[1:]):
             assert s2 > e1 + 1
+
+
+def test_null_safe_join_matches_null_keys(spark, sf_dir):
+    # The point of q90: NULL status keys must MATCH (not drop) across
+    # the join, so NULL-key rows exist and at least one carries a
+    # joined n_high > 0 — a plain equality join would leave them all 0.
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    rows = load_all_queries()["q90_null_safe_join"].fn(spark, sf_dir).collect()
+    null_rows = [r for r in rows if r.status_key is None]
+    assert null_rows
+    assert any(r.n_high > 0 for r in null_rows)
+    for r in rows:
+        assert 0 <= r.n_high <= r.n_all
 
 
 def test_histogram_buckets_partition_rows(spark, sf_dir):
