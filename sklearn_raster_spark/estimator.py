@@ -415,6 +415,10 @@ class SparkEstimator:
         # on the driver embeddings (6 tables: 0.996 at ~2x the join
         # cost; the pytest floor is 0.9)
         num_hash_tables: int = 4,
+        # effectively-unbounded radius keeps every bucket collision (max
+        # recall without data-dependent tuning); the candidate volume is
+        # made safe by the two-stage partial top-k below, which bounds
+        # what shuffles to k rows per (input row, upstream partition)
         max_distance: float = 1e18,
     ) -> FeatureFrame:
         """Approximate kneighbors as an LSH similarity join (euclidean,
@@ -457,14 +461,25 @@ class SparkEstimator:
         )
         model = lsh.fit(fit_df)
         pairs = model.approxSimilarityJoin(vec, fit_df, max_distance, distCol="dist")
-        # per-row top-k: sort the (dist, fit_idx) candidate list map-side
+        # Per-row top-k in TWO stages so the candidate set is bounded
+        # before it shuffles (a single groupBy+collect_list buffers every
+        # bucket collision per row — the scale-killer flagged in round 2):
+        # stage 1 groups on (_rid, partition) — each group lives entirely
+        # inside one input partition, so map-side partial aggregation
+        # completes it locally and only k-sized arrays reach the exchange;
+        # stage 2 merges ≤ k candidates per upstream partition per row.
+        cands = pairs.select(
+            F.col("datasetA._rid").alias("_rid"),
+            F.struct(
+                F.col("dist").alias("d"), F.col("datasetB.fit_idx").alias("i")
+            ).alias("cand"),
+        )
+        partial = (
+            cands.groupBy("_rid", F.spark_partition_id().alias("_pid"))
+            .agg(F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("partial"))
+        )
         topk = (
-            pairs.select(
-                F.col("datasetA._rid").alias("_rid"),
-                F.struct(
-                    F.col("dist").alias("d"), F.col("datasetB.fit_idx").alias("i")
-                ).alias("cand"),
-            )
+            partial.select("_rid", F.explode("partial").alias("cand"))
             .groupBy("_rid")
             .agg(F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("top"))
         )

@@ -134,7 +134,7 @@ def train_val_test(df: DataFrame, key: Column) -> Column:
                     ELSE 'test' END AS split
         FROM documents
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM assigned
     GROUP BY split
@@ -152,7 +152,10 @@ def q72_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
+            # BIGINT on both sides: DuckDB SUM(int) is HUGEINT, which the
+            # driver's pandas hasher reads as float64 and hash-mismatches
+            # Spark's long (the q72 red row in CORRECTNESS_r02)
+            F.sum("n_chars").cast("long").alias("sum_chars"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )

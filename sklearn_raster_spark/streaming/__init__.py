@@ -44,8 +44,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .parquet(_stream_dir(sf_dir))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(NANOS) arrives as TIMESTAMP_NTZ on readers
+        # that truncate nanos natively, but withWatermark requires the
+        # instant-bearing TIMESTAMP type. The session timezone is pinned
+        # to UTC (session.py), so this cast maps wall-clock fields to
+        # the same UTC instants the bigint branch produces.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -62,6 +62,26 @@ def compare_query(spark, sf_dir: str, name: str):
     res = con.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+    # Driver-parity dtype audit: the driver hashes the oracle result
+    # through pandas, where DuckDB HUGEINT (e.g. an uncast SUM(int))
+    # arrives as float64 while Spark's side is integral — values equal,
+    # hashes differ (the q72 red row in CORRECTNESS_r02). fetchall()
+    # alone cannot see this, so check pandas dtypes explicitly. A
+    # float64 column WITH nulls is legitimate (pandas nullable-int
+    # widening), so only null-free columns are flagged.
+    pdf = con.execute(spec.oracle).df()
+    spark_integral = {
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
+    for c in pdf.columns:
+        if c in spark_integral and pdf[c].dtype.kind == "f" and not pdf[c].isna().any():
+            raise AssertionError(
+                f"{name}: oracle column {c!r} reaches the driver's hasher as "
+                f"float64 (likely HUGEINT — add a CAST(... AS BIGINT)) while "
+                "Spark returns an integral type; hashes would mismatch"
+            )
     con.close()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
