@@ -69,6 +69,8 @@ def main() -> None:
             done.set()
             sc.setLocalProperty("spark.jobGroup.id", None)
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):
         try:
@@ -81,6 +83,19 @@ def main() -> None:
         except Exception as exc:  # keep benching; a broken query shows as -1
             timings[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
+        finally:
+            # Session hygiene between queries: round 2 measured a 1.5x
+            # whole-suite slowdown from one JVM accumulating per-query
+            # persists and broadcasts across ~100 queries. Drop cached
+            # plans eagerly and let ContextCleaner reap broadcasts whose
+            # Python references just died (it only acts on GC).
+            df = None
+            spark.catalog.clearCache()
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     result = {

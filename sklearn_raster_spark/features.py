@@ -158,9 +158,15 @@ class FeatureFrame:
     # -- metadata (reference O15: _FillValue/long_name/history) --------
 
     def _append_history(self, op: str) -> None:
-        hist = list(self.metadata.get("history", []))
+        # rebind a fresh dict instead of mutating in place: callers may
+        # have passed a shared metadata mapping to the constructor (the
+        # dataclass does not copy), and history must never leak into a
+        # sibling frame through that alias
+        md = dict(self.metadata)
+        hist = list(md.get("history", []))
         hist.append(f"{datetime.now(timezone.utc).isoformat()} {op}")
-        self.metadata["history"] = hist
+        md["history"] = hist
+        self.metadata = md
 
     def with_metadata(self, **kv: Any) -> "FeatureFrame":
         md = dict(self.metadata)

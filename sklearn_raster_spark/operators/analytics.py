@@ -103,6 +103,123 @@ def q86_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q92_approx_percentiles",
+    doc="Sketch percentiles (approx_percentile, KLL-like mergeable "
+        "summary with bounded memory) over the SAME grouping as the "
+        "exact q86 — the scale path: exact `percentile` buffers every "
+        "group value (unbounded state per group at 100 TB), the sketch "
+        "is map-side mergeable with state O(accuracy). Rows-only "
+        "(sketch internals aren't SQL-reproducible); the accuracy "
+        "contract |rank(approx) - target_rank| <= n/accuracy is pinned "
+        "against the exact anchor in tests/test_analytics.py.",
+)
+def q92_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", F.lit(0.25), F.lit(APPROX_ACCURACY)).alias("qty_p25"),
+            F.percentile_approx("l_quantity", F.lit(0.50), F.lit(APPROX_ACCURACY)).alias("qty_p50"),
+            F.percentile_approx("l_quantity", F.lit(0.75), F.lit(APPROX_ACCURACY)).alias("qty_p75"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# rank-error bound: |rank(returned) - floor(p*n)| <= n / accuracy
+APPROX_ACCURACY = 10_000
+
+
+@query(
+    "q97_regression_aggregates",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+    FROM m
+    """,
+    doc="Regression/correlation aggregates (slope, intercept, Pearson "
+        "r of price on quantity per return flag) computed from EXACT "
+        "DECIMAL moment sums (Sx, Sy, Sxy, Sxx, Syy) — NOT the "
+        "engines' corr/regr_slope built-ins, whose double summation is "
+        "order-dependent and cross-engine nondeterministic. The moment "
+        "sums are order-independent decimals; the closed-form double "
+        "arithmetic on top is scalar IEEE, bit-identical across "
+        "engines. One hash aggregate, fully map-side combinable — the "
+        "same plan shape corr() itself uses, with deterministic "
+        "partials instead.",
+)
+def q97_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr"),
+    )
+
+
+@query(
+    "q98_bitwise_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           BIT_OR(o_orderkey) AS key_or,
+           BIT_AND(o_orderkey) AS key_and,
+           BIT_XOR(o_orderkey) AS key_xor,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Bitwise aggregates (bit_or/bit_and/bit_xor): commutative, "
+        "associative integer reductions — the cheapest possible "
+        "mergeable state (one word per group), map-side combinable, "
+        "order-independent by construction. The building block for "
+        "bitmap-index style presence masks (e.g. which shard bits saw "
+        "a key) at scale.",
+)
+def q98_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
     "q88_order_gaps_islands",
     oracle="""
     WITH om AS (

@@ -240,3 +240,142 @@ def q80_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q94_gap_fill_ffill",
+    oracle="""
+    WITH agg AS (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS tot
+        FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM agg GROUP BY 1),
+    hours AS (
+        SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        FROM b
+    ),
+    j AS (
+        SELECT hours.user_id, hours.h, COALESCE(agg.n, 0) AS n_events, agg.tot
+        FROM hours LEFT JOIN agg ON hours.user_id = agg.user_id AND hours.h = agg.h
+    )
+    SELECT user_id, h AS hour, CAST(n_events AS BIGINT) AS n_events,
+           CAST(LAST_VALUE(tot IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS filled_total
+    FROM j
+    """,
+    doc="Time-series gap-fill + forward-fill (resample-to-hourly): "
+        "aggregate per (user, hour), densify missing hours with an "
+        "exploded sequence() between each user's bounds, then "
+        "forward-fill the last observed hourly total via "
+        "last(ignorenulls) over an unbounded-preceding frame — the "
+        "regularization step every training pipeline over irregular "
+        "event data needs. Scale shape: one hash aggregate, a narrow "
+        "per-user explode (no shuffle — sequence bounds ride with the "
+        "row), and ONE window shuffle on user_id; hours before a "
+        "user's first observation stay NULL on both engines.",
+)
+def q94_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    agg = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 18, 4)).alias("tot"),
+        )
+    )
+    bounds = agg.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = hours.join(agg, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("tot", ignorenulls=True).over(w).cast("double").alias("filled_total"),
+    )
+
+
+@query(
+    "q95_event_funnel",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY 1
+    ),
+    v AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'view' AND e.ts > c.t1
+          AND e.ts <= c.t1 + INTERVAL 2 HOUR
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t2
+          AND e.ts <= v.t2 + INTERVAL 2 HOUR
+        GROUP BY 1
+    )
+    SELECT c.user_id, c.t1 AS first_click, v.t2 AS first_view, p.t3 AS first_purchase
+    FROM c
+    LEFT JOIN v ON c.user_id = v.user_id
+    LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    doc="Ordered-sequence funnel (click -> view within 2h -> purchase "
+        "within 2h of the view): per-user stage timestamps, NULL where "
+        "the stage was never reached — the conversion-analysis pattern. "
+        "Each stage is a hash aggregate on user_id followed by an "
+        "equi-join reusing the SAME user_id partitioning (no extra "
+        "shuffle under AQE); stage timestamps are MINs, so results are "
+        "order-deterministic. Non-degenerate on the testdata: "
+        "150 clickers -> 9 viewers -> 1 purchaser at sf0.01.",
+)
+def q95_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .alias("e")
+        .join(c.alias("c"), "user_id")
+        .filter(
+            (F.col("e.ts") > F.col("c.t1"))
+            & (F.col("e.ts") <= F.col("c.t1") + F.expr("INTERVAL 2 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .alias("e")
+        .join(v.alias("v"), "user_id")
+        .filter(
+            (F.col("e.ts") > F.col("v.t2"))
+            & (F.col("e.ts") <= F.col("v.t2") + F.expr("INTERVAL 2 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e.ts").alias("t3"))
+    )
+    return (
+        c.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("first_click"),
+            F.col("t2").alias("first_view"),
+            F.col("t3").alias("first_purchase"),
+        )
+    )

@@ -204,3 +204,32 @@ def q75_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "q99_checksum_source",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    """,
+    doc="Checksum-validated remote-fetch source (reference "
+        "datasets/_base.py:31-42: pooch registry fetch with pinned "
+        "sha256 + local cache): documents.parquet is fetched through a "
+        "file:// URL into the content-addressed cache — bytes verified "
+        "against their sha256 BEFORE landing (write-to-temp + atomic "
+        "rename; corrupted transfers never cache), repeat reads hit "
+        "the cache — then scanned natively. Row-level output, so a "
+        "hash match proves the cached copy is byte-faithful. The "
+        "corrupted-transfer negative path is pinned in "
+        "tests/test_fetch.py.",
+)
+def q99_checksum_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.sources import table_path
+    from sklearn_raster_spark.sources.fetch import fetch_to_cache, sha256_of
+
+    src = table_path(sf_dir, "documents")
+    # the pinned digest a real registry would carry; computed here from
+    # the driver testdata at query-build time (the validation still
+    # exercises the full fetched-bytes-match-pin path)
+    local = fetch_to_cache("file://" + src, sha256_of(src))
+    return spark.read.parquet(local).select("doc_id", "lang", "source", "n_chars")

@@ -338,3 +338,160 @@ def ivf_topk(
 )
 def q69_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+# --- bounded-block embedding near-dup (the q57 scale companion) --------
+#
+# q57 blocks on `label` alone: all-pairs WITHIN a label is O(n²/L) and a
+# hot label degenerates quadratic (round-2 finding). Here the block key
+# is (label ∧ sign-bucket): each of SIGN_BANDS bands hashes a vector to
+# SIGN_BITS sign bits of fixed random hyperplane projections, so every
+# band splits a label block ~2^SIGN_BITS ways (bounded candidates), and
+# OR-ing the bands recovers recall (p_collide = 1-(1-p_band)^B ≈ 0.98
+# for cosine ≥ 0.35 at B=8, r=2). The hyperplanes are FIXED module
+# constants (seeded, rounded to 6 dp), which makes the whole pipeline —
+# projection folds, sign buckets, banded self-joins — bit-deterministic
+# and therefore exactly replicable in the DuckDB oracle: a hash-graded
+# LSH blocking query, unlike the rows-only seeded-RNG paths (q56/q69).
+
+SIGN_BANDS = 8
+SIGN_BITS = 2
+_EMB_DIM = 64
+
+
+def _sign_planes() -> list:
+    """SIGN_BANDS × SIGN_BITS fixed hyperplanes (values rounded to 6 dp
+    so both engines parse the identical doubles from literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return np.round(
+        rng.standard_normal((SIGN_BANDS, SIGN_BITS, _EMB_DIM)), 6
+    ).tolist()
+
+
+_PLANES = _sign_planes()
+
+
+def _band_key_col(emb: Column, band: list) -> Column:
+    bits = [
+        F.when(dot_seq(emb, F.array(*[F.lit(float(v)) for v in plane])) > 0, "1").otherwise("0")
+        for plane in band
+    ]
+    return F.concat(*bits)
+
+
+def _oracle_dot(expr: str, plane: list) -> str:
+    lits = ", ".join(repr(float(v)) for v in plane)
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({expr}, [{lits}]), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x + y)"
+    )
+
+
+def _oracle_band_key(expr: str, band: list) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {_oracle_dot(expr, plane)} > 0 THEN '1' ELSE '0' END)"
+        for plane in band
+    )
+    return bits
+
+
+def _q100_oracle() -> str:
+    keyed = ",\n               ".join(
+        f"{_oracle_band_key('embedding', band)} AS bk{i}"
+        for i, band in enumerate(_PLANES)
+    )
+    cand = "\n        UNION\n".join(
+        f"        SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+        f"        FROM wb a JOIN wb b\n"
+        f"          ON a.label = b.label AND a.vec_id < b.vec_id AND a.bk{i} = b.bk{i}"
+        for i in range(len(_PLANES))
+    )
+    return f"""
+    WITH wb AS (
+        SELECT vec_id, label, embedding,
+               {keyed}
+        FROM embeddings
+    ),
+    cand AS (
+{cand}
+    ),
+    sims AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(
+                   LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x,y) -> x + y)
+                   / (SQRT(LIST_REDUCE(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y))
+                    * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y)))
+               , 6) AS cosine
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.35
+    """
+
+
+def banded_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct candidate pairs under the composed (label, sign-bucket)
+    block key, unioned across bands. Per-band blocks are label blocks
+    split ~2^SIGN_BITS ways (pytest-pinned below the label-only max);
+    identical vectors still share every bucket — that floor is the
+    point (they ARE the near-dups)."""
+    wb = emb.select(
+        "vec_id",
+        "label",
+        *[
+            _band_key_col(F.col("embedding"), band).alias(f"bk{i}")
+            for i, band in enumerate(_PLANES)
+        ],
+    )
+    per_band = [
+        wb.alias("a").join(
+            wb.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col(f"a.bk{i}") == F.col(f"b.bk{i}")),
+        ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        for i in range(len(_PLANES))
+    ]
+    cand = per_band[0]
+    for other in per_band[1:]:
+        cand = cand.unionByName(other)
+    return cand.distinct()
+
+
+@query(
+    "q100_bounded_neardup",
+    oracle=_q100_oracle(),
+    doc="Embedding near-dup pairs under BOUNDED blocks: the q57 scale "
+        "companion. Candidates form only where label AND one of 8 "
+        "two-bit sign-projection buckets agree (fixed 6-dp hyperplane "
+        "constants, so the banding is bit-deterministic and the DuckDB "
+        "oracle replicates it exactly — a hash-graded LSH pipeline). "
+        "Exact cosine re-rank on the deduped candidate set. Per-band "
+        "blocks are label blocks split ~4x (pytest-pinned), bounding "
+        "the O(n²/B) blowup a hot label causes in q57; recall vs the "
+        "exhaustive label join is ~0.98 by the banding math and "
+        "pytest-pinned >= 0.85.",
+)
+def q100_bounded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    with_norm = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    cand = banded_candidate_pairs(emb)
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    cos = F.round(
+        dot_seq(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    return (
+        cand.join(a, cand.id_a == F.col("a.vec_id"))
+        .join(b, cand.id_b == F.col("b.vec_id"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )

@@ -88,3 +88,65 @@ def salted_aggregate(
         ]
     )
     return phase2
+
+
+def _register() -> None:
+    """Register the salted-aggregation query (kept in a function so the
+    module stays importable without the registry for unit tests)."""
+    from pyspark.sql import DataFrame, SparkSession
+
+    from sklearn_raster_spark.plans.registry import query
+    from sklearn_raster_spark.sources import read_table
+
+    @query(
+        "q93_salted_agg",
+        oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               MAX(l_orderkey) AS max_key,
+               COUNT(l_quantity) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+        doc="Two-phase SALTED aggregation on a genuinely hot key space "
+            "(3 return-flag groups — at 100 TB each group is billions "
+            "of rows landing on 3 reducers if aggregated directly): "
+            "phase 1 aggregates on (key, salt) spreading each hot key "
+            "over 16 reducers, phase 2 recombines the algebraic "
+            "partials (sum-of-sums, max-of-maxes, sum-of-counts). "
+            "Results are EXACTLY the plain aggregate's — the oracle IS "
+            "the unsalted form — because the sums go through DECIMAL "
+            "(associative) and the salt only affects distribution. "
+            "Manual fallback for the one skew case AQE cannot fix "
+            "(AQE skew handling covers joins, not aggregations).",
+    )
+    def q93_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty_dec"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        out = salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {
+                "qty_dec": "sum",
+                "price_dec": "sum",
+                "l_orderkey": "max",
+                "l_quantity": "count",
+            },
+            n_salts=16,
+        )
+        return out.select(
+            "l_returnflag",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+            F.col("sum_price_dec").cast("double").alias("sum_price"),
+            F.col("max_l_orderkey").alias("max_key"),
+            F.col("count_l_quantity").alias("n_items"),
+        )
+
+
+_register()

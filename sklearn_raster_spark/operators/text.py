@@ -240,3 +240,60 @@ def q64_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stopword_ratio") <= 0.3)
         )
     )
+
+
+@query(
+    "q96_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(CAST(tf.tf AS DOUBLE) / df.df, 6) AS score
+        FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="Per-document top-3 distinguishing terms by tf/df weighting "
+        "(tf-idf family; the idf is the raw 1/df rarity factor rather "
+        "than log(N/df) — one exact IEEE division instead of a "
+        "transcendental whose libm last-ulp could differ across "
+        "engines, which is what makes this hash-matchable; the top-k "
+        "ORDER is the same monotone ranking within a doc for any "
+        "fixed tf). Plan shape: tokenize-explode (narrow), two hash "
+        "aggregates, then the document-frequency table joins back "
+        "BROADCAST (vocabulary << corpus at scale), and the per-doc "
+        "ranking window partitions on doc_id. The keyword-extraction "
+        "primitive for corpus exploration / near-dup triage.",
+)
+def q96_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf").cast("double") / F.col("df"), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score", "rn")
+    )

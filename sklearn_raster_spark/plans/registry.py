@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.extras",
     "sklearn_raster_spark.operators.graph",
     "sklearn_raster_spark.operators.analytics",
+    "sklearn_raster_spark.operators.skew",
 )
 
 
@@ -72,19 +73,87 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # The driver's correctness gate evaluates the FIRST 50 registered
 # queries per round, so declaration order decides what gets graded.
 # This explicit order rotates coverage across rounds:
-#   round 1 graded the first 50 in module-import order (CORRECTNESS_r01:
-#   everything except q40-q48, q64, q65, q70);
-#   round 2 front-loads exactly those previously-ungraded queries plus
-#   the queries new this round, then the oracle-checked surface, and
-#   rotates already-green-in-r01 queries (and rows-only queries whose
-#   behavior is pytest-pinned) to the back of the line.
+#   round 1 graded the first 50 in module-import order;
+#   round 2 front-loaded the round-1-ungraded backlog;
+#   round 3 leads with EVERYTHING that has never had a driver row —
+#   the fixed q72, q85-q91 (registered past the boundary last round),
+#   the round-3 queries q92-q99, and the two never-graded rows-only
+#   queries q54/q69 — so no query is ever newer than its first grade
+#   again; the remaining slots re-grade a broad cross-section of the
+#   green surface (relational core, scalar functions, temporal,
+#   LLM-pipeline anchors) as regression coverage.
 # Names listed but not (yet) registered are skipped; registered names
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # -- ungraded in round 1: inference surface E3-E6 + text + multimodal
+    # -- never driver-graded before round 3
+    "q72_hash_split",
+    "q85_argmax_aggregates",
+    "q86_exact_percentiles",
+    "q87_price_histogram",
+    "q88_order_gaps_islands",
+    "q89_conditional_aggregates",
+    "q90_null_safe_join",
+    "q91_ordered_string_agg",
+    # -- new in round 3
+    "q92_approx_percentiles",
+    "q93_salted_agg",
+    "q94_gap_fill_ffill",
+    "q95_event_funnel",
+    "q96_tfidf_top_terms",
+    "q97_regression_aggregates",
+    "q98_bitwise_aggregates",
+    "q99_checksum_source",
+    "q100_bounded_neardup",
+    # -- rows-only queries that never had a driver row
+    "q54_kneighbors_lsh",
+    "q69_ann_ivf",
+    # -- regression cross-section of the green surface
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_customers_per_region",
+    "q08_customers_with_orders",
+    "q09_customers_without_orders",
+    "q10_returned_item_revenue",
+    "q11_distinct_segments_per_nation",
+    "q12_rollup_order_status",
+    "q13_cube_returnflag_status",
+    "q14_grouping_sets",
+    "q15_top3_orders_per_customer",
+    "q16_running_totals",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_orders_above_customer_avg",
+    "q20_price_band_join",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_math_funcs",
+    "q24_array_funcs",
+    "q25_json_funcs",
+    "q26_tumbling_window",
+    "q31_asof_join",
+    "q36_sort_merge_join",
+    "q39_stat_aggregates",
+    "q50_exact_dedup",
+    "q55_knn_cosine_bruteforce",
+    # ---- 50-query window boundary (everything below was hash-green in
+    #      CORRECTNESS_r01/r02 or is rows-only and pytest-pinned; the
+    #      pytest oracle mirror still runs ALL queries every session) ----
+    "q27_sliding_window",
+    "q28_session_window",
+    "q29_dedup_keep_first",
+    "q30_event_pivot",
+    "q32_approx_count_distinct",
+    "q33_explode_ordinality",
+    "q34_map_funcs",
+    "q35_union_type_promotion",
+    "q37_ranking_functions",
+    "q38_interval_join",
     "q40_linear_inference_nodata",
-    "q48_compiled_linear_inference",
     "q41_nb_classify_embeddings",
     "q42_nb_proba_embeddings",
     "q43_pca_transform_embeddings",
@@ -92,18 +161,26 @@ _WINDOW_ORDER = (
     "q45_mllib_linear_regression",
     "q46_mllib_kmeans",
     "q47_mllib_logistic_proba",
+    "q48_compiled_linear_inference",
+    "q49_csv_source",
+    "q51_jaccard_pairs",
+    "q52_minhash_lsh_pairs",
+    "q53_simhash_neardup",
+    "q56_ann_lsh",
+    "q57_embedding_neardup",
+    "q58_json_source",
+    "q59_stateful_running_agg",
+    "q60_text_stats",
+    "q61_language_id",
+    "q62_fingerprint",
+    "q63_regex_tokens",
     "q64_quality_filter",
     "q65_bigram_counts",
-    "q70_multimodal_features",
-    # -- new in round 2
-    "q49_csv_source",
-    "q58_json_source",
     "q66_wide_long_reshape",
-    "q59_stateful_running_agg",
     "q67_inverse_transform_roundtrip",
     "q68_raster_stack_source",
+    "q70_multimodal_features",
     "q71_merge_upsert",
-    "q72_hash_split",
     "q73_stratified_sample",
     "q74_orc_source",
     "q75_partitioned_sink_prune",
@@ -116,69 +193,6 @@ _WINDOW_ORDER = (
     "q82_multimodal_resize",
     "q83_full_outer_join",
     "q84_copurchase_components",
-    # -- oracle-checked LLM-pipeline + temporal + scalar-function surface
-    "q50_exact_dedup",
-    "q51_jaccard_pairs",
-    "q55_knn_cosine_bruteforce",
-    "q57_embedding_neardup",
-    "q31_asof_join",
-    "q38_interval_join",
-    "q26_tumbling_window",
-    "q27_sliding_window",
-    "q28_session_window",
-    "q29_dedup_keep_first",
-    "q30_event_pivot",
-    "q21_string_funcs",
-    "q22_date_funcs",
-    "q23_math_funcs",
-    "q24_array_funcs",
-    "q25_json_funcs",
-    "q33_explode_ordinality",
-    "q34_map_funcs",
-    # ---- 50-query window boundary (everything below was green in
-    #      CORRECTNESS_r01 or is rows-only and pytest-pinned) ----
-    "q35_union_type_promotion",
-    # -- relational core (distinct Catalyst shapes first)
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q09_customers_without_orders",
-    "q12_rollup_order_status",
-    "q13_cube_returnflag_status",
-    "q14_grouping_sets",
-    "q15_top3_orders_per_customer",
-    "q16_running_totals",
-    "q17_topk_orders",
-    "q18_set_ops",
-    "q19_orders_above_customer_avg",
-    "q20_price_band_join",
-    "q36_sort_merge_join",
-    "q39_stat_aggregates",
-    "q37_ranking_functions",
-    "q03_top_revenue_orders",
-    "q06_forecast_revenue",
-    "q07_customers_per_region",
-    "q08_customers_with_orders",
-    "q10_returned_item_revenue",
-    "q11_distinct_segments_per_nation",
-    "q60_text_stats",
-    "q61_language_id",
-    "q62_fingerprint",
-    "q63_regex_tokens",
-    "q32_approx_count_distinct",
-    "q52_minhash_lsh_pairs",
-    "q53_simhash_neardup",
-    "q56_ann_lsh",
-    "q54_kneighbors_lsh",
-    "q69_ann_ivf",
-    "q85_argmax_aggregates",
-    "q86_exact_percentiles",
-    "q87_price_histogram",
-    "q88_order_gaps_islands",
-    "q89_conditional_aggregates",
-    "q90_null_safe_join",
-    "q91_ordered_string_agg",
 )
 
 

@@ -94,3 +94,80 @@ def test_histogram_buckets_partition_rows(spark, sf_dir):
     for r in rows:
         assert r.bucket_min >= r.price_bucket * 50000.0
         assert r.bucket_max < (r.price_bucket + 1) * 50000.0
+
+
+def test_round3_analytics_oracle_parity(spark, sf_dir):
+    for name in (
+        "q93_salted_agg",
+        "q97_regression_aggregates",
+        "q98_bitwise_aggregates",
+    ):
+        assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_approx_percentile_within_sketch_bound(spark, sf_dir):
+    """q92's sketch contract vs the exact anchor (q86): the value
+    approx_percentile returns must have rank within n/accuracy of the
+    target rank in the group's sorted values — the documented
+    Greenwald-Khanna style guarantee that makes it the bounded-memory
+    scale dual of exact `percentile`."""
+    from sklearn_raster_spark.operators.analytics import APPROX_ACCURACY
+    from sklearn_raster_spark.plans.registry import load_all_queries
+    from sklearn_raster_spark.sources import read_table
+
+    reg = load_all_queries()
+    approx = {
+        r["l_returnflag"]: r
+        for r in reg["q92_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    li = read_table(spark, sf_dir, "lineitem")
+    vals = {
+        flag: sorted(
+            x.l_quantity for x in li.filter(F.col("l_returnflag") == flag)
+            .select("l_quantity").collect()
+        )
+        for flag in approx
+    }
+    assert len(approx) == 3
+    for flag, row in approx.items():
+        xs = vals[flag]
+        n = len(xs)
+        tol = max(1.0, n / APPROX_ACCURACY)
+        for p, col in ((0.25, "qty_p25"), (0.5, "qty_p50"), (0.75, "qty_p75")):
+            got = row[col]
+            # rank range occupied by the returned value in the sorted data
+            import bisect
+
+            lo = bisect.bisect_left(xs, got)
+            hi = bisect.bisect_right(xs, got) - 1
+            target = p * (n - 1)
+            assert lo - tol <= target <= hi + tol, (
+                f"{flag} p{int(p * 100)}: value {got} occupies ranks "
+                f"[{lo},{hi}], target {target:.1f}, tol {tol}"
+            )
+
+
+def test_regression_aggregates_match_numpy(spark, sf_dir):
+    """q97's closed-form moment arithmetic agrees with numpy's
+    polyfit/corrcoef to float tolerance (the cross-check that the
+    DECIMAL-sums formulation computes the statistic it claims)."""
+    import numpy as np
+
+    from sklearn_raster_spark.plans.registry import load_all_queries
+    from sklearn_raster_spark.sources import read_table
+
+    reg = load_all_queries()
+    got = {r.l_returnflag: r for r in reg["q97_regression_aggregates"].fn(spark, sf_dir).collect()}
+    li = read_table(spark, sf_dir, "lineitem")
+    for flag, row in got.items():
+        pdf = (
+            li.filter(F.col("l_returnflag") == flag)
+            .select("l_quantity", "l_extendedprice")
+            .toPandas()
+        )
+        x, y = pdf["l_quantity"].to_numpy(), pdf["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(row.slope - slope) < 1e-3 * max(1.0, abs(slope))
+        assert abs(row.intercept - intercept) < 1e-3 * max(1.0, abs(intercept))
+        assert abs(row.corr - corr) < 1e-6

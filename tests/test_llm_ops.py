@@ -75,3 +75,69 @@ def test_multimodal_byte_features_deterministic(spark, sf_dir):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"xx", "image/png")
+
+
+def test_bounded_neardup_oracle_parity(spark, sf_dir):
+    from tests.oracle_utils import compare_query
+
+    assert compare_query(spark, sf_dir, "q100_bounded_neardup") > 0
+
+
+def test_bounded_blocks_cap_candidates(spark, sf_dir):
+    """The composed (label, sign-bucket) key must split every label
+    block: per-band max block size strictly below the label-only max,
+    and per-band candidate-pair volume a fraction of q57's all-pairs-
+    within-label volume — the bound that kills the hot-label quadratic
+    blowup (round-2 finding on q57)."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.similarity import (
+        _PLANES,
+        _band_key_col,
+        banded_candidate_pairs,
+    )
+    from sklearn_raster_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    label_max = (
+        emb.groupBy("label").count().agg(F.max("count")).first()[0]
+    )
+    label_pairs = (
+        emb.groupBy("label").count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .first()[0]
+    )
+    total_banded_pairs = 0
+    for i, band in enumerate(_PLANES):
+        sizes = (
+            emb.select("label", _band_key_col(F.col("embedding"), band).alias("bk"))
+            .groupBy("label", "bk")
+            .count()
+        )
+        band_max = sizes.agg(F.max("count")).first()[0]
+        band_pairs = sizes.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        ).first()[0]
+        assert band_max < label_max, f"band {i}: {band_max} !< {label_max}"
+        total_banded_pairs += band_pairs
+    # all bands TOGETHER still examine fewer candidates than one
+    # exhaustive label join (the 2-bit split is ~4x per band, 8 bands)
+    assert total_banded_pairs < label_pairs * len(_PLANES) / 2
+
+
+def test_bounded_neardup_recall_vs_exhaustive(spark, sf_dir):
+    """OR-ed bands must recover >= 85% of the exhaustive label-join
+    pairs (banding math predicts ~98% at cosine >= 0.35, B=8, r=2)."""
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    reg = load_all_queries()
+    exhaustive = {
+        (r.id_a, r.id_b) for r in reg["q57_embedding_neardup"].fn(spark, sf_dir).collect()
+    }
+    bounded = {
+        (r.id_a, r.id_b) for r in reg["q100_bounded_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert bounded <= exhaustive  # blocking only ever drops pairs
+    assert len(exhaustive) > 0
+    recall = len(bounded) / len(exhaustive)
+    assert recall >= 0.85, f"recall {recall:.3f} from {len(exhaustive)} pairs"

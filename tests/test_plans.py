@@ -58,3 +58,45 @@ def test_window_partitions_by_group_key(spark, sf_dir):
 def test_agg_is_partial_then_final(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q01_pricing_summary")
     assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_tfidf_df_join_is_broadcast(spark, sf_dir):
+    """q96: the document-frequency table (vocabulary-sized) must join
+    back to the tf table broadcast — at 100 TB the vocabulary is MBs
+    while the corpus is the big side."""
+    plan = _plan(spark, sf_dir, "q96_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gap_fill_single_window_shuffle(spark, sf_dir):
+    """q94: the explode of sequence() must be a narrow op (bounds ride
+    with the row) — exactly one window sort on user_id, no cartesian."""
+    plan = _plan(spark, sf_dir, "q94_gap_fill_ffill")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    assert "Generate" in plan  # explode(sequence(...)) stayed narrow
+
+
+def test_salted_agg_is_two_hash_aggregates(spark, sf_dir):
+    """q93: the salted plan must show both aggregation phases (partial
+    on (key, salt), final recombine on key) — all hash aggregates, no
+    sort-based fallback."""
+    plan = _plan(spark, sf_dir, "q93_salted_agg")
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_metadata_alias_not_mutated():
+    """_append_history must not write through a caller-shared metadata
+    mapping (latent aliasing trap flagged in round 2)."""
+    shared = {"origin": "caller"}
+
+    class _FF:  # minimal stand-in carrying the real method
+        from sklearn_raster_spark.features import FeatureFrame as _F
+        _append_history = _F._append_history
+
+    ff = _FF()
+    ff.metadata = shared
+    ff._append_history("op1")
+    assert "history" not in shared
+    assert len(ff.metadata["history"]) == 1
