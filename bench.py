@@ -72,7 +72,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
-    for name, spec in sorted(registry.items()):
+    for qi, (name, spec) in enumerate(sorted(registry.items())):
         try:
             df = spec.fn(spark, sf_dir)
             # noop sink materializes every output column (a bare .count()
@@ -92,10 +92,14 @@ def main() -> None:
             df = None
             spark.catalog.clearCache()
             gc.collect()
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+            # JVM full GC (lets ContextCleaner reap dead broadcasts) is
+            # itself a multi-hundred-ms pause whose tail can bleed into
+            # the NEXT query's timing — amortize it over batches of 10
+            if qi % 10 == 9:
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     result = {

@@ -197,3 +197,156 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, F.col("lang"), F.col("doc_id"), STRATA_PCT, DEFAULT_PCT
     ).select("doc_id", "lang")
+
+
+SHINGLE_N = 5
+PACK_TARGET_TOKENS = 256
+
+
+@query(
+    "q101_contamination_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN {_oracle_bucket('doc_id')} < {SPLIT_BOUNDS[0]} THEN 'train'
+                    WHEN {_oracle_bucket('doc_id')} < {SPLIT_BOUNDS[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, split, STRING_SPLIT(text, ' ') AS ws FROM assigned),
+    sh AS (
+        SELECT doc_id, split,
+               ARRAY_TO_STRING(ws[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+        FROM toks, UNNEST(RANGE(1, LEN(ws) - {SHINGLE_N - 2})) AS t(i)
+        WHERE LEN(ws) >= {SHINGLE_N}
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    ev AS (SELECT doc_id, split, shingle FROM sh WHERE split <> 'train'),
+    per AS (
+        SELECT e.doc_id, e.split,
+               COUNT(*) AS n_shingles,
+               COUNT(*) FILTER (WHERE t.shingle IS NOT NULL) AS n_shared
+        FROM ev e LEFT JOIN train_sh t ON e.shingle = t.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, split, n_shingles, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS contamination
+    FROM per
+    """,
+    doc=f"Train/eval contamination check (the decontamination step every "
+        f"LLM pipeline runs before trusting an eval): {SHINGLE_N}-gram "
+        "token shingles of every val/test doc are joined against the "
+        "DISTINCT shingle set of the train split (as assigned by q72's "
+        "deterministic hash split), yielding a per-eval-doc overlap "
+        "ratio. Plan shape: tokenize-explode (narrow), one DISTINCT "
+        "over train shingles, one shuffle hash join on the shingle "
+        "string, one hash aggregate — all linear in corpus size; at "
+        "100 TB the exact join swaps for a bloom-filter broadcast of "
+        "the train shingle set with identical semantics up to the "
+        "filter's false-positive rate. Docs shorter than the shingle "
+        "width are excluded on both sides (no shingles exist).",
+)
+def q101_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    assigned = docs.withColumn("split", train_val_test(docs, F.col("doc_id")))
+    ws = F.split("text", " ")
+    with_ws = assigned.select("doc_id", "split", ws.alias("ws")).filter(
+        F.size("ws") >= SHINGLE_N
+    )
+    shingles = with_ws.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - SHINGLE_N),
+                lambda i: F.array_join(F.slice(F.col("ws"), i + 1, SHINGLE_N), " "),
+            )
+        ).alias("shingle"),
+    )
+    train_sh = (
+        shingles.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = shingles.filter(F.col("split") != "train")
+    per = (
+        ev.join(train_sh, "shingle", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "split",
+        "n_shingles",
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+@query(
+    "q102_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS DOUBLE) / {PACK_TARGET_TOKENS}) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+    doc=f"Sequence packing (concat-and-chunk batching for training): "
+        f"within each source shard, docs are laid end-to-end in doc_id "
+        f"order and assigned to ~{PACK_TARGET_TOKENS}-token bins by "
+        "bin = floor(preceding_cumulative_tokens / target) — the "
+        "deterministic dual of greedy packing (a doc spanning a "
+        "boundary starts its bin, exactly like chunked-concat "
+        "pretraining batches). All-integer window arithmetic, so the "
+        "oracle matches bit-for-bit. Scale shape: the window "
+        "partitions on the shard key (NO global ordering — packing is "
+        "per-shard by design, which is also what keeps it "
+        "embarrassingly parallel at 100 TB), then one hash aggregate "
+        "on (source, bin).",
+)
+def q102_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            / PACK_TARGET_TOKENS
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

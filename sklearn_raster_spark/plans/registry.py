@@ -105,6 +105,8 @@ _WINDOW_ORDER = (
     "q98_bitwise_aggregates",
     "q99_checksum_source",
     "q100_bounded_neardup",
+    "q101_contamination_check",
+    "q102_sequence_packing",
     # -- rows-only queries that never had a driver row
     "q54_kneighbors_lsh",
     "q69_ann_ivf",
@@ -138,8 +140,6 @@ _WINDOW_ORDER = (
     "q31_asof_join",
     "q36_sort_merge_join",
     "q39_stat_aggregates",
-    "q50_exact_dedup",
-    "q55_knn_cosine_bruteforce",
     # ---- 50-query window boundary (everything below was hash-green in
     #      CORRECTNESS_r01/r02 or is rows-only and pytest-pinned; the
     #      pytest oracle mirror still runs ALL queries every session) ----
@@ -163,9 +163,11 @@ _WINDOW_ORDER = (
     "q47_mllib_logistic_proba",
     "q48_compiled_linear_inference",
     "q49_csv_source",
+    "q50_exact_dedup",
     "q51_jaccard_pairs",
     "q52_minhash_lsh_pairs",
     "q53_simhash_neardup",
+    "q55_knn_cosine_bruteforce",
     "q56_ann_lsh",
     "q57_embedding_neardup",
     "q58_json_source",

@@ -201,3 +201,47 @@ def test_connected_components_chain_diameter(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(63)], ["src", "dst"])
     rows = connected_components(df, max_iter=12).collect()
     assert {r.component for r in rows} == {0} and len(rows) == 64
+
+
+def test_contamination_oracle_and_bounds(spark, sf_dir):
+    from tests.oracle_utils import compare_query
+
+    assert compare_query(spark, sf_dir, "q101_contamination_check") > 0
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    rows = load_all_queries()["q101_contamination_check"].fn(spark, sf_dir).collect()
+    assert all(r.split in ("val", "test") for r in rows)  # train never self-checked
+    assert all(0.0 <= r.contamination <= 1.0 for r in rows)
+    assert all(r.n_shared <= r.n_shingles for r in rows)
+    # the synthetic corpus's tiny vocabulary guarantees SOME overlap —
+    # a degenerate all-zero result would mean the join silently broke
+    assert any(r.n_shared > 0 for r in rows)
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Bins are per-source, contiguous in doc_id, and every bin except
+    a source's last holds >= the target token budget (a doc spanning
+    the boundary finishes its bin — chunked-concat semantics)."""
+    from sklearn_raster_spark.operators.pipeline import PACK_TARGET_TOKENS
+    from sklearn_raster_spark.plans.registry import load_all_queries
+    from tests.oracle_utils import compare_query
+
+    assert compare_query(spark, sf_dir, "q102_sequence_packing") > 0
+    rows = load_all_queries()["q102_sequence_packing"].fn(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r.bin_id)
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev.last_doc < nxt.first_doc  # contiguous doc ranges
+        # chunked-concat law: the stream rolls to bin b+1 only once the
+        # cumulative token count has crossed (b+1)*target — an individual
+        # bin's own total may undershoot when its predecessor overshot
+        running = 0
+        for b in bins:
+            running += b.total_tokens
+            if b is not bins[-1]:
+                assert running >= (b.bin_id + 1) * PACK_TARGET_TOKENS
