@@ -216,3 +216,58 @@ def file_stream_windowed_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small static dimension (user -> tier) derived deterministically
+    from the events table — the enrichment side of the stream-static
+    join. At 100 TB this is the classic 'dimension table beside the
+    stream' shape: small, slowly changing, broadcast to every task."""
+    static = spark.read.parquet(table_path(sf_dir, "events"))
+    return (
+        static.select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("user_id"), F.lit(3)).cast("int"))
+    )
+
+
+def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each arriving event is enriched with its
+    user's tier via a BROADCAST join against the static dimension — no
+    state store involved (unlike stream-stream joins), no watermark
+    needed on the static side; the planner re-reads the static relation
+    per micro-batch, which is exactly how slowly-changing dims refresh
+    mid-stream in production."""
+    ev = read_events_stream(spark, sf_dir)
+    dim = user_tier_dim(spark, sf_dir)
+    return ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "tier", "event_type", "value"
+    )
+
+
+def run_stream_foreach_batch_parquet(
+    df: DataFrame, out_dir: str, timeout_sec: int = 120
+):
+    """Drive a stream into partitioned parquet via foreachBatch: each
+    micro-batch lands under batch=<id> with mode=overwrite, so a
+    replayed batch (checkpoint recovery) overwrites its own directory
+    instead of duplicating rows — idempotent, the exactly-once sink
+    recipe for stores without transactional streaming support."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"foreachBatch stream did not finish in {timeout_sec}s")
+    return q

@@ -200,3 +200,55 @@ def test_tws_builder_constructs_plan(spark, sf_dir):
     assert [f.name for f in df.schema.fields] == [
         "event_id", "user_id", "running_n", "running_max",
     ]
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment under availableNow equals the
+    batch join (no state store, no watermark on the static side)."""
+    from sklearn_raster_spark.sources import read_table
+    from sklearn_raster_spark.streaming import (
+        enriched_events_stream,
+        run_append_stream_to_memory,
+        user_tier_dim,
+    )
+    from pyspark.sql import functions as F
+
+    s = enriched_events_stream(spark, sf_dir)
+    assert s.isStreaming
+    q = run_append_stream_to_memory(s, "enriched")
+    got = spark.sql("SELECT event_id, tier FROM enriched").collect()
+    q.stop()
+    ev = read_table(spark, sf_dir, "events")
+    want = (
+        ev.join(F.broadcast(user_tier_dim(spark, sf_dir)), "user_id")
+        .select("event_id", "tier")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch idempotent parquet sink: the landed rows equal the
+    batch result exactly (count + content)."""
+    from sklearn_raster_spark.streaming import (
+        enriched_events_stream,
+        run_stream_foreach_batch_parquet,
+    )
+
+    out = str(tmp_path / "landed")
+    run_stream_foreach_batch_parquet(enriched_events_stream(spark, sf_dir), out)
+    landed = spark.read.option("basePath", out).parquet(out + "/batch=*")
+    got = landed.select("event_id", "tier", "value").collect()
+    q2 = spark.sql("SELECT 1").collect()  # session still healthy
+    assert q2[0][0] == 1
+    from sklearn_raster_spark.sources import read_table
+    from sklearn_raster_spark.streaming import user_tier_dim
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    want = (
+        ev.join(F.broadcast(user_tier_dim(spark, sf_dir)), "user_id")
+        .select("event_id", "tier", "value")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
