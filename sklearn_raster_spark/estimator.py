@@ -415,21 +415,26 @@ class SparkEstimator:
         # on the driver embeddings (6 tables: 0.996 at ~2x the join
         # cost; the pytest floor is 0.9)
         num_hash_tables: int = 4,
-        # effectively-unbounded radius keeps every bucket collision (max
-        # recall without data-dependent tuning); the candidate volume is
-        # made safe by the two-stage partial top-k below, which bounds
-        # what shuffles to k rows per (input row, upstream partition)
-        max_distance: float = 1e18,
     ) -> FeatureFrame:
-        """Approximate kneighbors as an LSH similarity join (euclidean,
-        same metric as the exact path): fit samples -> DataFrame,
-        ``approxSimilarityJoin`` against the feature rows, per-row
-        top-k by (distance, fit_idx). Rows whose buckets caught fewer
-        than k candidates carry the per-output nodata (nan / int32
-        min) in the tail slots — same encoding as the exact path."""
+        """Approximate kneighbors as an LSH bucket join (euclidean, same
+        metric as the exact path): both sides are hashed with
+        ``BucketedRandomProjectionLSH``'s hash function, candidates form
+        where ANY of the ``num_hash_tables`` buckets agree
+        (OR-amplification), and each row keeps its top-k by
+        (distance, fit_idx). Rows whose buckets caught fewer than k
+        candidates carry the per-output nodata (nan / int32 min) in the
+        tail slots — same encoding as the exact path.
+
+        The join is hand-rolled rather than ``approxSimilarityJoin``:
+        Spark's built-in dedups candidate PAIRS AS FULL ROWS (a distinct
+        over struct<id, vector, hashes> on both sides) and re-evaluates
+        the distance UDF per pair; here the distinct runs over two longs
+        (_rid, fit_idx), the fit side broadcasts, and the distance is a
+        JVM zip_with fold — same candidates, same recall, a fraction of
+        the shuffle bytes."""
         import pyspark.sql.functions as F
         from pyspark.ml.feature import BucketedRandomProjectionLSH
-        from pyspark.ml.functions import array_to_vector
+        from pyspark.ml.functions import array_to_vector, vector_to_array
 
         if isinstance(ff, DataFrame):
             ff = FeatureFrame.from_dataframe(ff, list(features or self.feature_names_in_))
@@ -437,10 +442,13 @@ class SparkEstimator:
         fit_X = np.asarray(getattr(self.estimator, "_X"), dtype=np.float64)
         spark = ff.df.sparkSession
 
-        fit_df = spark.createDataFrame(
+        fit_arrs = spark.createDataFrame(
             [(int(i), [float(v) for v in row]) for i, row in enumerate(fit_X)],
             ["fit_idx", "fit_arr"],
-        ).select("fit_idx", array_to_vector("fit_arr").alias("features"))
+        )
+        fit_vecs = fit_arrs.select(
+            "fit_idx", array_to_vector("fit_arr").alias("features")
+        )
 
         data = ff.df.withColumn("_rid", F.monotonically_increasing_id())
         # NoData rows never enter the join (the skip-compaction filter,
@@ -448,9 +456,7 @@ class SparkEstimator:
         # and therefore carry the nodata encodings — scatter-back for free
         vec = data.filter(~ff.nodata_mask()).select(
             "_rid",
-            array_to_vector(
-                F.array(*[F.col(c).cast("double") for c in ff.features])
-            ).alias("features"),
+            F.array(*[F.col(c).cast("double") for c in ff.features]).alias("arr"),
         )
         lsh = BucketedRandomProjectionLSH(
             inputCol="features",
@@ -459,8 +465,34 @@ class SparkEstimator:
             numHashTables=num_hash_tables,
             seed=42,
         )
-        model = lsh.fit(fit_df)
-        pairs = model.approxSimilarityJoin(vec, fit_df, max_distance, distCol="dist")
+        model = lsh.fit(fit_vecs)
+
+        def bucket_keys(df, id_col, arr_col):
+            # hashes = array of 1-element vectors (one bucket id per
+            # table); flatten to (id, table, bucket) longs
+            hashed = model.transform(
+                df.select(id_col, array_to_vector(arr_col).alias("features"))
+            )
+            return hashed.select(
+                id_col,
+                F.posexplode(
+                    F.transform(
+                        "hashes", lambda h: vector_to_array(h)[0].cast("long")
+                    )
+                ).alias("_tbl", "_bucket"),
+            )
+
+        fit_keys = bucket_keys(fit_arrs, "fit_idx", "fit_arr")
+        q_keys = bucket_keys(vec, "_rid", "arr")
+        # candidate = any-table bucket agreement; distinct over two longs
+        # (vs approxSimilarityJoin's distinct over full vector structs)
+        cand_ids = (
+            q_keys.join(F.broadcast(fit_keys), ["_tbl", "_bucket"])
+            .select("_rid", "fit_idx")
+            .distinct()
+        )
+        diff_sq = F.zip_with("arr", "fit_arr", lambda x, y: (x - y) * (x - y))
+        dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
         # Per-row top-k in TWO stages so the candidate set is bounded
         # before it shuffles (a single groupBy+collect_list buffers every
         # bucket collision per row — the scale-killer flagged in round 2):
@@ -468,11 +500,13 @@ class SparkEstimator:
         # inside one input partition, so map-side partial aggregation
         # completes it locally and only k-sized arrays reach the exchange;
         # stage 2 merges ≤ k candidates per upstream partition per row.
-        cands = pairs.select(
-            F.col("datasetA._rid").alias("_rid"),
-            F.struct(
-                F.col("dist").alias("d"), F.col("datasetB.fit_idx").alias("i")
-            ).alias("cand"),
+        cands = (
+            cand_ids.join(vec, "_rid")
+            .join(F.broadcast(fit_arrs), "fit_idx")
+            .select(
+                "_rid",
+                F.struct(dist.alias("d"), F.col("fit_idx").alias("i")).alias("cand"),
+            )
         )
         partial = (
             cands.groupBy("_rid", F.spark_partition_id().alias("_pid"))
