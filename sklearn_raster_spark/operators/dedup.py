@@ -105,7 +105,12 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) 
         F.array_distinct(
             F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
         ).alias("ts"),
-    )
+    ).persist()
+    # eager: this lineage (scan + split + hash + distinct) feeds THREE
+    # consumers — the prefix index and both sides of the exact verify —
+    # and would otherwise recompute per consumer (the round-2
+    # persist-before-self-join finding, ROUND2_NOTES.md)
+    toks.count()
 
     # Global token order by ascending document frequency (ties by
     # token). The df table is |vocab| rows — tiny at any corpus size

@@ -138,3 +138,31 @@ def test_mllib_queries_run(spark, sf_dir):
     proba = q47_mllib_logistic_proba(spark, sf_dir).limit(20).collect()
     for r in proba:
         assert abs(r.proba_odd + r.proba_even - 1.0) < 1e-5
+
+
+def test_raster_cf_metadata_roundtrip(spark, sf_dir, tmp_path):
+    """Reference S1/S2 + O15 chain: per-band CF attrs (long_name ->
+    feature names, _FillValue -> NoData registry, units -> frame
+    metadata) flow from the band sidecar through the distributed decode
+    into a FeatureFrame, and survive a parquet sink round-trip via
+    StructField metadata (reference features.py:257-260 semantics)."""
+    from sklearn_raster_spark.features import FeatureFrame
+    from sklearn_raster_spark.sources.raster import (
+        N_BANDS,
+        read_raster_stack_to_featureframe,
+    )
+
+    ff = read_raster_stack_to_featureframe(spark, sf_dir)
+    assert list(ff.features) == [f"band_{b}" for b in range(N_BANDS)]
+    assert all(ff.nodata_input[f] == -9999.0 for f in ff.features)
+    assert ff.metadata["units"]["band_0"] == "1"
+    assert any("load_raster_stack" in h for h in ff.metadata["history"])
+
+    out = str(tmp_path / "raster_ff")
+    ff.write_parquet(out)
+    back = FeatureFrame.read_parquet(spark, out)
+    assert set(back.features) == set(ff.features)
+    assert all(back.nodata_input[f] == -9999.0 for f in back.features)
+    assert back.metadata["units"]["band_3"] == "1"
+    # grid content is intact through decode -> pivot -> sink -> scan
+    assert back.df.count() == ff.df.count() > 0

@@ -1,0 +1,23 @@
+"""Registry-wide physical-plan invariant sweep: every one of the
+declared queries must build, resolve, and plan WITHOUT a cartesian
+product. Per-query plan audits live in test_plans.py; this sweep is the
+whole-surface safety net — a new query that accidentally plans a
+cross-product (dropped join key, mistyped condition) fails here before
+it can melt a cluster at 100 TB.
+"""
+
+from sklearn_raster_spark.plans.registry import load_all_queries
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    reg = load_all_queries()
+    violations = {}
+    for name, spec in reg.items():
+        df = spec.fn(spark, sf_dir)  # analysis gate: must resolve
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "CartesianProduct" in plan:
+            violations[name] = "CartesianProduct"
+    assert violations == {}, violations
+    assert len(reg) >= 102  # the sweep really covered the full surface
