@@ -262,7 +262,10 @@ def q101_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice(F.col("ws"), i + 1, SHINGLE_N), " "),
             )
         ).alias("shingle"),
-    )
+    ).persist()
+    # eager: the tokenize+slide lineage feeds both the train shingle
+    # set and the eval side of the join — materialize once
+    shingles.count()
     train_sh = (
         shingles.filter(F.col("split") == "train")
         .select("shingle")

@@ -446,7 +446,12 @@ def banded_candidate_pairs(emb: DataFrame) -> DataFrame:
             _band_key_col(F.col("embedding"), band).alias(f"bk{i}")
             for i, band in enumerate(_PLANES)
         ],
-    )
+    ).persist()
+    # eager: the key projection (16 hyperplane folds x 64 dims per row)
+    # feeds BOTH sides of all 8 band self-joins — 16 re-evaluations
+    # without materialization (the round-2 persist-before-self-join
+    # finding)
+    wb.count()
     per_band = [
         wb.alias("a").join(
             wb.alias("b"),
