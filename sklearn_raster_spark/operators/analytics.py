@@ -432,3 +432,59 @@ def q87_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bucket_max"),
         )
     )
+
+
+@query(
+    "q103_chi_square_contingency",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM cells),
+    rows_t AS (SELECT lang, CAST(SUM(n) AS DOUBLE) AS row_tot FROM cells GROUP BY lang),
+    cols_t AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS col_tot FROM cells GROUP BY source)
+    SELECT c.lang, c.source,
+           CAST(c.n AS BIGINT) AS n_obs,
+           ROUND(r.row_tot * co.col_tot / t.n_total, 6) AS n_expected,
+           ROUND(
+               (c.n - r.row_tot * co.col_tot / t.n_total)
+               * (c.n - r.row_tot * co.col_tot / t.n_total)
+               / (r.row_tot * co.col_tot / t.n_total), 6) AS chi2_contrib
+    FROM cells c
+    JOIN rows_t r ON c.lang = r.lang
+    JOIN cols_t co ON c.source = co.source
+    CROSS JOIN tot t
+    """,
+    doc="Chi-square contingency analysis (lang x source): per-cell "
+        "observed vs expected counts and chi-squared contributions — "
+        "the independence/drift test a data pipeline runs to catch a "
+        "source whose language mix shifted. Closed-form count "
+        "arithmetic only (no transcendentals, the q96 determinism "
+        "rule), emitted PER CELL so no cross-cell float summation "
+        "order exists to diverge; consumers sum the (exactly "
+        "6-dp-rounded) contributions through DECIMAL for the global "
+        "statistic. Plan: one hash aggregate over cells, two tiny "
+        "re-aggregations joined back broadcast, one scalar total.",
+)
+def q103_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").cast("double").alias("n_total"))
+    rows_t = cells.groupBy("lang").agg(F.sum("n").cast("double").alias("row_tot"))
+    cols_t = cells.groupBy("source").agg(F.sum("n").cast("double").alias("col_tot"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n_total")
+    return (
+        cells.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(exp, 6).alias("n_expected"),
+            F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+    )

@@ -107,6 +107,7 @@ _WINDOW_ORDER = (
     "q100_bounded_neardup",
     "q101_contamination_check",
     "q102_sequence_packing",
+    "q103_chi_square_contingency",
     # -- rows-only queries that never had a driver row
     "q54_kneighbors_lsh",
     "q69_ann_ivf",
@@ -139,7 +140,6 @@ _WINDOW_ORDER = (
     "q26_tumbling_window",
     "q31_asof_join",
     "q36_sort_merge_join",
-    "q39_stat_aggregates",
     # ---- 50-query window boundary (everything below was hash-green in
     #      CORRECTNESS_r01/r02 or is rows-only and pytest-pinned; the
     #      pytest oracle mirror still runs ALL queries every session) ----
@@ -153,6 +153,7 @@ _WINDOW_ORDER = (
     "q35_union_type_promotion",
     "q37_ranking_functions",
     "q38_interval_join",
+    "q39_stat_aggregates",
     "q40_linear_inference_nodata",
     "q41_nb_classify_embeddings",
     "q42_nb_proba_embeddings",

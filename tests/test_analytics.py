@@ -101,6 +101,7 @@ def test_round3_analytics_oracle_parity(spark, sf_dir):
         "q93_salted_agg",
         "q97_regression_aggregates",
         "q98_bitwise_aggregates",
+        "q103_chi_square_contingency",
     ):
         assert compare_query(spark, sf_dir, name) > 0
 
