@@ -331,3 +331,64 @@ def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@query(
+    "q104_dedup_corpus",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS ts
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, source, LEN(ts) AS ntok, UNNEST(ts) AS tok FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a
+        JOIN ex b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.ntok, b.ntok
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.ntok + b.ntok - COUNT(*)) >= 0.6
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS keeper,
+           (COALESCE(c.component, d.doc_id) = d.doc_id) AS kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    doc="END-TO-END corpus dedup — the composition a real pipeline "
+        "runs: near-dup pairs (the q51 PPJoin machinery, Jaccard >= "
+        "0.6 within source) -> connected components (q84's pointer-"
+        "jumping fixpoint loop) -> canonical keeper = min doc_id per "
+        "cluster -> row-level verdict for EVERY corpus doc (keeper + "
+        "kept flag; singletons keep themselves). The DuckDB oracle "
+        "recomputes the identical closure via a recursive CTE, so the "
+        "whole three-stage pipeline is hash-checked end to end. Scale "
+        "shape: the only additions over q51+q84 are one left join on "
+        "doc_id and the components loop's O(log diameter) rounds — "
+        "near-dup graphs are small-world, and the keeper map is tiny "
+        "relative to the corpus (broadcastable at 100 TB).",
+)
+def q104_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = q51_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    keeper = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            keeper.alias("keeper"),
+            (keeper == F.col("doc_id")).alias("kept"),
+        )
+    )

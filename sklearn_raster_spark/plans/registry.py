@@ -108,6 +108,7 @@ _WINDOW_ORDER = (
     "q101_contamination_check",
     "q102_sequence_packing",
     "q103_chi_square_contingency",
+    "q104_dedup_corpus",
     # -- rows-only queries that never had a driver row
     "q54_kneighbors_lsh",
     "q69_ann_ivf",
@@ -139,7 +140,6 @@ _WINDOW_ORDER = (
     "q25_json_funcs",
     "q26_tumbling_window",
     "q31_asof_join",
-    "q36_sort_merge_join",
     # ---- 50-query window boundary (everything below was hash-green in
     #      CORRECTNESS_r01/r02 or is rows-only and pytest-pinned; the
     #      pytest oracle mirror still runs ALL queries every session) ----
@@ -151,6 +151,7 @@ _WINDOW_ORDER = (
     "q33_explode_ordinality",
     "q34_map_funcs",
     "q35_union_type_promotion",
+    "q36_sort_merge_join",
     "q37_ranking_functions",
     "q38_interval_join",
     "q39_stat_aggregates",

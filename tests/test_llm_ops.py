@@ -141,3 +141,22 @@ def test_bounded_neardup_recall_vs_exhaustive(spark, sf_dir):
     assert len(exhaustive) > 0
     recall = len(bounded) / len(exhaustive)
     assert recall >= 0.85, f"recall {recall:.3f} from {len(exhaustive)} pairs"
+
+
+def test_dedup_corpus_composition(spark, sf_dir):
+    """q104 (pairs -> components -> keeper) oracle parity plus the
+    composition laws: keepers are cluster minima, every non-kept doc's
+    keeper IS kept, and the kept set shrinks the corpus exactly by the
+    non-singleton cluster members."""
+    from tests.oracle_utils import compare_query
+
+    assert compare_query(spark, sf_dir, "q104_dedup_corpus") > 0
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    rows = load_all_queries()["q104_dedup_corpus"].fn(spark, sf_dir).collect()
+    keeper_of = {r.doc_id: r.keeper for r in rows}
+    kept = {r.doc_id for r in rows if r.kept}
+    assert all(k <= d for d, k in keeper_of.items())  # min-label canonical
+    assert all(keeper_of[k] == k for k in keeper_of.values())  # keepers keep themselves
+    assert all(k in kept for k in keeper_of.values())
+    assert 0 < len(kept) < len(rows)  # non-degenerate: real clusters exist
