@@ -353,3 +353,39 @@ def q102_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+SAMPLE_PER_STRATUM = 20
+
+
+@query(
+    "q105_fixed_size_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+    doc=f"Fixed-size deterministic sample: EXACTLY {SAMPLE_PER_STRATUM} "
+        "docs per language, chosen by ranking on md5(doc_id) — the "
+        "content-hash order is uniform-pseudorandom yet a pure row-key "
+        "function, so the sample is stable across engines, partitions "
+        "and retries (the exact-budget eval-set contract; q73 is the "
+        "percentage dual). One window shuffle on the stratum key; at "
+        "scale this is a per-group top-k, which Catalyst executes as "
+        "partial top-k per partition before the shuffle (WindowGroupLimit "
+        "pushdown) — no full sort of the corpus.",
+)
+def q105_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", "rn")
+    )

@@ -109,6 +109,7 @@ _WINDOW_ORDER = (
     "q102_sequence_packing",
     "q103_chi_square_contingency",
     "q104_dedup_corpus",
+    "q105_fixed_size_sample",
     # -- rows-only queries that never had a driver row
     "q54_kneighbors_lsh",
     "q69_ann_ivf",
@@ -139,7 +140,6 @@ _WINDOW_ORDER = (
     "q24_array_funcs",
     "q25_json_funcs",
     "q26_tumbling_window",
-    "q31_asof_join",
     # ---- 50-query window boundary (everything below was hash-green in
     #      CORRECTNESS_r01/r02 or is rows-only and pytest-pinned; the
     #      pytest oracle mirror still runs ALL queries every session) ----
@@ -147,6 +147,7 @@ _WINDOW_ORDER = (
     "q28_session_window",
     "q29_dedup_keep_first",
     "q30_event_pivot",
+    "q31_asof_join",
     "q32_approx_count_distinct",
     "q33_explode_ordinality",
     "q34_map_funcs",

@@ -245,3 +245,29 @@ def test_sequence_packing_invariants(spark, sf_dir):
             running += b.total_tokens
             if b is not bins[-1]:
                 assert running >= (b.bin_id + 1) * PACK_TARGET_TOKENS
+
+
+def test_fixed_size_sample_exact_budget(spark, sf_dir):
+    """q105: oracle parity plus the exact-budget contract — EVERY
+    stratum yields exactly min(SAMPLE_PER_STRATUM, stratum size) docs,
+    and re-running yields the identical sample (pure row-key order)."""
+    from collections import Counter
+
+    from sklearn_raster_spark.operators.pipeline import SAMPLE_PER_STRATUM
+    from sklearn_raster_spark.plans.registry import load_all_queries
+    from sklearn_raster_spark.sources import read_table
+    from tests.oracle_utils import compare_query
+
+    assert compare_query(spark, sf_dir, "q105_fixed_size_sample") > 0
+    fn = load_all_queries()["q105_fixed_size_sample"].fn
+    rows = fn(spark, sf_dir).collect()
+    sizes = {
+        r.lang: r.n
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    got = Counter(r.lang for r in rows)
+    for lang, n in sizes.items():
+        assert got[lang] == min(SAMPLE_PER_STRATUM, n)
+    rows2 = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
