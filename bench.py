@@ -1,7 +1,15 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints the COMPACT summary JSON line {"metric", "value", "unit", "sf",
+"n_queries"} FIRST (so a tail-truncating capture still records the
+headline number), then the full line with the per-query dict, and also
+writes the full result to BENCH_LOCAL.json next to this file.
+
+Timing covers plan BUILD + materialization together: some builders
+eagerly persist shared lineages (q51 token table, q100 band keys, q101
+shingles), so timing only the sink would bench those queries cache-warm
+(round-3 ADVICE.md).
 """
 
 from __future__ import annotations
@@ -71,14 +79,23 @@ def main() -> None:
 
     import gc
 
+    from sklearn_raster_spark.utils.cache import release_shared_caches
+
     timings: dict[str, float] = {}
     for qi, (name, spec) in enumerate(sorted(registry.items())):
         try:
-            df = spec.fn(spark, sf_dir)
-            # noop sink materializes every output column (a bare .count()
-            # would let Catalyst prune the projections we're measuring)
+            # Build + materialize INSIDE the timed closure: builders
+            # that eagerly persist shared lineage do real work at build
+            # time, and timing the sink alone would read warm cache.
+            # noop sink materializes every output column (a bare
+            # .count() would let Catalyst prune the projections we're
+            # measuring).
             timings[name] = run_with_watchdog(
-                name, lambda: df.write.format("noop").mode("overwrite").save()
+                name,
+                lambda: spec.fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
             )
         except Exception as exc:  # keep benching; a broken query shows as -1
             timings[name] = -1.0
@@ -89,7 +106,7 @@ def main() -> None:
             # persists and broadcasts across ~100 queries. Drop cached
             # plans eagerly and let ContextCleaner reap broadcasts whose
             # Python references just died (it only acts on GC).
-            df = None
+            release_shared_caches()
             spark.catalog.clearCache()
             gc.collect()
             # JVM full GC (lets ContextCleaner reap dead broadcasts) is
@@ -100,16 +117,30 @@ def main() -> None:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
                     pass
+            # settle: absorb GC pauses / scheduler tails from the
+            # PREVIOUS query outside any timed window (round-3 saw
+            # sub-2s queries regress 1.5-2.8x purely by bench position)
+            spark.range(16).repartition(4).count()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
-    result = {
+    summary = {
         "metric": "total_query_wall_sec",
         "value": round(sum(ok.values()), 4),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(timings) - len(ok),
     }
-    print(json.dumps(result))
+    result = {**summary, "queries": timings}
+    # compact headline FIRST: the driver's capture truncates long tails,
+    # and round 3 lost the official number to the per-query dict
+    print(json.dumps(summary), flush=True)
+    print(json.dumps(result), flush=True)
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -428,13 +428,15 @@ class SparkEstimator:
         The join is hand-rolled rather than ``approxSimilarityJoin``:
         Spark's built-in dedups candidate PAIRS AS FULL ROWS (a distinct
         over struct<id, vector, hashes> on both sides) and re-evaluates
-        the distance UDF per pair; here the distinct runs over two longs
-        (_rid, fit_idx), the fit side broadcasts, and the distance is a
-        JVM zip_with fold — same candidates, same recall, a fraction of
-        the shuffle bytes."""
+        the distance UDF per pair; here the hashing is the SAME family
+        (h = floor(x·v / bucketLength), unit-norm Gaussian v, seeded) as
+        ``BucketedRandomProjectionLSH`` but evaluated as plain column
+        expressions — fit-side keys come straight out of numpy on the
+        driver (the fit set is already local), query-side dots are JVM
+        zip_with folds against literal hyperplanes, so no ML pipeline
+        fit/transform jobs and no vector-UDF round-trips sit in the hot
+        path — same candidates, same recall, a fraction of the overhead."""
         import pyspark.sql.functions as F
-        from pyspark.ml.feature import BucketedRandomProjectionLSH
-        from pyspark.ml.functions import array_to_vector, vector_to_array
 
         if isinstance(ff, DataFrame):
             ff = FeatureFrame.from_dataframe(ff, list(features or self.feature_names_in_))
@@ -446,76 +448,94 @@ class SparkEstimator:
             [(int(i), [float(v) for v in row]) for i, row in enumerate(fit_X)],
             ["fit_idx", "fit_arr"],
         )
-        fit_vecs = fit_arrs.select(
-            "fit_idx", array_to_vector("fit_arr").alias("features")
+
+        # Seeded unit-norm Gaussian hyperplanes (the same projection
+        # family BucketedRandomProjectionLSH draws; numpy-side so both
+        # the fit keys and the literal query-side planes share them).
+        rng = np.random.RandomState(42)
+        planes = rng.standard_normal((num_hash_tables, fit_X.shape[1]))
+        planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+
+        # Fit-side bucket keys computed on the driver: one vectorized
+        # matmul over the (local) fit set replaces an ML-pipeline fit +
+        # transform + posexplode subplan.
+        fit_buckets = np.floor(fit_X @ planes.T / bucket_length).astype(np.int64)
+        fit_keys = spark.createDataFrame(
+            [
+                (int(t), int(b), int(i))
+                for i, row in enumerate(fit_buckets)
+                for t, b in enumerate(row)
+            ],
+            ["_tbl", "_bucket", "fit_idx"],
         )
 
         data = ff.df.withColumn("_rid", F.monotonically_increasing_id())
         # NoData rows never enter the join (the skip-compaction filter,
         # O4); they fall out of the left join below with NULL candidates
         # and therefore carry the nodata encodings — scatter-back for free
-        vec = data.filter(~ff.nodata_mask()).select(
+        arr_expr = F.expr(
+            "array(" + ", ".join(f"CAST(`{c}` AS DOUBLE)" for c in ff.features) + ")"
+        )
+        vec = data.filter(~ff.nodata_mask()).select("_rid", arr_expr.alias("arr"))
+
+        # Query-side bucket ids as pure codegen: dot(arr, plane_t) via a
+        # zip_with fold against the literal plane (one expr STRING per
+        # plane — building 64 lit Columns per plane through py4j costs
+        # more driver time than the whole local execution), floored into
+        # buckets. The query side CARRIES its feature array through the
+        # explode: the bucket join below is broadcast (fit side is the
+        # small one), so scan -> hash -> explode -> join -> candidate-set
+        # aggregate fuses into ONE map-side stage — no shuffle of
+        # candidate pairs, no join back to the query vectors. (Round 3
+        # shipped the pair distinct + re-join formulation: two extra
+        # full-candidate shuffles, plus ML-pipeline hashing overhead.)
+        def q_bucket(plane) -> "F.Column":
+            lits = ", ".join(f"{float(v)!r}D" for v in plane)
+            return F.expr(
+                f"CAST(FLOOR(aggregate(zip_with(arr, array({lits}), "
+                f"(x, p) -> x * p), 0D, (acc, x) -> acc + x) "
+                f"/ {float(bucket_length)!r}D) AS LONG)"
+            )
+
+        q_keys = vec.select(
             "_rid",
-            F.array(*[F.col(c).cast("double") for c in ff.features]).alias("arr"),
-        )
-        lsh = BucketedRandomProjectionLSH(
-            inputCol="features",
-            outputCol="hashes",
-            bucketLength=bucket_length,
-            numHashTables=num_hash_tables,
-            seed=42,
-        )
-        model = lsh.fit(fit_vecs)
-
-        def bucket_keys(df, id_col, arr_col):
-            # hashes = array of 1-element vectors (one bucket id per
-            # table); flatten to (id, table, bucket) longs
-            hashed = model.transform(
-                df.select(id_col, array_to_vector(arr_col).alias("features"))
-            )
-            return hashed.select(
-                id_col,
-                F.posexplode(
-                    F.transform(
-                        "hashes", lambda h: vector_to_array(h)[0].cast("long")
-                    )
-                ).alias("_tbl", "_bucket"),
-            )
-
-        fit_keys = bucket_keys(fit_arrs, "fit_idx", "fit_arr")
-        q_keys = bucket_keys(vec, "_rid", "arr")
-        # candidate = any-table bucket agreement; distinct over two longs
-        # (vs approxSimilarityJoin's distinct over full vector structs)
-        cand_ids = (
-            q_keys.join(F.broadcast(fit_keys), ["_tbl", "_bucket"])
-            .select("_rid", "fit_idx")
-            .distinct()
+            "arr",
+            F.posexplode(F.array(*[q_bucket(p) for p in planes])).alias(
+                "_tbl", "_bucket"
+            ),
+        ).withColumn("_tbl", F.col("_tbl").cast("long"))
+        # Candidate DEDUP happens map-side, BEFORE any distance math: a
+        # (_rid, fit_idx) pair colliding in several tables appears once
+        # per table, and the partial (map-side) hash aggregate of the
+        # groupBy collapses duplicates locally — the exchange carries ONE
+        # slim row per query row per input partition (candidate-idx set
+        # + its feature array), not candidate pairs. (Round 3 shipped a
+        # pair-level distinct + re-join formulation: two full-candidate
+        # shuffles that dominated the driver bench.)
+        cand_sets = q_keys.join(F.broadcast(fit_keys), ["_tbl", "_bucket"]).groupBy(
+            "_rid"
+        ).agg(
+            F.collect_set("fit_idx").alias("cand_idx"),
+            F.first("arr").alias("arr"),  # identical across a _rid's rows
         )
         diff_sq = F.zip_with("arr", "fit_arr", lambda x, y: (x - y) * (x - y))
         dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
-        # Per-row top-k in TWO stages so the candidate set is bounded
-        # before it shuffles (a single groupBy+collect_list buffers every
-        # bucket collision per row — the scale-killer flagged in round 2):
-        # stage 1 groups on (_rid, partition) — each group lives entirely
-        # inside one input partition, so map-side partial aggregation
-        # completes it locally and only k-sized arrays reach the exchange;
-        # stage 2 merges ≤ k candidates per upstream partition per row.
+        # Distance runs once per DISTINCT candidate pair. cand_sets left
+        # the exchange hash-partitioned on _rid, and explode + broadcast
+        # join + project all preserve that partitioning — so this top-k
+        # aggregate needs NO further exchange, and the scatter-back join
+        # below reuses the same layout for its topk side. One shuffle
+        # end-to-end on the candidate path.
         cands = (
-            cand_ids.join(vec, "_rid")
+            cand_sets.select("_rid", "arr", F.explode("cand_idx").alias("fit_idx"))
             .join(F.broadcast(fit_arrs), "fit_idx")
             .select(
                 "_rid",
                 F.struct(dist.alias("d"), F.col("fit_idx").alias("i")).alias("cand"),
             )
         )
-        partial = (
-            cands.groupBy("_rid", F.spark_partition_id().alias("_pid"))
-            .agg(F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("partial"))
-        )
-        topk = (
-            partial.select("_rid", F.explode("partial").alias("cand"))
-            .groupBy("_rid")
-            .agg(F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("top"))
+        topk = cands.groupBy("_rid").agg(
+            F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("top")
         )
         dist_cols = [
             F.coalesce(F.col("top")[i - 1]["d"], F.lit(float("nan"))).alias(f"dist_{i}")

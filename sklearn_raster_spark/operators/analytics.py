@@ -146,9 +146,9 @@ APPROX_ACCURACY = 10_000
     )
     SELECT l_returnflag,
            n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
-           ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6) AS corr
     FROM m
     """,
     doc="Regression/correlation aggregates (slope, intercept, Pearson "
@@ -176,15 +176,21 @@ def q97_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # NULLIF the denominators: a degenerate group (constant x, or one
+    # row) zeroes them, and Spark's non-ANSI division yields NULL while
+    # DuckDB's IEEE float division yields inf/NaN — pinning BOTH
+    # engines to NULL keeps the hash stable under any data distribution
+    den_x = F.nullif((n * sxx - sx * sx).cast("double"), F.lit(0.0))
+    slope = (n * sxy - sx * sy) / den_x
+    corr_den = F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
     return m.select(
         "l_returnflag",
         "n",
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(
-            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
-        ).alias("corr"),
+        F.round((n * sxy - sx * sy) / corr_den, 6).alias("corr"),
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
+from sklearn_raster_spark.utils.cache import shared_lineage
 
 
 @query(
@@ -105,12 +106,13 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) 
         F.array_distinct(
             F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
         ).alias("ts"),
-    ).persist()
-    # eager: this lineage (scan + split + hash + distinct) feeds THREE
-    # consumers — the prefix index and both sides of the exact verify —
-    # and would otherwise recompute per consumer (the round-2
-    # persist-before-self-join finding, ROUND2_NOTES.md)
-    toks.count()
+    )
+    # eager shared cache: this lineage (scan + split + hash + distinct)
+    # feeds THREE consumers — the prefix index and both sides of the
+    # exact verify — and would otherwise recompute per consumer (the
+    # round-2 persist-before-self-join finding, ROUND2_NOTES.md);
+    # tracked so repeated invocations don't leak cache entries
+    toks = shared_lineage(toks)
 
     # Global token order by ascending document frequency (ties by
     # token). The df table is |vocab| rows — tiny at any corpus size
@@ -206,14 +208,13 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.7, shingle: int = 3) -> 
         ).alias("shingles"),
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feat = tf.transform(shingled).filter(F.size("shingles") > 0).persist()
     # EAGERLY materialize the featurized table: both sides of the
     # self-join below scan it within ONE job, and a lazily-persisted
     # cache is not yet populated when the second scan reads — so
     # without this count the shingling lineage runs twice (measured
     # 6.4s -> 2.0s at sf0.1). At cluster scale this is "checkpoint the
     # signature table before self-joining it".
-    feat.count()
+    feat = shared_lineage(tf.transform(shingled).filter(F.size("shingles") > 0))
     # 3 OR-amplified tables: P(miss) for a 0.5-sim pair is (1-0.5)^3 ≈
     # 12%, for real near-dups (sim>0.9) negligible (1e-3); measured
     # IDENTICAL output to 5 tables on the driver corpus with a ~40%
@@ -287,13 +288,12 @@ def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("words", lambda w: F.xxhash64(w)).alias("tok_hashes"),
         )
         .select("doc_id", simhash_col("tok_hashes").alias("fp"))
-        # both sides of the banded self-join read this lineage; without
-        # a persist the 64-term fingerprint fold runs TWICE per doc
-        .persist()
     )
-    # eager: a lazy persist is not populated in time for the second
-    # scan when both sides materialize inside the self-join's one job
-    fps.count()
+    # both sides of the banded self-join read this lineage; without a
+    # persist the 64-term fingerprint fold runs TWICE per doc. Eager:
+    # a lazy persist is not populated in time for the second scan when
+    # both sides materialize inside the self-join's one job.
+    fps = shared_lineage(fps)
     # band keys: 4 x 16-bit slices; near-dups (hamming<=6) must agree on
     # at least one band by pigeonhole when hamming <= 3 per 4 bands...
     # we use <=6 with 4 bands as a recall-oriented candidate filter.

@@ -103,10 +103,14 @@ def q48_compiled_linear_inference(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _embedding_frame(spark: SparkSession, sf_dir: str) -> FeatureFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    cols = [F.col("vec_id"), F.col("label")] + [
-        F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(EMB_DIM)
-    ]
-    df = emb.select(*cols)
+    # selectExpr strings, not 64 Column objects: each py4j Column call
+    # costs ~1ms of driver time, and this projection is on the build
+    # path of six queries
+    df = emb.selectExpr(
+        "vec_id",
+        "label",
+        *[f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(EMB_DIM)],
+    )
     return FeatureFrame.from_dataframe(df, features=[f"e{i}" for i in range(EMB_DIM)])
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
+from sklearn_raster_spark.utils.cache import shared_lineage
 
 
 def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
@@ -262,10 +263,11 @@ def q101_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice(F.col("ws"), i + 1, SHINGLE_N), " "),
             )
         ).alias("shingle"),
-    ).persist()
-    # eager: the tokenize+slide lineage feeds both the train shingle
-    # set and the eval side of the join — materialize once
-    shingles.count()
+    )
+    # eager shared cache: the tokenize+slide lineage feeds both the
+    # train shingle set and the eval side of the join — materialize
+    # once, tracked against repeat-invocation leaks
+    shingles = shared_lineage(shingles)
     train_sh = (
         shingles.filter(F.col("split") == "train")
         .select("shingle")

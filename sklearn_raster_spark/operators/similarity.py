@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
+from sklearn_raster_spark.utils.cache import shared_lineage
 
 N_QUERIES = 5
 TOP_K = 5
@@ -122,11 +123,11 @@ def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("unit"),
         )
         .select("vec_id", array_to_vector("unit").alias("features"))
-        .persist()
     )
-    # eager: the approxSimilarityJoin scans this lineage for both the
-    # query side and the corpus side inside one job — materialize once
-    norm.count()
+    # eager shared cache: the approxSimilarityJoin scans this lineage
+    # for both the query side and the corpus side inside one job —
+    # materialize once, tracked against repeat-invocation leaks
+    norm = shared_lineage(norm)
 
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
@@ -446,12 +447,12 @@ def banded_candidate_pairs(emb: DataFrame) -> DataFrame:
             _band_key_col(F.col("embedding"), band).alias(f"bk{i}")
             for i, band in enumerate(_PLANES)
         ],
-    ).persist()
-    # eager: the key projection (16 hyperplane folds x 64 dims per row)
-    # feeds BOTH sides of all 8 band self-joins — 16 re-evaluations
-    # without materialization (the round-2 persist-before-self-join
-    # finding)
-    wb.count()
+    )
+    # eager shared cache: the key projection (16 hyperplane folds x 64
+    # dims per row) feeds BOTH sides of all 8 band self-joins — 16
+    # re-evaluations without materialization (the round-2
+    # persist-before-self-join finding)
+    wb = shared_lineage(wb)
     per_band = [
         wb.alias("a").join(
             wb.alias("b"),

@@ -12,9 +12,11 @@ cache. This is the same contract without the pooch dependency:
   corrupted transfer never lands in the cache (write-to-temp + atomic
   rename, so concurrent fetchers and killed processes can't leave a
   half-file behind).
-- A cache hit is re-verified cheaply by size, then trusted (the file
-  landed atomically under its own digest name, so its content cannot
-  drift without its name lying).
+- A cache hit is re-verified cheaply by size against a sidecar
+  ``.size`` record written at fetch time, then trusted (the file landed
+  atomically under its own digest name, so content cannot drift without
+  its name lying); a size mismatch — e.g. a truncated file placed in
+  the cache out-of-band — evicts the entry and re-fetches.
 
 At cluster scale the cache dir is a shared filesystem / object-store
 prefix and the driver fetches once before executors scan — the same
@@ -60,8 +62,23 @@ def fetch_to_cache(source: str, sha256: str, cache_dir: str | None = None) -> st
     os.makedirs(cache_dir, exist_ok=True)
     ext = os.path.splitext(urllib.parse.urlparse(source).path or source)[1]
     cached = os.path.join(cache_dir, f"{sha256}{ext}")
+    size_path = cached + ".size"
     if os.path.exists(cached):
-        return cached
+        # cheap re-verification on hit: compare byte count against the
+        # sidecar written at fetch time; mismatch (out-of-band
+        # truncation/corruption) evicts and falls through to re-fetch
+        try:
+            with open(size_path) as sf:
+                expected_size = int(sf.read().strip())
+        except (OSError, ValueError):
+            expected_size = None
+        if expected_size is not None and os.path.getsize(cached) == expected_size:
+            return cached
+        for stale in (cached, size_path):
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
 
     fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".part")
     os.close(fd)
@@ -78,6 +95,10 @@ def fetch_to_cache(source: str, sha256: str, cache_dir: str | None = None) -> st
                 f"sha256 mismatch for {source!r}: expected {sha256}, got {got}; "
                 "refusing to cache corrupted bytes"
             )
+        size_tmp = tmp + ".size"
+        with open(size_tmp, "w") as sf:
+            sf.write(str(os.path.getsize(tmp)))
+        os.replace(size_tmp, size_path)
         os.replace(tmp, cached)  # atomic: a reader never sees a partial file
         return cached
     finally:
