@@ -75,10 +75,65 @@ def _require_method(obj: Any, name: str) -> None:
         )
 
 
+def _estimator_is_fitted(estimator: Any) -> bool:
+    """Duck-typed fitted check (sklearn ``check_is_fitted`` convention):
+    any instance attribute ending in a single trailing underscore marks
+    post-fit state; ``_X``/``_y`` cover the local k-NN models that keep
+    their training set directly."""
+    try:
+        attrs = vars(estimator)
+    except TypeError:
+        return False
+    return any(
+        (k.endswith("_") and not k.startswith("__")) or k in ("_X", "_y")
+        for k in attrs
+    )
+
+
+def _clone_unfitted(estimator: Any) -> Any:
+    """Fresh unfitted instance with the same hyperparameters —
+    ``sklearn.base.clone`` semantics without the sklearn dependency:
+    use ``get_params()`` when offered, else pull constructor-signature
+    names off the instance (the sklearn convention that ``__init__``
+    stores each arg verbatim under its own name)."""
+    import inspect
+
+    cls = type(estimator)
+    if callable(getattr(estimator, "get_params", None)):
+        return cls(**estimator.get_params())
+    params = {}
+    for name, p in inspect.signature(cls.__init__).parameters.items():
+        if name == "self" or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        if hasattr(estimator, name):
+            params[name] = getattr(estimator, name)
+        elif p.default is inspect.Parameter.empty:
+            # constructor arg we cannot recover: give up on cloning
+            raise TypeError(
+                f"cannot clone {cls.__name__}: required __init__ arg "
+                f"{name!r} is not stored on the instance"
+            )
+    return cls(**params)
+
+
 class SparkEstimator:
     """Wrap an sklearn-compatible estimator for distributed inference."""
 
     def __init__(self, estimator: Any):
+        # reference parity (estimator.py:763-774 `_reset_estimator`):
+        # wrapping an already-fitted estimator warns and resets to a
+        # clean clone — the wrapper's fit metadata (feature names,
+        # target names) only exists for fits made THROUGH the wrapper.
+        if _estimator_is_fitted(estimator):
+            warnings.warn(
+                "Wrapping estimator that has already been fit. The "
+                "estimator must be fit again after wrapping.",
+                stacklevel=2,
+            )
+            try:
+                estimator = _clone_unfitted(estimator)
+            except TypeError:
+                pass  # unclonable: keep as-is (still must refit via wrapper)
         self.estimator = estimator
         self._fitted = False
         self.feature_names_in_: tuple[str, ...] | None = None

@@ -81,6 +81,49 @@ def materialize_raster_stack(
     return paths
 
 
+def _decode_grid(path: str) -> np.ndarray:
+    """Decode ONE band file to a 2-D float grid. `.npy` is the tested
+    default (numpy is always present); `.tif`/`.tiff` lights up
+    automatically when the environment gains rasterio — same contract
+    as the reference's rasterio read (datasets/_base.py:71-104), band 1
+    of the file. Runs on EXECUTORS inside mapInPandas."""
+    if path.endswith((".tif", ".tiff")):
+        import importlib.util
+
+        if importlib.util.find_spec("rasterio") is None:
+            raise NotImplementedError(
+                "GeoTIFF band decode needs rasterio, which this "
+                "environment does not provide; use .npy band files"
+            )
+        import rasterio
+
+        with rasterio.open(path) as src:
+            return src.read(1)
+    return np.load(path)
+
+
+def read_band_tags(path: str) -> dict | None:
+    """CF attrs carried by a real GeoTIFF's tags (long_name / units /
+    nodata), or None for tagless containers (.npy — the sidecar
+    bands.json supplies attrs instead). Env-gated on rasterio."""
+    import importlib.util
+
+    if not path.endswith((".tif", ".tiff")):
+        return None
+    if importlib.util.find_spec("rasterio") is None:
+        return None
+    import rasterio
+
+    with rasterio.open(path) as src:
+        tags = src.tags(1)
+        out = {
+            "long_name": tags.get("long_name"),
+            "units": tags.get("units", "1"),
+            "_FillValue": src.nodata,
+        }
+    return out
+
+
 def read_raster_stack(spark: SparkSession, files: list[tuple[int, str]]) -> DataFrame:
     """Long-form scan of a band-file stack. Each task decodes whole
     files (the file list is repartitioned so tasks get disjoint files);
@@ -94,7 +137,7 @@ def read_raster_stack(spark: SparkSession, files: list[tuple[int, str]]) -> Data
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for band, path in zip(pdf["band"], pdf["path"]):
-                grid = np.load(path)
+                grid = _decode_grid(path)
                 ys, xs = np.indices(grid.shape)
                 yield pd.DataFrame(
                     {
@@ -161,11 +204,22 @@ def read_raster_stack_to_featureframe(spark: SparkSession, sf_dir: str):
 
     files = materialize_raster_stack(spark, sf_dir)
     root = os.path.dirname(files[0][1])
-    meta_path = os.path.join(root, BAND_META_FILE)
-    if not os.path.exists(meta_path):
-        write_band_metadata(root)
-    with open(meta_path) as f:
-        band_meta = json.load(f)
+    # GeoTIFF tags (if the env has rasterio and the stack is .tif) take
+    # precedence — that IS the reference's tag path; the bands.json
+    # sidecar is the tagless-container fallback.
+    band_meta = {}
+    for b, p in files:
+        tags = read_band_tags(p)
+        if tags and tags.get("long_name"):
+            band_meta[str(b)] = tags
+    if len(band_meta) < len(files):
+        meta_path = os.path.join(root, BAND_META_FILE)
+        if not os.path.exists(meta_path):
+            write_band_metadata(root)
+        with open(meta_path) as f:
+            sidecar = json.load(f)
+        for b, _ in files:
+            band_meta.setdefault(str(b), sidecar[str(b)])
 
     wide = raster_stack_to_wide(read_raster_stack(spark, files))
     renames = {str(b): band_meta[str(b)]["long_name"] for b, _ in files}

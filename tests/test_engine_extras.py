@@ -166,3 +166,43 @@ def test_raster_cf_metadata_roundtrip(spark, sf_dir, tmp_path):
     assert back.metadata["units"]["band_3"] == "1"
     # grid content is intact through decode -> pivot -> sink -> scan
     assert back.df.count() == ff.df.count() > 0
+
+
+def test_geotiff_band_decode_and_tags(spark, tmp_path):
+    """Env-gated mirror of test_raster_cf_metadata_roundtrip for real
+    GeoTIFF band files: tags (long_name/units/nodata) feed the CF chain
+    exactly like the bands.json sidecar. Skips unless the environment
+    provides rasterio (reference datasets/_base.py:71-104)."""
+    rasterio = pytest.importorskip("rasterio")
+    import numpy as np
+
+    from sklearn_raster_spark.sources.raster import (
+        read_band_tags,
+        read_raster_stack,
+    )
+
+    files = []
+    for b in range(2):
+        path = str(tmp_path / f"band_{b}.tif")
+        grid = np.arange(12, dtype=np.float64).reshape(3, 4) + 100 * b
+        with rasterio.open(
+            path,
+            "w",
+            driver="GTiff",
+            height=3,
+            width=4,
+            count=1,
+            dtype="float64",
+            nodata=-9999.0,
+        ) as dst:
+            dst.write(grid, 1)
+            dst.update_tags(1, long_name=f"tif_band_{b}", units="m")
+        files.append((b, path))
+
+    tags = read_band_tags(files[0][1])
+    assert tags == {"long_name": "tif_band_0", "units": "m", "_FillValue": -9999.0}
+
+    long_df = read_raster_stack(spark, files)
+    rows = long_df.filter("band = 1 AND y = 2 AND x = 3").collect()
+    assert len(rows) == 1 and rows[0].value == 111.0
+    assert long_df.count() == 2 * 12

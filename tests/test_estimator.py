@@ -216,3 +216,39 @@ def test_encode_nodata_roundtrip(spark):
     enc = ff.encode_nodata(-1.0)
     vals = enc.df.orderBy("id").toPandas()["a"].tolist()
     assert vals == [1.0, -1.0, 3.0, -1.0]
+
+
+def test_wrap_prefitted_resets_and_warns(train):
+    """Reference parity (estimator.py:763-774): wrapping an estimator
+    that is already fitted warns and resets it to an unfitted clone
+    with the same hyperparameters — fit must go through the wrapper."""
+    Xp, y = train
+    bare = LinearRegressionNP()
+    bare.fit(Xp.to_numpy(), y.to_numpy())
+    assert hasattr(bare, "coef_")
+    with pytest.warns(UserWarning, match="already been fit"):
+        est = SparkEstimator(bare)
+    # reset: the wrapped instance is a clean clone, not the fitted one
+    assert est.estimator is not bare
+    assert not hasattr(est.estimator, "coef_")
+    assert not est._fitted
+    with pytest.raises(NotFittedError):
+        est.predict(None)
+    # hyperparameters survive the clone (k-NN keeps its n_neighbors)
+    knn = KNeighborsRegressorNP(n_neighbors=4)
+    knn.fit(Xp.to_numpy(), y.to_numpy())
+    with pytest.warns(UserWarning, match="already been fit"):
+        wrapped = SparkEstimator(knn)
+    assert wrapped.estimator.n_neighbors == 4
+    assert not hasattr(wrapped.estimator, "_X")
+    # refit-from-clean works and produces a usable estimator
+    wrapped.fit(Xp, y)
+    assert wrapped._fitted
+
+
+def test_wrap_fresh_estimator_does_not_warn(train):
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        SparkEstimator(LinearRegressionNP())
