@@ -11,8 +11,9 @@ Scale design:
   prefix filtering (drop the most frequent tokens from the index);
   here the synthetic vocab is small so the index join is exercised
   fully;
-- MinHash LSH: sub-quadratic banding via pyspark.ml MinHashLSH
-  (seeded, deterministic) — THE scale path for near-dedup;
+- MinHash LSH: sub-quadratic banding, one salted-xxhash64 minhash
+  per OR-table as pure column expressions — THE scale path for
+  near-dedup;
 - SimHash: 64-bit fingerprints entirely in JVM expressions
   (xxhash64 + bit arithmetic), banded self-join on 16-bit keys,
   hamming distance via bit_count(xor).
@@ -181,20 +182,32 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) 
     )
 
 
-def minhash_pairs(docs: DataFrame, threshold: float = 0.7, shingle: int = 3) -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame, threshold: float = 0.7, shingle: int = 3, n_tables: int = 3
+) -> DataFrame:
     """MinHash-LSH near-dup pairs over (doc_id, text): shingle ->
-    HashingTF -> MinHashLSH banding -> approxSimilarityJoin.
+    n_tables one-minhash band keys -> banded self-join -> exact verify.
 
     Shingles are represented as xxhash64 values of the word k-gram
     (computed positionally — no k-gram STRINGS are ever materialized:
     at ~|words| shingles/doc the concat+distinct of string shingles
-    was the single hottest expression in the plan). HashingTF hashes
-    terms of any type, so the long-typed shingles feed it directly.
-    The featurized side is persisted: approxSimilarityJoin evaluates
-    its input lineage once per side, and shingling is the expensive
-    part of that lineage."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    was the single hottest expression in the plan).
 
+    The banding runs as PURE column expressions end to end — table i's
+    signature is min(xxhash64(shingle, i)) over the shingle set, the
+    same one-minhash-per-table OR-amplification MinHashLSH(numHashTables
+    = n_tables) performs — replacing the round-3 MLlib formulation
+    (HashingTF + MinHashLSH.fit + approxSimilarityJoin). That path paid
+    an ML fit job, array->sparse-vector conversion, a pair-level
+    distinct over FULL rows (id + vector + hashes structs on both
+    sides), and a per-pair distance UDF; here candidates are slim
+    (doc_a, doc_b) pairs deduped before any distance math, and the
+    exact Jaccard verify (on the raw shingle sets — no HashingTF bucket
+    aliasing) evaluates once per distinct candidate as a JVM
+    array_intersect. Same recall family (P(miss) for a 0.5-sim pair is
+    (1-0.5)^3 ~ 12%, negligible for real near-dups), measured ~3x
+    faster at sf0.1, and at 100 TB the shuffle carries pairs of longs
+    instead of pairs of featurized rows."""
     tokens = docs.select("doc_id", F.split("text", " ").alias("words"))
     shingled = tokens.select(
         "doc_id",
@@ -207,40 +220,59 @@ def minhash_pairs(docs: DataFrame, threshold: float = 0.7, shingle: int = 3) -> 
             )
         ).alias("shingles"),
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    # EAGERLY materialize the featurized table: both sides of the
-    # self-join below scan it within ONE job, and a lazily-persisted
-    # cache is not yet populated when the second scan reads — so
-    # without this count the shingling lineage runs twice (measured
-    # 6.4s -> 2.0s at sf0.1). At cluster scale this is "checkpoint the
-    # signature table before self-joining it".
-    feat = shared_lineage(tf.transform(shingled).filter(F.size("shingles") > 0))
-    # 3 OR-amplified tables: P(miss) for a 0.5-sim pair is (1-0.5)^3 ≈
-    # 12%, for real near-dups (sim>0.9) negligible (1e-3); measured
-    # IDENTICAL output to 5 tables on the driver corpus with a ~40%
-    # narrower candidate join
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
-    model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, threshold=threshold, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+    # EAGERLY materialize: this lineage feeds the band-key explode AND
+    # both sides of the exact verify; without the persist the shingling
+    # recomputes per consumer (round-2 persist-before-self-join
+    # finding). At cluster scale this is "checkpoint the signature
+    # table before self-joining it".
+    toks = shared_lineage(shingled.filter(F.size("shingles") > 0))
+
+    # table i's minhash: one JVM transform+array_min per table; the
+    # (i) literal salts xxhash64 so tables are independent hash draws
+    bands = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_min(F.expr(f"transform(shingles, s -> xxhash64(s, {i}))"))
+                    for i in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "h"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", F.round(1.0 - jac, 6).alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") < threshold)
     )
 
 
 @query(
     "q52_minhash_lsh_pairs",
-    doc="MinHash LSH near-dup candidates (pyspark.ml MinHashLSH over "
-        "hashed 3-word shingle sets, seeded): the sub-quadratic "
-        "banding path for 100 TB near-dedup — candidates form only on "
-        "minhash collisions, then exact shingle-Jaccard filters them. "
-        "Shingling keeps the similarity space sparse (token-level sets "
-        "degenerate on a ~50-word vocabulary). Rows-only (randomized "
-        "hash family is not SQL-expressible).",
+    doc="MinHash LSH near-dup candidates (expression-native: one "
+        "salted-xxhash64 minhash per OR-table over hashed 3-word "
+        "shingle sets): the sub-quadratic banding path for 100 TB "
+        "near-dedup — candidates form only on minhash collisions, "
+        "deduped as slim id pairs, then exact shingle-Jaccard filters "
+        "them. Shingling keeps the similarity space sparse (token-"
+        "level sets degenerate on a ~50-word vocabulary). Rows-only "
+        "(the salted hash family is not SQL-expressible).",
 )
 def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(read_table(spark, sf_dir, "documents"))

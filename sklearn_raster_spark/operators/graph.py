@@ -41,10 +41,14 @@ def connected_components(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
     sym = sym.distinct().localCheckpoint(eager=True)
+    # Seed labels with min(self, min neighbor) rather than identity:
+    # one aggregate performs what the identity-seeded loop spends its
+    # whole first join round doing, and on clique-shaped graphs (near-
+    # dup clusters) most nodes land on their final component label
+    # before the loop starts (measured: one fewer round end-to-end).
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("node"), F.min("dst")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
     fingerprint = labels.agg(F.sum("lbl")).first()[0]
