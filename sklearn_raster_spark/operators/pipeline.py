@@ -294,6 +294,122 @@ def q101_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K = 5
+BLOOM_BITS_PER_ITEM = 8
+
+
+def build_bloom_words(
+    items: DataFrame, col: str, m_bits: int, k: int = BLOOM_K
+) -> DataFrame:
+    """Distributed bloom-filter BUILD: k salted-xxhash64 bit positions
+    per item, OR-folded into 64-bit words by one bit_or hash aggregate.
+    Returns (word, bits) with at most m_bits/64 rows — broadcastable by
+    construction (a bloom is only useful if it fits one node), and the
+    build itself never collects the item set anywhere: the only shuffle
+    is the word-level bit_or aggregate, whose output is the filter."""
+    pos = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(m_bits))
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return pos.groupBy(F.shiftright("pos", 6).alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))")).alias("bits")
+    )
+
+
+def _bloom_position_cols(col: str, m_bits: int, k: int = BLOOM_K) -> list:
+    """The k probe positions for ``col`` — the SAME salted-hash family
+    the build uses, as plain columns."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(m_bits)).alias(f"_pos{j}")
+        for j in range(k)
+    ]
+
+
+@query(
+    "q106_contamination_bloom",
+    doc=f"Bloom-filter contamination check — q101's 100 TB swap-in "
+        "(SCALE.md; reference performance_tips.md:21-25's exact/"
+        "approximate trade-off pattern): instead of shuffling the "
+        "DISTINCT train shingle set into a join, the train side "
+        f"collapses to a bloom bitmap ({BLOOM_BITS_PER_ITEM} bits/item, "
+        f"k={BLOOM_K}, theoretical fpp ~2.2%) built by a distributed "
+        "bit_or word aggregate and broadcast as a (word, bits) dim "
+        "table; every eval shingle probes its k positions via k "
+        "chained broadcast hash joins — zero Python, no shuffle of "
+        "either shingle set, one final per-doc aggregate. Semantics = "
+        "q101 up to the false-positive rate, one-sided: n_shared_bloom "
+        ">= exact n_shared always (no false negatives), overshoot "
+        "bounded by fpp (pytest-pinned vs q101). Rows-only (the salted "
+        "hash family is not SQL-expressible).",
+)
+def q106_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    assigned = docs.withColumn("split", train_val_test(docs, F.col("doc_id")))
+    ws = F.split("text", " ")
+    with_ws = assigned.select("doc_id", "split", ws.alias("ws")).filter(
+        F.size("ws") >= SHINGLE_N
+    )
+    shingles = with_ws.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - SHINGLE_N),
+                lambda i: F.array_join(F.slice(F.col("ws"), i + 1, SHINGLE_N), " "),
+            )
+        ).alias("shingle"),
+    )
+    # the tokenize+slide lineage feeds the bloom build (train side),
+    # the sizing count, and the probe side — materialize once
+    shingles = shared_lineage(shingles)
+    train_sh = shingles.filter(F.col("split") == "train").select("shingle").distinct()
+    # size the filter off the actual item count (one count job over the
+    # cached lineage); power-of-two bits keep pmod cheap
+    n_train = max(train_sh.count(), 1)
+    m_bits = max(1 << 16, 1 << (n_train * BLOOM_BITS_PER_ITEM - 1).bit_length())
+    words = F.broadcast(build_bloom_words(train_sh, "shingle", m_bits))
+
+    ev = shingles.filter(F.col("split") != "train").select(
+        "doc_id", "split", *_bloom_position_cols("shingle", m_bits)
+    )
+    # k chained broadcast joins — each probes one position's word; the
+    # probe stays in the scan stage (no shuffle until the final agg)
+    hit_terms = []
+    for j in range(BLOOM_K):
+        w = words.select(
+            F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}")
+        )
+        ev = ev.join(
+            w, F.shiftright(f"_pos{j}", 6) == F.col(f"_w{j}"), "left"
+        )
+        bit = F.expr(f"shiftleft(1L, CAST(pmod(_pos{j}, 64) AS INT))")
+        hit_terms.append(
+            F.coalesce(F.col(f"_b{j}").bitwiseAND(bit) != 0, F.lit(False))
+        )
+    all_hit = hit_terms[0]
+    for t in hit_terms[1:]:
+        all_hit = all_hit & t
+    per = ev.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(all_hit.cast("int")).alias("n_shared_bloom"),
+    )
+    return per.select(
+        "doc_id",
+        "split",
+        "n_shingles",
+        "n_shared_bloom",
+        F.round(
+            F.col("n_shared_bloom").cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination_bloom"),
+    )
+
+
 @query(
     "q102_sequence_packing",
     oracle=f"""

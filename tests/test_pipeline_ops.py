@@ -271,3 +271,34 @@ def test_fixed_size_sample_exact_budget(spark, sf_dir):
         assert got[lang] == min(SAMPLE_PER_STRATUM, n)
     rows2 = fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_bloom_contamination_superset_and_fp_bound(spark, sf_dir):
+    """q106 vs exact q101: the bloom can only ADD hits (no false
+    negatives — every truly-shared shingle probes bits the build set),
+    and the overshoot on truly-unshared shingles is bounded by the
+    filter's false-positive rate (theoretical ~2.2% at 8 bits/item,
+    k=5; asserted <= 5%)."""
+    from sklearn_raster_spark.plans.registry import load_all_queries
+
+    reg = load_all_queries()
+    exact = {
+        (r.doc_id): r
+        for r in reg["q101_contamination_check"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r.doc_id): r
+        for r in reg["q106_contamination_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    fp, candidates = 0, 0
+    for doc_id, e in exact.items():
+        b = bloom[doc_id]
+        assert b.split == e.split
+        assert b.n_shingles == e.n_shingles
+        # one-sided: bloom >= exact, never below
+        assert b.n_shared_bloom >= e.n_shared, doc_id
+        fp += b.n_shared_bloom - e.n_shared
+        candidates += e.n_shingles - e.n_shared
+    assert candidates > 0
+    assert fp / candidates <= 0.05, f"bloom FP rate {fp/candidates:.4f}"
