@@ -5,21 +5,30 @@ output (q51/q52/q53/q57 near-dup PAIRS) into canonical groups
 
 Spark shape: a driver-side convergence loop over DataFrames — the one
 operator class where imperative control flow is legitimate, because
-the fixpoint test ("did any label change?") is data-dependent. Each
-iteration is a broadcast-free propagate (edges ⋈ labels → min per
-node); `localCheckpoint` truncates the growing lineage so iteration N
-does not replan iterations 1..N-1 (the classic iterative-Spark trap).
+the fixpoint test ("any cross-representative edges left?") is
+data-dependent. `localCheckpoint` truncates the growing lineage so
+level N does not replan levels 1..N-1 (the classic iterative-Spark
+trap).
 
-Convergence: labels only ever DECREASE (min of a fixed finite set), so
-the global sum of labels is a strictly decreasing fingerprint until
-the fixpoint — equality of consecutive fingerprints IS convergence,
-one aggregate per round, no expensive change-join.
+Algorithm: min-star contraction (the MapReduce-CC family of Kiveris
+et al., "Connected Components in MapReduce and Beyond"). Each level
+(1) hooks every current representative onto the minimum of itself and
+its neighbor representatives, (2) pointer-jumps that hook map once
+(lbl <- lbl(lbl), doubling propagation distance so adversarial chains
+still converge in O(log n) levels), then (3) CONTRACTS the edge set
+through the new labels, dropping self-loops. The decisive property
+for near-dup workloads: duplicate clusters are clique-shaped, so
+level 1 maps every node straight to its cluster minimum and the
+contracted edge set is EMPTY — the loop runs join work proportional
+to the (collapsing) quotient graph, not |E| per round like plain
+label propagation. Convergence test = `count() == 0` on the
+contracted edges, which is also the action that materializes the
+checkpoint — no separate fingerprint pass.
 
-Scale: each round shuffles |E| label-carrying rows; rounds ≈ graph
-diameter (co-occurrence / near-dup graphs are small-world, single-digit
-diameters). For adversarial long-chain graphs swap in alternating
-star contraction (same loop harness, different step) — the harness,
-checkpointing and fixpoint logic here are the reusable parts.
+Scale: level-1 work is one |E| shuffle (the hook aggregate) plus one
+|E| contraction join; every later level runs on the quotient graph,
+which shrinks geometrically. Labels update per level with one |V|
+left join.
 """
 
 from __future__ import annotations
@@ -40,44 +49,79 @@ def connected_components(
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
+    # two consumers (hook + contract) — materialize once
     sym = sym.distinct().localCheckpoint(eager=True)
-    # Seed labels with min(self, min neighbor) rather than identity:
-    # one aggregate performs what the identity-seeded loop spends its
-    # whole first join round doing, and on clique-shaped graphs (near-
-    # dup clusters) most nodes land on their final component label
-    # before the loop starts (measured: one fewer round end-to-end).
-    labels = (
-        sym.groupBy(F.col("src").alias("node"))
-        .agg(F.least(F.col("node"), F.min("dst")).alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    fingerprint = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iter):
-        prop = (
-            sym.join(labels, sym.src == labels.node)
-            .select(F.col("dst").alias("node"), "lbl")
-        )
-        stepped = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        # pointer jumping: lbl <- lbl(lbl). Every label is itself a node
-        # (ids come from the same vertex set), so one self-join doubles
-        # the propagation distance — O(log diameter) rounds instead of
-        # O(diameter); measured 5.2s -> 2.3s on the sf0.1 giant component
-        l2 = stepped.select(F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl"))
-        labels = (
-            stepped.join(l2, stepped.lbl == l2.j_node)
-            .select("node", F.col("j_lbl").alias("lbl"))
+
+    def hook(e: DataFrame, max_jumps: int = 64) -> DataFrame:
+        """Min-star hook with full path compression over edge set
+        ``e``. Every node points at min(self, min neighbor); that
+        pointer forest is then collapsed to its roots by iterated
+        pointer jumping (lbl <- lbl(lbl), doubling resolved depth per
+        jump — O(log depth) cheap |V|-sized joins, never an |E| join).
+        Returns (node, lbl) with lbl = the root of the node's hook
+        tree: lbl <= node, lbl reachable from node, and lbl(lbl) ==
+        lbl. Because every non-root tree has >= 2 nodes, the quotient
+        graph on roots at least HALVES per level."""
+        h = e.groupBy(F.col("src").alias("node")).agg(
+            F.least(F.col("node"), F.min("dst")).alias("lbl")
+        ).localCheckpoint(eager=True)
+        # labels strictly decrease while any pointer is unresolved, so
+        # a stable sum-of-labels fingerprint IS idempotence — one tiny
+        # aggregate per jump, no change-join. Every lbl value is
+        # itself a node of ``e`` (self or a neighbor; ``e`` is
+        # symmetric), so the jump self-join is total.
+        fp = h.agg(F.sum("lbl")).first()[0]
+        for _ in range(max_jumps):
+            j = h.select(F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl"))
+            h = (
+                h.join(j, h.lbl == j.j_node)
+                .select("node", F.col("j_lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            new_fp = h.agg(F.sum("lbl")).first()[0]
+            if new_fp == fp:
+                break
+            fp = new_fp
+        else:  # pragma: no cover - 2**64 depth is unreachable
+            raise RuntimeError("pointer jumping did not converge")
+        return h
+
+    def contract(e: DataFrame, lbl: DataFrame) -> DataFrame:
+        """Map both endpoints of ``e`` through ``lbl`` and drop
+        self-loops: the quotient graph on representatives. Symmetry is
+        preserved (both directions map pointwise)."""
+        l_src = lbl.select(F.col("node").alias("_sn"), F.col("lbl").alias("_sl"))
+        l_dst = lbl.select(F.col("node").alias("_dn"), F.col("lbl").alias("_dl"))
+        return (
+            e.join(l_src, e.src == l_src._sn)
+            .join(l_dst, e.dst == l_dst._dn)
+            .select(F.col("_sl").alias("src"), F.col("_dl").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        new_fp = labels.agg(F.sum("lbl")).first()[0]
-        if new_fp == fingerprint:
+
+    # Level 1 runs on the full edge set; on clique-shaped graphs
+    # (near-dup clusters) the hook already lands every node on its
+    # cluster minimum and the contracted quotient graph is empty.
+    labels = hook(sym)
+    quotient = contract(sym, labels)
+    for _ in range(max_iter):
+        if quotient.count() == 0:  # also materializes the checkpoint
             break
-        fingerprint = new_fp
+        lvl = hook(quotient)
+        # fold this level's representative map into the global labels:
+        # reps whose component already collapsed are absent from lvl
+        # (their edges became self-loops), hence the left join.
+        lmap = lvl.select(F.col("node").alias("_ln"), F.col("lbl").alias("_ll"))
+        labels = (
+            labels.join(lmap, labels.lbl == lmap._ln, "left")
+            .select("node", F.coalesce("_ll", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        quotient = contract(quotient, lvl)
     else:  # pragma: no cover - adversarial diameter
-        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+        raise RuntimeError(f"components did not converge in {max_iter} levels")
     return labels.select("node", F.col("lbl").alias("component"))
 
 
