@@ -494,3 +494,128 @@ def q103_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q110_outlier_flags",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(value) AS n,
+               SUM(CAST(value AS DECIMAL(28, 10))) AS s1,
+               SUM(CAST(value AS DECIMAL(28, 10)) * CAST(value AS DECIMAL(28, 10))) AS s2
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    ), z AS (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - CAST(s.s1 AS DOUBLE) / s.n)
+                   / NULLIF(SQRT((CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) / (CAST(s.n AS DOUBLE) * s.n)), 0)
+                   AS zscore
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE e.value IS NOT NULL
+    )
+    SELECT event_id, event_type, value, zscore,
+           (ABS(zscore) > 3.0) AS is_outlier
+    FROM z
+    """,
+    doc="Per-group z-score outlier flagging — the drift/anomaly gate a "
+        "data pipeline runs per batch. Group mean/std come from exact "
+        "DECIMAL moment sums (n, sum, sum-of-squares) so the statistics "
+        "are order-independent and bit-identical across engines; the "
+        "per-row z is then scalar IEEE arithmetic (sqrt is correctly "
+        "rounded by IEEE 754, so both engines agree bitwise). Plan: "
+        "one scan + tiny per-type aggregate broadcast back onto the "
+        "stream of rows — no window, no per-row state; constant-width "
+        "mergeable partials at any scale. Degenerate groups (zero "
+        "variance) yield NULL z via NULLIF on both sides (round-3 "
+        "ADVICE.md divergence class).",
+)
+def q110_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vdec = F.col("value").cast("decimal(28,10)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    std = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    z = (F.col("value") - mean) / F.nullif(std, F.lit(0.0))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_outlier"),
+        )
+    )
+
+
+@query(
+    "q111_quantile_binning",
+    oracle="""
+    WITH cuts AS (
+        SELECT QUANTILE_CONT(l_quantity, 0.25) AS c1,
+               QUANTILE_CONT(l_quantity, 0.50) AS c2,
+               QUANTILE_CONT(l_quantity, 0.75) AS c3
+        FROM lineitem
+    ), binned AS (
+        SELECT CASE WHEN l_quantity < c1 THEN 0
+                    WHEN l_quantity < c2 THEN 1
+                    WHEN l_quantity < c3 THEN 2
+                    ELSE 3 END AS bin,
+               l_quantity, l_extendedprice
+        FROM lineitem, cuts
+    )
+    SELECT bin,
+           COUNT(*) AS n_items,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28, 10))) AS DOUBLE) AS sum_price
+    FROM binned
+    GROUP BY bin
+    """,
+    doc="Exact-quantile feature discretization (the QuantileDiscretizer "
+        "preprocessing op, but with exact cut points): global quartiles "
+        "of l_quantity become bin boundaries, every row is bucketed by "
+        "broadcast CASE comparison, and per-bin stats verify the "
+        "assignment. Determinism leans on the q86 anchor: quantity is "
+        "an integral-valued double, so .25-grid interpolation is exact "
+        "in binary FP and both engines compute identical cut points; "
+        "cut points falling strictly between adjacent data values can "
+        "never flip a comparison. Plan: one pass for the 3-value cut "
+        "table (driver-collected equivalent of a broadcast), then one "
+        "scan-parallel binning pass — the sketch dual "
+        "(approx_percentile cuts) is the swap-in at 100 TB, with this "
+        "as its test-scale anchor, mirroring the q86/q92 pair.",
+)
+def q111_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("c1"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("c2"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("c3"),
+    )
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("l_quantity") < F.col("c1"), 0)
+        .when(F.col("l_quantity") < F.col("c2"), 1)
+        .when(F.col("l_quantity") < F.col("c3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

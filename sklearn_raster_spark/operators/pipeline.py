@@ -507,3 +507,52 @@ def q105_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
         .select("doc_id", "lang", "rn")
     )
+
+
+PRIORITY_SAMPLE_K = 200
+
+
+@query(
+    "q108_priority_sample",
+    oracle=f"""
+    WITH pr AS (
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice / ((CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) + 1) / 16777216.0)
+                   AS priority
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, priority
+    FROM pr
+    ORDER BY priority DESC, o_orderkey
+    LIMIT {PRIORITY_SAMPLE_K}
+    """,
+    doc=f"Weighted sampling without replacement via priority sampling "
+        "(Duffield-Lund-Thorup): each order gets priority w/u with "
+        "weight w = o_totalprice and u a deterministic md5-derived "
+        "uniform in (0,1], and the top-" f"{PRIORITY_SAMPLE_K} "
+        "priorities form the sample — heavier rows enter with "
+        "probability min(1, w/threshold), the estimator-friendly "
+        "weighted subset a pipeline uses to downsample by importance "
+        "(e.g. longer docs / higher-loss shards). Deterministic: u is "
+        "a pure row-key function (md5 24-bit prefix, same arithmetic "
+        "in the oracle), so the sample survives retries, "
+        "repartitioning and engine swaps. Plan: no window, no full "
+        "sort — Catalyst runs TakeOrderedAndProject (per-partition "
+        "top-k, merge k at the driver), the scalable global-top-k "
+        "shape.",
+)
+def q108_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    u = (h + F.lit(1)) / F.lit(16777216.0)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice") / u).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "o_orderkey")
+        .limit(PRIORITY_SAMPLE_K)
+    )

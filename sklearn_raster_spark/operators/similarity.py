@@ -501,3 +501,57 @@ def q100_bounded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+@query(
+    "q112_embedding_quantize",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+    ), sc AS (
+        SELECT i, 127.0 / NULLIF(MAX(ABS(x)), 0) AS scale FROM ex GROUP BY i
+    ), q AS (
+        SELECT e.vec_id, e.i, CAST(FLOOR(e.x * s.scale + 0.5) AS INTEGER) AS qv
+        FROM ex e JOIN sc s ON e.i = s.i
+    )
+    SELECT vec_id,
+           CAST(SUM(qv * i) AS BIGINT) AS checksum,
+           CAST(SUM(ABS(qv)) AS BIGINT) AS l1_norm,
+           CAST(SUM(CASE WHEN ABS(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+    FROM q
+    GROUP BY vec_id
+    """,
+    doc="Symmetric int8 quantization of the embedding corpus — the "
+        "compression step that makes billion-vector ANN serving "
+        "memory-feasible (4x smaller vectors, SIMD integer dot "
+        "products). Per-dimension scale = 127/max|x| from one "
+        "mergeable aggregate (64 rows at ANY corpus size, broadcast "
+        "back); quantized value = floor(x*scale + 0.5), which is "
+        "deterministic scalar IEEE arithmetic on both engines — "
+        "engine ROUND() is deliberately avoided because HALF_UP vs "
+        "HALF_EVEN differ at .5 boundaries. The per-vector "
+        "position-weighted checksum + L1 norm + saturation count pin "
+        "every quantized component through the driver's hash without "
+        "shipping array columns. Plan: explode once (persisted for "
+        "its two consumers), tiny dim-stats broadcast join, one "
+        "groupBy vec_id — no window, no Python.",
+)
+def q112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = shared_lineage(
+        emb.select(
+            "vec_id",
+            F.posexplode("embedding").alias("dim", "xf"),
+        ).select("vec_id", (F.col("dim") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    )
+    sc = ex.groupBy("i").agg(
+        (F.lit(127.0) / F.nullif(F.max(F.abs(F.col("x"))), F.lit(0.0))).alias("scale")
+    )
+    qv = F.floor(F.col("x") * F.col("scale") + F.lit(0.5)).cast("int")
+    q = ex.join(F.broadcast(sc), "i").select("vec_id", "i", qv.alias("qv"))
+    return q.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("i")).cast("bigint").alias("checksum"),
+        F.sum(F.abs("qv")).cast("bigint").alias("l1_norm"),
+        F.sum(F.when(F.abs("qv") == 127, 1).otherwise(0)).cast("bigint").alias("n_saturated"),
+    )

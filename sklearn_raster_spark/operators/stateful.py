@@ -194,3 +194,29 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+@query(
+    "q107_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming deduplication driven END-TO-END as a real "
+        "availableNow streaming query: dropDuplicatesWithinWatermark "
+        "keeps the first event per (user_id, event_type) with per-key "
+        "state that the 2-hour watermark purges — the bounded-state "
+        "contract an unbounded 100 TB/day stream needs (plain "
+        "dropDuplicates would grow state forever). Which physical row "
+        "survives per key is arrival-order dependent, so the query "
+        "projects the KEY SET, which is deterministic and lets the "
+        "batch DISTINCT oracle hash-grade a stateful streaming "
+        "operator. Batch dual: q29 keep-first; q50 exact dedup.",
+)
+def q107_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.streaming import (
+        dedup_stream,
+        run_append_stream_to_memory,
+    )
+
+    deduped = dedup_stream(spark, sf_dir).select("user_id", "event_type")
+    sink = "q107_stream_dedup_sink"
+    run_append_stream_to_memory(deduped, sink)
+    return spark.table(sink)

@@ -297,3 +297,59 @@ def q96_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "score", "rn")
     )
+
+
+@query(
+    "q109_repetition_signals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               LEN(ws) AS n_words,
+               LEN(LIST_DISTINCT(ws)) AS n_distinct,
+               LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(ws),
+                        w -> LEN(LIST_FILTER(ws, x -> x = w)))) AS top_count
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_words AS DOUBLE) AS dup_word_frac,
+           CAST(CAST(top_count AS DOUBLE) / n_words AS DOUBLE) AS top_word_frac,
+           (1.0 - CAST(n_distinct AS DOUBLE) / n_words > 0.5
+            OR CAST(top_count AS DOUBLE) / n_words > 0.2) AS repetitive
+    FROM sig
+    """,
+    doc="Repetition-based quality signals (the Gopher/MassiveText "
+        "repetition-filter family): per-document duplicate-word "
+        "fraction and most-frequent-word mass, flagging documents "
+        "whose token stream is degenerate boilerplate. Pure array "
+        "expressions inside one narrow scan — the top-count is an "
+        "in-array fold (distinct x count-occurrences), so no explode "
+        "shuffle and no per-token state leaves the row; at 100 TB "
+        "this stays embarrassingly parallel, and the two divisions "
+        "are single IEEE ops replicated verbatim in the oracle.",
+)
+def q109_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sig = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda w: F.size(F.filter(ws, lambda x: x == w)),
+            )
+        ).alias("top_count"),
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")
+    top_frac = F.col("top_count").cast("double") / F.col("n_words")
+    return sig.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_word_frac"),
+        ((dup_frac > 0.5) | (top_frac > 0.2)).alias("repetitive"),
+    )

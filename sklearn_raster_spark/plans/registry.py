@@ -91,6 +91,12 @@ _WINDOW_ORDER = (
     # ever older than the code it grades.
     # -- new in round 4, never graded
     "q106_contamination_bloom",
+    "q107_stream_dedup",
+    "q108_priority_sample",
+    "q109_repetition_signals",
+    "q110_outlier_flags",
+    "q111_quantile_binning",
+    "q112_embedding_quantize",
     # -- stale: last driver row is r01, and dedup.py/text.py/relational
     #    churned since
     "q32_approx_count_distinct",

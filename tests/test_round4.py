@@ -1,0 +1,104 @@
+"""Round-4 operators: streaming dedup (q107), weighted priority
+sampling (q108), repetition quality signals (q109), z-score outlier
+flags (q110), exact-quantile binning (q111), int8 embedding
+quantization (q112). Each gets the full value-level oracle comparison
+plus the semantic law the oracle alone can't express."""
+
+import pytest
+
+from sklearn_raster_spark.plans.registry import load_all_queries
+
+from tests.oracle_utils import compare_query
+
+NEW_ORACLE_QUERIES = [
+    "q107_stream_dedup",
+    "q108_priority_sample",
+    "q109_repetition_signals",
+    "q110_outlier_flags",
+    "q111_quantile_binning",
+    "q112_embedding_quantize",
+]
+
+
+@pytest.mark.parametrize("name", NEW_ORACLE_QUERIES)
+def test_oracle_value_match(spark, sf_dir, name):
+    assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_priority_sample_is_weight_biased(spark, sf_dir):
+    """Priority sampling must over-represent heavy rows: the mean
+    weight of the sample exceeds the population mean (w/u ranking
+    favors large w for any fixed u distribution)."""
+    from sklearn_raster_spark.operators.pipeline import PRIORITY_SAMPLE_K
+    from sklearn_raster_spark.sources import read_table
+
+    sample = load_all_queries()["q108_priority_sample"].fn(spark, sf_dir).toPandas()
+    assert len(sample) == PRIORITY_SAMPLE_K
+    pop_mean = (
+        read_table(spark, sf_dir, "orders").agg({"o_totalprice": "avg"}).first()[0]
+    )
+    assert sample.o_totalprice.mean() > pop_mean
+    # priorities really are w/u with u <= 1: priority >= weight
+    assert (sample.priority >= sample.o_totalprice - 1e-9).all()
+
+
+def test_repetition_signals_laws(spark, sf_dir):
+    df = load_all_queries()["q109_repetition_signals"].fn(spark, sf_dir).toPandas()
+    assert (df.dup_word_frac >= 0).all() and (df.dup_word_frac < 1).all()
+    assert (df.top_word_frac > 0).all() and (df.top_word_frac <= 1).all()
+    # flag definition holds row-wise
+    expect = (df.dup_word_frac > 0.5) | (df.top_word_frac > 0.2)
+    assert (df.repetitive == expect).all()
+
+
+def test_outlier_zscores_standardized(spark, sf_dir):
+    """Within each event_type the z-scores must have ~0 mean and ~1
+    std (population std, exact moments) — the definition of the
+    transform, checked independently of the oracle."""
+    pdf = load_all_queries()["q110_outlier_flags"].fn(spark, sf_dir).toPandas()
+    for _, g in pdf.groupby("event_type"):
+        z = g.zscore.dropna()
+        if len(z) > 1:
+            assert abs(z.mean()) < 1e-9
+            assert abs(z.std(ddof=0) - 1.0) < 1e-9
+    assert (pdf.is_outlier == (pdf.zscore.abs() > 3.0)).all()
+
+
+def test_quantile_bins_partition_the_table(spark, sf_dir):
+    from sklearn_raster_spark.sources import read_table
+
+    pdf = (
+        load_all_queries()["q111_quantile_binning"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    total = read_table(spark, sf_dir, "lineitem").count()
+    assert pdf.n_items.sum() == total  # bins partition, no row lost
+    assert set(pdf.bin) == {0, 1, 2, 3}
+    # bins are ordered and non-overlapping on the binned value
+    assert (pdf.max_qty.values[:-1] <= pdf.min_qty.values[1:]).all()
+    # quartile binning is roughly balanced on integral data
+    assert pdf.n_items.min() > 0.1 * total
+
+
+def test_quantize_saturates_at_dim_max(spark, sf_dir):
+    """Each dimension's max-|x| element quantizes to exactly +/-127,
+    so the corpus has at least one saturated component per dimension
+    and no |qv| beyond 127 (checked via the l1/checksum invariants)."""
+    pdf = load_all_queries()["q112_embedding_quantize"].fn(spark, sf_dir).toPandas()
+    assert pdf.n_saturated.sum() >= 64  # >= one per dimension
+    # l1 norm bounds: 64 components, each |qv| <= 127
+    assert (pdf.l1_norm <= 64 * 127).all()
+    assert (pdf.n_saturated <= 64).all()
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.sources import read_table
+
+    got = load_all_queries()["q107_stream_dedup"].fn(spark, sf_dir)
+    batch = read_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
