@@ -109,10 +109,16 @@ def main() -> None:
             release_shared_caches()
             spark.catalog.clearCache()
             gc.collect()
-            # JVM full GC (lets ContextCleaner reap dead broadcasts) is
-            # itself a multi-hundred-ms pause whose tail can bleed into
-            # the NEXT query's timing — amortize it over batches of 10
-            if qi % 10 == 9:
+            # JVM full GC (lets ContextCleaner reap dead broadcasts,
+            # shuffle files and localCheckpoint blocks) is itself a
+            # multi-hundred-ms pause whose tail can bleed into the NEXT
+            # query's timing — amortize it over batches of 10 for cheap
+            # queries, but force it after any heavy query: at sf >= 1 a
+            # single dedup/graph query strands GBs of checkpoint blocks
+            # and shuffle files that the cleaner cannot reap until a GC
+            # proves the references dead, and that pressure inflated
+            # every later query 5-7x in the first sf1 run.
+            if qi % 10 == 9 or timings.get(name, 0.0) > 2.0:
                 try:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:

@@ -499,9 +499,19 @@ class SparkEstimator:
         fit_X = np.asarray(getattr(self.estimator, "_X"), dtype=np.float64)
         spark = ff.df.sparkSession
 
+        # Arrow batch upload (a pandas frame), NOT a row-list
+        # createDataFrame: the pickle-per-row path costs ~1 s driver
+        # time for a 2k x 64 fit set and was the single largest
+        # first-run cost of this operator.
+        import pandas as pd
+
         fit_arrs = spark.createDataFrame(
-            [(int(i), [float(v) for v in row]) for i, row in enumerate(fit_X)],
-            ["fit_idx", "fit_arr"],
+            pd.DataFrame(
+                {
+                    "fit_idx": np.arange(fit_X.shape[0], dtype=np.int64),
+                    "fit_arr": list(fit_X),
+                }
+            )
         )
 
         # Seeded unit-norm Gaussian hyperplanes (the same projection
@@ -515,13 +525,19 @@ class SparkEstimator:
         # matmul over the (local) fit set replaces an ML-pipeline fit +
         # transform + posexplode subplan.
         fit_buckets = np.floor(fit_X @ planes.T / bucket_length).astype(np.int64)
+        n_fit = fit_buckets.shape[0]
         fit_keys = spark.createDataFrame(
-            [
-                (int(t), int(b), int(i))
-                for i, row in enumerate(fit_buckets)
-                for t, b in enumerate(row)
-            ],
-            ["_tbl", "_bucket", "fit_idx"],
+            pd.DataFrame(
+                {
+                    "_tbl": np.tile(
+                        np.arange(num_hash_tables, dtype=np.int64), n_fit
+                    ),
+                    "_bucket": fit_buckets.reshape(-1),
+                    "fit_idx": np.repeat(
+                        np.arange(n_fit, dtype=np.int64), num_hash_tables
+                    ),
+                }
+            )
         )
 
         data = ff.df.withColumn("_rid", F.monotonically_increasing_id())

@@ -86,6 +86,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing ---------------------------------------------
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        # --- heap: local-mode drivers default to a 1 GiB JVM, which a
+        #     32-thread local[32] run exhausts (every "executor" shares
+        #     the driver heap). Applies only at JVM launch; on a real
+        #     cluster the submit config wins. ----------------------------
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        # ContextCleaner only reaps shuffle files / broadcasts /
+        # checkpoint blocks after a JVM GC proves the references dead;
+        # a big heap may not GC for hours, so long-running drivers
+        # accumulate. Periodic forced GC is the standard knob (default
+        # 30min is too lazy for a query-per-second serving loop).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # --- Arrow everywhere at the Python boundary ---------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
