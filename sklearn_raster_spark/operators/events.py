@@ -379,3 +379,74 @@ def q95_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t3").alias("first_purchase"),
         )
     )
+
+
+@query(
+    "q113_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM ordered
+    ), intervals AS (
+        SELECT user_id, event_type,
+               CAST(run_id AS INTEGER) AS version,
+               MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM runs
+        GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, version, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+               AS is_current
+    FROM intervals
+    """,
+    doc="Slowly-changing-dimension type-2 history build: collapse each "
+        "user's event stream into validity intervals per run of equal "
+        "event_type (valid_from = run start, valid_to = next run's "
+        "start, open-ended current row flagged) — the change-data-"
+        "capture -> dimension-history materialization every warehouse "
+        "ingest runs. Plan: ONE shuffle on user_id feeds the change-"
+        "flag window, the run aggregate and the interval-linking lead "
+        "window (all three are partitioned by the same key, so "
+        "Catalyst reuses the exchange); no global sort anywhere. "
+        "Deterministic: run boundaries tie-break on (ts, event_id).",
+)
+def q113_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    runs = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(wv)
+    return intervals.select(
+        "user_id",
+        "event_type",
+        F.col("run_id").cast("int").alias("version"),
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -556,3 +556,78 @@ def q108_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "o_orderkey")
         .limit(PRIORITY_SAMPLE_K)
     )
+
+
+MIX_BATCH = 120
+
+
+def _mix_weight_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IN ('src0','src1','src2','src3','src4') THEN 4.0 "
+        f"WHEN {col} IN ('src5','src6','src7','src8','src9') THEN 2.0 "
+        "ELSE 1.0 END"
+    )
+
+
+@query(
+    "q114_training_mix",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               {_mix_weight_sql('source')} AS w
+        FROM documents
+    ), keyed AS (
+        SELECT doc_id, source, CAST(rn AS INTEGER) AS rn,
+               (rn - 0.5) / w AS pos_key
+        FROM ranked
+    )
+    SELECT doc_id, source, rn, pos_key
+    FROM keyed
+    ORDER BY pos_key, source, doc_id
+    LIMIT {MIX_BATCH}
+    """,
+    doc="Deterministic training-mix scheduler (the Pile/Dolma-style "
+        "source-weighted interleave): every source's docs are put in a "
+        "reproducible pseudorandom order (md5 rank), then interleaved "
+        "by fractional position (rn - 0.5)/weight, so a weight-4 "
+        "source contributes 4 docs for every weight-1 doc — the exact "
+        "stream order a loader would consume for a target corpus mix. "
+        "The query emits the next batch of " f"{MIX_BATCH}" " docs: "
+        "per-source rank is a partitioned window (WindowGroupLimit-"
+        "prunable), the global batch is TakeOrderedAndProject — "
+        "per-partition top-k, merge at the driver, never a global "
+        "sort. Deterministic: pseudorandom order is a pure row-key "
+        "function; ties break on (source, doc_id); the fractional "
+        "key is one IEEE division replicated in the oracle.",
+)
+def q114_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    weight = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 4.0)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2.0)
+        .otherwise(1.0)
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        weight.alias("w"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "source",
+            "rn",
+            ((F.col("rn") - 0.5) / F.col("w")).alias("pos_key"),
+        )
+        .orderBy("pos_key", "source", "doc_id")
+        .limit(MIX_BATCH)
+    )

@@ -97,6 +97,8 @@ _WINDOW_ORDER = (
     "q110_outlier_flags",
     "q111_quantile_binning",
     "q112_embedding_quantize",
+    "q113_scd2_intervals",
+    "q114_training_mix",
     # -- stale: last driver row is r01, and dedup.py/text.py/relational
     #    churned since
     "q32_approx_count_distinct",

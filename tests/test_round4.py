@@ -102,3 +102,49 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
     batch = read_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
+
+
+def test_scd2_oracle(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q113_scd2_intervals") > 0
+
+
+def test_training_mix_oracle(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q114_training_mix") > 0
+
+
+def test_scd2_interval_laws(spark, sf_dir):
+    """Intervals per user must chain (valid_to == next valid_from),
+    have exactly one open interval, and cover every event."""
+    from sklearn_raster_spark.sources import read_table
+
+    pdf = (
+        load_all_queries()["q113_scd2_intervals"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+    )
+    total_events = read_table(spark, sf_dir, "events").count()
+    assert pdf.n_events.sum() == total_events
+    for _, g in pdf.groupby("user_id"):
+        assert g.is_current.sum() == 1  # exactly one open interval
+        assert g.is_current.iloc[-1]  # and it is the last version
+        # intervals chain: valid_to of row i == valid_from of row i+1
+        assert (
+            g.valid_to.iloc[:-1].values == g.valid_from.iloc[1:].values
+        ).all()
+
+
+def test_training_mix_respects_weights(spark, sf_dir):
+    """Heavier sources appear proportionally more often in the batch:
+    weight-4 sources contribute ~4x the docs of weight-1 sources."""
+    from sklearn_raster_spark.operators.pipeline import MIX_BATCH
+
+    pdf = load_all_queries()["q114_training_mix"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == MIX_BATCH
+    by_w = pdf.source.map(
+        lambda s: 4 if s in {"src0", "src1", "src2", "src3", "src4"}
+        else (2 if s in {"src5", "src6", "src7", "src8", "src9"} else 1)
+    )
+    counts = pdf.groupby(by_w).size()
+    # per-source shares: weight-4 sources each get ~2x a weight-2 source
+    per_source = {w: counts.get(w, 0) / (5 if w in (4, 2) else 10) for w in (4, 2, 1)}
+    assert per_source[4] > per_source[2] > per_source[1] > 0
