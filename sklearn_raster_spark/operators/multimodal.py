@@ -238,3 +238,77 @@ def q81_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q82_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return resize_payload(attach_binary_payload(docs))
+
+
+AUDIO_WIN = 64
+AUDIO_HOP = 32
+
+
+def audio_window_energy(
+    df: DataFrame, payload_col: str = "payload", win: int = AUDIO_WIN, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Overlapping-window analysis over binary payloads (the STFT
+    frame shape: window ``win`` samples, hop ``hop``): per window emit
+    start offset, sample count, integer energy (sum of squared sample
+    values) and peak amplitude. mapInPandas fan-out — one payload row
+    yields ~len/hop window rows executor-side, payload bytes never
+    visit the driver; numpy does the per-batch vector math."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "start": [], "n_samples": [],
+                   "energy": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(samples)
+                idx = 0
+                for start in range(0, n, hop):
+                    w = samples[start : start + win].astype(np.int64)
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(idx)
+                    out["start"].append(start)
+                    out["n_samples"].append(int(w.size))
+                    out["energy"].append(int((w * w).sum()))
+                    out["peak"].append(int(w.max()))
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel,
+        "doc_id long, win_idx int, start int, n_samples int, energy bigint, peak int",
+    )
+
+
+@query(
+    "q115_audio_window_energy",
+    oracle=f"""
+    WITH wins AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS win_idx,
+               CAST(i * {AUDIO_HOP} AS INTEGER) AS start,
+               SUBSTR(text, i * {AUDIO_HOP} + 1, {AUDIO_WIN}) AS w
+        FROM documents,
+             UNNEST(RANGE(0, (LENGTH(text) - 1) // {AUDIO_HOP} + 1)) AS t(i)
+    )
+    SELECT doc_id, win_idx, start,
+           CAST(LENGTH(w) AS INTEGER) AS n_samples,
+           CAST(LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(w, ''), c -> UNICODE(c) * UNICODE(c)),
+                            (a, b) -> a + b) AS BIGINT) AS energy,
+           CAST(LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(w, ''), c -> UNICODE(c))) AS INTEGER) AS peak
+    FROM wins
+    """,
+    doc="Overlapping-window audio analysis (STFT frame plumbing): "
+        f"{AUDIO_WIN}-sample windows at hop {AUDIO_HOP} over each "
+        "payload, per-window integer energy + peak — the windowed "
+        "feature-extraction stage of an audio pipeline (a real FFT "
+        "kernel drops into the same mapInPandas slot; codecs are the "
+        "documented env stub). ASCII payloads make every window's "
+        "energy/peak exactly SQL-checkable (byte == codepoint), so "
+        "the fan-out geometry AND the numeric kernel are hash-graded. "
+        "Scale: one narrow scan, fan-out and vector math stay "
+        "executor-side, output is (len/hop) slim integer rows per "
+        "payload — embarrassingly parallel.",
+)
+def q115_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_window_energy(attach_binary_payload(docs))

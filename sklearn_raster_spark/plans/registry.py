@@ -99,6 +99,7 @@ _WINDOW_ORDER = (
     "q112_embedding_quantize",
     "q113_scd2_intervals",
     "q114_training_mix",
+    "q115_audio_window_energy",
     # -- stale: last driver row is r01, and dedup.py/text.py/relational
     #    churned since
     "q32_approx_count_distinct",

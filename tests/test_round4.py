@@ -148,3 +148,27 @@ def test_training_mix_respects_weights(spark, sf_dir):
     # per-source shares: weight-4 sources each get ~2x a weight-2 source
     per_source = {w: counts.get(w, 0) / (5 if w in (4, 2) else 10) for w in (4, 2, 1)}
     assert per_source[4] > per_source[2] > per_source[1] > 0
+
+
+def test_audio_windows_oracle(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q115_audio_window_energy") > 0
+
+
+def test_audio_window_geometry(spark, sf_dir):
+    """Window fan-out laws: contiguous win_idx per doc, hop spacing,
+    full windows except possibly the tail, energy bounded by
+    n_samples * 255^2."""
+    from sklearn_raster_spark.operators.multimodal import AUDIO_HOP, AUDIO_WIN
+
+    pdf = (
+        load_all_queries()["q115_audio_window_energy"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "win_idx"])
+    )
+    assert (pdf.start == pdf.win_idx * AUDIO_HOP).all()
+    assert (pdf.n_samples <= AUDIO_WIN).all() and (pdf.n_samples > 0).all()
+    for _, g in pdf.groupby("doc_id"):
+        assert (g.win_idx.values == range(len(g))).all()
+        assert (g.n_samples.values[:-2] == AUDIO_WIN).all()  # only tail may be short
+    assert (pdf.energy <= pdf.n_samples * 255 * 255).all()
+    assert (pdf.peak <= 255).all() and (pdf.peak >= 0).all()
