@@ -220,3 +220,70 @@ def q107_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = "q107_stream_dedup_sink"
     run_append_stream_to_memory(deduped, sink)
     return spark.table(sink)
+
+
+@query(
+    "q116_stream_inference",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN value IS NULL THEN -1.0
+                ELSE 1.0 + value * 2.5 END AS score
+    FROM events
+    """,
+    doc="Streaming inference driven END-TO-END: the expression-"
+        "compiled estimator predict path (q48's FixedLinearModel -> "
+        "Catalyst columns) scores an unbounded event stream with the "
+        "SAME SparkEstimator API as batch — zero Python in the hot "
+        "path, so the plan is stream-safe by construction; NoData "
+        "rows (value IS NULL) carry the nodata_output sentinel "
+        "through the stream exactly as in batch (O2/O5 semantics). "
+        "The batch oracle replicates the compiled expression's "
+        "sequential IEEE order (1.0 + value*2.5), so every scored "
+        "event hash-matches. A capability the batch-only reference "
+        "has no analog for (SURVEY.md streaming [extension]).",
+)
+def q116_stream_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.streaming import (
+        run_append_stream_to_memory,
+        scored_events_stream,
+    )
+
+    stream = scored_events_stream(spark, sf_dir)
+    sink = "q116_stream_inference_sink"
+    run_append_stream_to_memory(stream, sink)
+    return spark.table(sink)
+
+
+@query(
+    "q117_stream_interval_join",
+    oracle="""
+    SELECT
+        c.event_id AS click_id,
+        p.event_id AS purchase_id,
+        c.user_id,
+        CAST(DATEDIFF('second', p.ts, c.ts) AS BIGINT) AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts <= c.ts
+     AND p.ts > c.ts - INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join driven END-TO-END as an "
+        "availableNow streaming query: clicks x purchases by the same "
+        "user within the preceding hour, watermarks on BOTH sides so "
+        "each side's join state expires once the other side's "
+        "watermark passes the interval bound — the bounded-state "
+        "contract an unbounded double stream needs. The batch q38 "
+        "oracle hash-checks the full matched-pair set (append-mode "
+        "emission is exactly the matched pairs).",
+)
+def q117_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.streaming import (
+        interval_join_stream,
+        run_append_stream_to_memory,
+    )
+
+    stream = interval_join_stream(spark, sf_dir)
+    sink = "q117_stream_interval_join_sink"
+    run_append_stream_to_memory(stream, sink)
+    return spark.table(sink)

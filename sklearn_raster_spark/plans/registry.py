@@ -100,6 +100,8 @@ _WINDOW_ORDER = (
     "q113_scd2_intervals",
     "q114_training_mix",
     "q115_audio_window_energy",
+    "q116_stream_inference",
+    "q117_stream_interval_join",
     # -- stale: last driver row is r01, and dedup.py/text.py/relational
     #    churned since
     "q32_approx_count_distinct",

@@ -172,3 +172,11 @@ def test_audio_window_geometry(spark, sf_dir):
         assert (g.n_samples.values[:-2] == AUDIO_WIN).all()  # only tail may be short
     assert (pdf.energy <= pdf.n_samples * 255 * 255).all()
     assert (pdf.peak <= 255).all() and (pdf.peak >= 0).all()
+
+
+def test_stream_inference_oracle(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q116_stream_inference") > 0
+
+
+def test_stream_interval_join_oracle(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q117_stream_interval_join") > 0
