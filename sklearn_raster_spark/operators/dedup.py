@@ -413,7 +413,8 @@ def q104_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = q51_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    # q51 pairs are DISTINCT (doc_a, doc_b) with doc_a < doc_b
+    comps = connected_components(pairs, src="doc_a", dst="doc_b", assume_distinct=True)
     keeper = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         docs.select("doc_id")

@@ -41,16 +41,30 @@ from sklearn_raster_spark.sources import read_table
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
     Returns (node, component) where component = min node id reachable.
-    Deterministic (pure min semiring — no RNG, no order dependence)."""
+    Deterministic (pure min semiring — no RNG, no order dependence).
+
+    ``assume_distinct=True`` skips the defensive edge dedup — correct
+    whenever the caller's edge list is already duplicate-free with
+    src < dst (a pair-output groupBy/distinct upstream, as in q51/q84
+    pairs): the two-direction union of such a set cannot collide, so
+    the dedup would spend a full |E| shuffle proving nothing.
+    Duplicate edges would not change the fixpoint anyway (min is
+    idempotent) — only the per-level join work."""
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
+    if not assume_distinct:
+        sym = sym.distinct()
     # two consumers (hook + contract) — materialize once
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
 
     def hook(e: DataFrame, max_jumps: int = 64) -> DataFrame:
         """Min-star hook with full path compression over edge set
@@ -178,5 +192,6 @@ def q84_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
-    comps = connected_components(pairs, src="pa", dst="pb")
+    # pairs come out of a groupBy(pa, pb) with pa < pb — already distinct
+    comps = connected_components(pairs, src="pa", dst="pb", assume_distinct=True)
     return comps.select(F.col("node").alias("partkey"), "component")
