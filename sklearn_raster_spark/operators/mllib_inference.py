@@ -105,3 +105,73 @@ def q47_mllib_logistic_proba(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(proba[1], 6).alias("proba_even"),
         F.col("prediction").cast("int").alias("pred_is_even"),
     )
+
+
+ITEMSET_MIN_ORDERS = 3
+
+
+@query(
+    "q118_frequent_itemsets",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT l_orderkey, LIST_DISTINCT(LIST(l_partkey)) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), singles AS (
+        SELECT CAST(1 AS INTEGER) AS size, l_partkey AS item_a,
+               CAST(NULL AS BIGINT) AS item_b,
+               COUNT(DISTINCT l_orderkey) AS freq
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING COUNT(DISTINCT l_orderkey) >= {ITEMSET_MIN_ORDERS}
+    ), pairs AS (
+        SELECT CAST(2 AS INTEGER) AS size, a.l_partkey AS item_a,
+               b.l_partkey AS item_b,
+               COUNT(DISTINCT a.l_orderkey) AS freq
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(DISTINCT a.l_orderkey) >= {ITEMSET_MIN_ORDERS}
+    )
+    SELECT size, item_a, item_b, CAST(freq AS BIGINT) AS freq
+    FROM singles
+    UNION ALL
+    SELECT size, item_a, item_b, CAST(freq AS BIGINT) AS freq FROM pairs
+    """,
+    doc="Frequent-itemset mining (market-basket analysis) with MLlib "
+        f"FPGrowth over order baskets, minimum support {ITEMSET_MIN_ORDERS} "
+        "orders: the association-mining surface (FP-tree build is one "
+        "pass + one grouped pass, itemset counting stays distributed). "
+        "FPGrowth is EXACT — no RNG, no sketch — so the size<=2 slice "
+        "of its output (canonicalized: sorted items into (item_a, "
+        "item_b) columns) hash-matches a plain SQL counting oracle; "
+        "larger itemsets ride the same run and are pytest-pinned by "
+        "the downward-closure law (every subset of a frequent itemset "
+        "is frequent with >= its support). Scale: support pruning "
+        "bounds the pattern lattice; the basket table is one groupBy "
+        "of the fact table.",
+)
+def q118_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("items")
+    )
+    n_baskets = baskets.count()
+    fp = FPGrowth(
+        itemsCol="items",
+        minSupport=ITEMSET_MIN_ORDERS / n_baskets,
+        minConfidence=0.5,
+    )
+    model = fp.fit(baskets)
+    sets = model.freqItemsets  # (items array<long>, freq long)
+    sorted_items = F.array_sort("items")
+    return (
+        sets.filter(F.size("items") <= 2)
+        .select(
+            F.size("items").alias("size"),
+            sorted_items[0].alias("item_a"),
+            F.when(F.size("items") == 2, sorted_items[1]).alias("item_b"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+    )

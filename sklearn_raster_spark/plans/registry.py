@@ -102,6 +102,7 @@ _WINDOW_ORDER = (
     "q115_audio_window_energy",
     "q116_stream_inference",
     "q117_stream_interval_join",
+    "q118_frequent_itemsets",
     # -- stale: last driver row is r01, and dedup.py/text.py/relational
     #    churned since
     "q32_approx_count_distinct",

@@ -180,3 +180,36 @@ def test_stream_inference_oracle(spark, sf_dir):
 
 def test_stream_interval_join_oracle(spark, sf_dir):
     assert compare_query(spark, sf_dir, "q117_stream_interval_join") > 0
+
+
+def test_frequent_itemsets_oracle(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q118_frequent_itemsets") > 0
+
+
+def test_frequent_itemsets_downward_closure(spark, sf_dir):
+    """Apriori property over the FULL FPGrowth output (not just the
+    oracle-graded size<=2 slice): every subset of a frequent itemset
+    is frequent with at least the superset's support."""
+    from pyspark.ml.fpm import FPGrowth
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.mllib_inference import ITEMSET_MIN_ORDERS
+    from sklearn_raster_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("items")
+    )
+    n = baskets.count()
+    model = FPGrowth(
+        itemsCol="items", minSupport=ITEMSET_MIN_ORDERS / n, minConfidence=0.5
+    ).fit(baskets)
+    sets = model.freqItemsets.collect()
+    freq = {tuple(sorted(r["items"])): r["freq"] for r in sets}
+    assert freq, "no frequent itemsets at this support"
+    for items, f in freq.items():
+        assert f >= ITEMSET_MIN_ORDERS
+        if len(items) > 1:
+            for drop in range(len(items)):
+                sub = items[:drop] + items[drop + 1 :]
+                assert freq.get(sub, 0) >= f, (items, sub)
