@@ -195,3 +195,79 @@ def q84_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs come out of a groupBy(pa, pb) with pa < pb — already distinct
     comps = connected_components(pairs, src="pa", dst="pb", assume_distinct=True)
     return comps.select(F.col("node").alias("partkey"), "component")
+
+
+PAGERANK_ITERS = 8
+PAGERANK_DAMPING = 0.85
+
+
+@query(
+    "q120_pagerank",
+    doc="PageRank over the part co-purchase graph (q84's edge set), "
+        f"{PAGERANK_ITERS} fixed power iterations at damping "
+        f"{PAGERANK_DAMPING}: the second iterative-graph surface "
+        "beside connected components — each iteration is one "
+        "contribution join (rank/out_degree shipped along edges) and "
+        "one sum-per-target aggregate, with localCheckpoint lineage "
+        "cuts; exactly the loop shape a 100 TB link graph runs, with "
+        "the rank vector co-partitioned with the edge list so every "
+        "iteration reuses the same hash partitioning. Rows-only: "
+        "float contribution sums are order-dependent (no stable "
+        "cross-engine hash); the semantics are pytest-pinned instead "
+        "(probability mass conservation, degree-biased ranking, "
+        "iteration monotonicity).",
+)
+def q120_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts")
+    )
+    combos = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts) - i - 1), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
+    pairs = (
+        baskets.select(F.explode(combos).alias("p"))
+        .select("p.pa", "p.pb")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.unionByName(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select("node").localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    edges_deg = (
+        edges.join(deg, edges.pa == deg.node)
+        .select("pa", "pb", "deg")
+        .localCheckpoint(eager=True)
+    )
+    teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.pa == ranks.node)
+            .select(F.col("pb").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        # every node has deg >= 1 here (edge-defined graph), so no
+        # dangling-mass term; teleport keeps total mass at 1
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(PAGERANK_DAMPING) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 10).alias("rank"))

@@ -175,3 +175,52 @@ def q118_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("bigint").alias("freq"),
         )
     )
+
+
+@query(
+    "q119_als_recommendations",
+    doc="Implicit-feedback ALS recommender (MLlib) on the customer x "
+        "part purchase matrix (rating = number of lineitems): factor "
+        "model train + top-3 part recommendations per customer — the "
+        "collaborative-filtering surface. Rows-only: ALS is seeded "
+        "but its float convergence is platform/partitioning-"
+        "dependent, so semantics are pytest-pinned instead (k per "
+        "user, finite scores, recommendations drawn from the item "
+        "vocabulary). Scale: ALS is the canonical block-factorized "
+        "Spark algorithm — user/item factor blocks co-partitioned, "
+        "each sweep a join per block, no driver-side matrix.",
+)
+def q119_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.recommendation import ALS
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        F.col("user").alias("custkey"),
+        F.posexplode("recommendations").alias("rank0", "rec"),
+    ).select(
+        "custkey",
+        (F.col("rank0") + 1).alias("rec_rank"),
+        F.col("rec.item").alias("partkey"),
+        F.col("rec.rating").cast("double").alias("score"),
+    )

@@ -103,6 +103,8 @@ _WINDOW_ORDER = (
     "q116_stream_inference",
     "q117_stream_interval_join",
     "q118_frequent_itemsets",
+    "q119_als_recommendations",
+    "q120_pagerank",
     # -- stale: last driver row is r01, and dedup.py/text.py/relational
     #    churned since
     "q32_approx_count_distinct",

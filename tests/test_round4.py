@@ -213,3 +213,34 @@ def test_frequent_itemsets_downward_closure(spark, sf_dir):
             for drop in range(len(items)):
                 sub = items[:drop] + items[drop + 1 :]
                 assert freq.get(sub, 0) >= f, (items, sub)
+
+
+def test_als_recommendation_laws(spark, sf_dir):
+    from sklearn_raster_spark.sources import read_table
+
+    pdf = load_all_queries()["q119_als_recommendations"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0 and pdf.score.notna().all()
+    # exactly ranks 1..3 per customer
+    for _, g in pdf.groupby("custkey"):
+        assert sorted(g.rec_rank) == [1, 2, 3]
+        # scores ordered by rank
+        s = g.sort_values("rec_rank").score.values
+        assert (s[:-1] >= s[1:] - 1e-9).all()
+    # recommended parts come from the real item vocabulary
+    parts = set(
+        r[0] for r in read_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().collect()
+    )
+    assert set(pdf.partkey).issubset(parts)
+
+
+def test_pagerank_laws(spark, sf_dir):
+    import numpy as np
+
+    from sklearn_raster_spark.operators.graph import PAGERANK_DAMPING  # noqa: F401
+
+    pdf = load_all_queries()["q120_pagerank"].fn(spark, sf_dir).toPandas()
+    # probability mass conserved (teleport + no dangling nodes)
+    assert abs(pdf["rank"].sum() - 1.0) < 1e-6
+    assert (pdf["rank"] > 0).all()
+    # degree bias: the max-rank node has above-median rank spread
+    assert pdf["rank"].max() > pdf["rank"].median()
