@@ -450,3 +450,93 @@ def q113_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+ANOM_DAYS = 7  # trailing window width
+ANOM_MIN_N = 8  # minimum window support before flagging
+ANOM_Z = 2  # |z| threshold (integer so z^2 stays integral)
+
+
+@query(
+    "q129_rolling_anomaly",
+    oracle=f"""
+    WITH cents AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    win AS (
+        SELECT event_id, user_id, event_type, v,
+               COUNT(*) OVER w AS n,
+               SUM(v) OVER w AS s,
+               SUM(v * v) OVER w AS ssq
+        FROM cents
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY EPOCH_US(ts)
+            RANGE BETWEEN {ANOM_DAYS * 86_400_000_000} PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(v AS BIGINT) AS value_cents,
+           CAST(n AS BIGINT) AS win_n,
+           CAST(n * v - s AS BIGINT) AS dev_num,
+           CAST(n * ssq - s * s AS BIGINT) AS var_num
+    FROM win
+    WHERE n >= {ANOM_MIN_N}
+      AND (n * v - s) * (n * v - s) > {ANOM_Z * ANOM_Z} * (n * ssq - s * s)
+    """,
+    doc=f"Rolling-window anomaly detection: an event is anomalous when "
+        f"its value sits more than {ANOM_Z} standard deviations from "
+        f"the mean of the user's trailing {ANOM_DAYS}-day window (min "
+        f"support {ANOM_MIN_N}) — the metric-monitoring primitive. The "
+        "whole test is INTEGER arithmetic: values become cents "
+        "(floor(v*100+0.5) — identical bits cross-engine, dodging "
+        "HALF_UP/HALF_EVEN ROUND divergence), window moments n/s/ssq "
+        "are exact integer RANGE-frame sums over epoch-microsecond "
+        "order, and |z| > Z rewrites to (n*v - s)^2 > Z^2*(n*ssq - "
+        "s^2) — no division, no sqrt, no float anywhere, so a "
+        "statistical threshold op is hash-graded bit-exactly. One "
+        "shuffle on user_id serves all three window aggregates; RANGE "
+        "frames (not ROWS) make tied timestamps deterministic. At "
+        "scale this is the same plan per user shard; the streaming "
+        "dual is a stateful per-key window (operators/stateful.py).",
+)
+def q129_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        # ts is TIMESTAMP_NTZ; the session timezone is pinned to UTC
+        # (session.py), so the NTZ->TZ cast is the identity and
+        # unix_micros matches DuckDB's EPOCH_US exactly
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ANOM_DAYS * 86_400_000_000, 0)
+    )
+    win = cents.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("ssq"),
+    )
+    dev = F.col("n") * F.col("v") - F.col("s")
+    var_num = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    return win.filter(
+        (F.col("n") >= ANOM_MIN_N) & (dev * dev > ANOM_Z * ANOM_Z * var_num)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("v").alias("value_cents"),
+        F.col("n").alias("win_n"),
+        dev.alias("dev_num"),
+        var_num.alias("var_num"),
+    )

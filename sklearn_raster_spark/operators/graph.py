@@ -171,11 +171,18 @@ def connected_components(
         "clusters.",
 )
 def q84_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir)
+    # pairs come out of a groupBy(pa, pb) with pa < pb — already distinct
+    comps = connected_components(pairs, src="pa", dst="pb", assume_distinct=True)
+    return comps.select(F.col("node").alias("partkey"), "component")
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase part pairs (pa < pb) sharing >= 2 orders —
+    the shared edge set of q84/q120/q124/q125. Basket formulation: ONE
+    shuffle groups each order's bounded part list; pairs come from the
+    sorted array, never a lineitem self-join."""
     li = read_table(spark, sf_dir, "lineitem")
-    # basket formulation: ONE shuffle groups each order's (bounded-size)
-    # part list, pairs are generated from the sorted array — no
-    # lineitem self-join shuffle. collect_list (not set) keeps
-    # multiplicity, matching the oracle's lineitem-pair counting.
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list("l_partkey")).alias("parts")
     )
@@ -184,17 +191,138 @@ def q84_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(parts, i + 2, size(parts) - i - 1), "
         "y -> struct(x AS pa, y AS pb))))"
     )
-    pairs = (
+    return (
         baskets.select(F.explode(combos).alias("p"))
         .select("p.pa", "p.pb")
         .filter(F.col("pa") != F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
+        .select("pa", "pb")
     )
-    # pairs come out of a groupBy(pa, pb) with pa < pb — already distinct
-    comps = connected_components(pairs, src="pa", dst="pb", assume_distinct=True)
-    return comps.select(F.col("node").alias("partkey"), "component")
+
+
+_ORACLE_PAIRS = """
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+        HAVING COUNT(*) >= 2
+"""
+
+KHOP_DEPTH = 3
+KHOP_SEED_MOD = 500  # graph nodes with partkey % this == 0 are seeds
+
+
+@query(
+    "q124_khop_reachability",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_ORACLE_PAIRS}),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb, pa FROM pairs
+    ),
+    seeds AS (
+        SELECT DISTINCT src AS node FROM edges WHERE src % {KHOP_SEED_MOD} = 0
+    ),
+    walk AS (
+        SELECT node, 0 AS d FROM seeds
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < {KHOP_DEPTH}
+    )
+    SELECT node AS partkey, CAST(MIN(d) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+    doc=f"Multi-source k-hop reachability (BFS to depth {KHOP_DEPTH}) "
+        "over the co-purchase graph: the bounded graph-traversal dual "
+        "of q84's full transitive closure — feature-store neighborhood "
+        "expansion, blast-radius and fraud-ring queries all run this "
+        "loop. Spark shape: a frontier loop — each hop joins ONLY the "
+        "newly-reached frontier (not the full visited set) against the "
+        "edge list, anti-joins the visited set, localCheckpoints the "
+        "frontier; work per hop is proportional to the frontier's edge "
+        "neighborhood, the minimum any BFS must touch. The DuckDB "
+        "recursive CTE computes the same min-distance labeling, so an "
+        "ITERATIVE traversal is hash-graded exactly.",
+)
+def q124_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        edges.select("src")
+        .filter(F.col("src") % KHOP_SEED_MOD == 0)
+        .distinct()
+        .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("node", F.lit(0).alias("dist"))
+    for d in range(1, KHOP_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(d).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("node").alias("partkey"), F.col("dist").cast("int"))
+
+
+@query(
+    "q125_triangle_count",
+    oracle=f"""
+    WITH e AS ({_ORACLE_PAIRS}),
+    tri AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM e e1
+        JOIN e e2 ON e2.pa = e1.pb
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    member AS (
+        SELECT a AS partkey FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM member GROUP BY partkey
+    """,
+    doc="Per-node triangle counts over the co-purchase graph — the "
+        "clustering-coefficient / community-density primitive. With "
+        "edges oriented a<b<c, triangles enumerate as wedge join "
+        "(a,b)x(b,c) + closure semi-check (a,c): two self-joins on an "
+        "edge list that is orders of magnitude smaller than lineitem. "
+        "Scale note: on power-law graphs the wedge join is dominated "
+        "by hub nodes; the standard hardening is degree-ordering "
+        "(orient edges low-degree -> high-degree so wedge count is "
+        "sum of min-degree^2) — semantics identical, and the a<b<c "
+        "form here IS the oracle's enumeration, so the result is "
+        "hash-graded.",
+)
+def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_pairs(spark, sf_dir)
+    # two consumers below (wedge sides + closure probe): materialize once
+    e = e.localCheckpoint(eager=True)
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (
+        tri.select(F.col("a").alias("partkey"))
+        .unionByName(tri.select(F.col("b").alias("partkey")))
+        .unionByName(tri.select(F.col("c").alias("partkey")))
+    )
+    return member.groupBy("partkey").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 PAGERANK_ITERS = 8
@@ -218,24 +346,7 @@ PAGERANK_DAMPING = 0.85
         "iteration monotonicity).",
 )
 def q120_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("parts")
-    )
-    combos = F.expr(
-        "flatten(transform(parts, (x, i) -> "
-        "transform(slice(parts, i + 2, size(parts) - i - 1), "
-        "y -> struct(x AS pa, y AS pb))))"
-    )
-    pairs = (
-        baskets.select(F.explode(combos).alias("p"))
-        .select("p.pa", "p.pb")
-        .filter(F.col("pa") != F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = (
         pairs.unionByName(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
         .localCheckpoint(eager=True)

@@ -631,3 +631,52 @@ def q114_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos_key", "source", "doc_id")
         .limit(MIX_BATCH)
     )
+
+
+GROUP_FOLDS = 5
+
+
+@query(
+    "q126_grouped_split",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey, {_oracle_bucket('c_custkey')} % {GROUP_FOLDS} AS fold
+        FROM customer
+    ),
+    joined AS (
+        SELECT c.fold, o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey
+    )
+    SELECT fold,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) AS DOUBLE) AS revenue
+    FROM joined GROUP BY fold
+    """,
+    doc=f"Leakage-safe grouped k-fold split (GroupKFold semantics): "
+        f"folds are assigned to the ENTITY (customer, md5-hash mod "
+        f"{GROUP_FOLDS}), and every order inherits its customer's fold "
+        "— so no entity ever straddles a train/eval boundary, the "
+        "property row-level splits (q72) cannot give when rows of one "
+        "user are correlated. Plan: the fold map is a projection of "
+        "the dimension table, broadcast onto the fact scan — zero "
+        "extra shuffles over the plain join; assignment is a pure "
+        "row-key function, stable across engines/retries/partitions. "
+        "Per-fold balance stats come from exact DECIMAL sums; the "
+        "no-straddle law is pytest-pinned (each customer in exactly "
+        "one fold).",
+)
+def q126_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.pmod(hash_bucket(F.col("c_custkey")), F.lit(GROUP_FOLDS)).alias("fold"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return joined.groupBy("fold").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -555,3 +555,91 @@ def q112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs("qv")).cast("bigint").alias("l1_norm"),
         F.sum(F.when(F.abs("qv") == 127, 1).otherwise(0)).cast("bigint").alias("n_saturated"),
     )
+
+
+MAXSIM_QUERY_MOD = 25  # vec_id % this == 0 -> query token
+
+
+@query(
+    "q128_maxsim_late_interaction",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS qe,
+               SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS qnrm
+        FROM embeddings WHERE vec_id % {MAXSIM_QUERY_MOD} = 0
+    ),
+    c AS (
+        SELECT vec_id AS cid, label AS clabel, embedding AS ce,
+               SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS cnrm
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT q.qid, q.qlabel, c.clabel,
+               CAST(ROUND(
+                   LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.qe, c.ce),
+                       s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)
+                   / (q.qnrm * c.cnrm), 6) AS DECIMAL(18, 6)) AS sim
+        FROM q, c
+        WHERE c.cid != q.qid
+    ),
+    tokmax AS (
+        SELECT qid, qlabel, clabel, MAX(sim) AS m
+        FROM sims GROUP BY qid, qlabel, clabel
+    )
+    SELECT qlabel, clabel,
+           CAST(SUM(m) AS DOUBLE) AS maxsim_score,
+           COUNT(*) AS n_qtokens
+    FROM tokmax GROUP BY qlabel, clabel
+    """,
+    doc="ColBERT-style MaxSim late interaction: a query 'document' is "
+        "the bag of its token vectors (here: the sampled vectors of "
+        "each label group), a candidate document is its label's full "
+        "vector set; score(q, c) = sum over query tokens of the MAX "
+        "cosine against any candidate token. This is the multi-vector "
+        "retrieval scorer single-vector ANN (q55/q56/q69) cannot "
+        "express. Plan: query tokens are tiny and broadcast; the "
+        "corpus streams through ONE narrow pass of JVM-fold dot "
+        "products; per-(token, candidate) max then per-pair sum are "
+        "two hash aggregates that reuse the same grouping columns. "
+        "Determinism: cosines round to 6 dp into DECIMAL before "
+        "max/sum, so aggregation order cannot flip a bit — a float "
+        "scoring pipeline graded by exact hash. At 100 TB the "
+        "broadcast side stays token-count-sized and candidate max/sum "
+        "aggregates combine map-side; an ANN pre-filter (q69) bounds "
+        "the candidate set per query.",
+)
+def q128_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") % MAXSIM_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qnrm"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cnrm"),
+    )
+    sims = (
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "clabel",
+            F.round(
+                dot_seq(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("sim"),
+        )
+    )
+    tokmax = sims.groupBy("qid", "qlabel", "clabel").agg(F.max("sim").alias("m"))
+    return tokmax.groupBy("qlabel", "clabel").agg(
+        F.sum("m").cast("double").alias("maxsim_score"),
+        F.count(F.lit(1)).alias("n_qtokens"),
+    )

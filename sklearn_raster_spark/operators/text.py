@@ -353,3 +353,60 @@ def q109_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_word_frac"),
         ((dup_frac > 0.5) | (top_frac > 0.2)).alias("repetitive"),
     )
+
+
+FUZZY_MAX_DIST = 3
+
+
+@query(
+    "q127_fuzzy_name_join",
+    oracle=f"""
+    WITH names AS (
+        SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS edit_dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= {FUZZY_MAX_DIST}
+     AND LEVENSHTEIN(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    doc=f"Fuzzy string self-join (edit distance <= {FUZZY_MAX_DIST}) "
+        "over catalog part names — the entity-resolution / "
+        "catalog-canonicalization primitive. The join runs on the "
+        "DISTINCT-name table (vocabulary-sized, Heaps-law small, not "
+        "row-count-sized), with the length-difference band applied "
+        "BEFORE the quadratic levenshtein — the cheap necessary "
+        "condition (|len(a)-len(b)| <= d is implied by dist <= d). At "
+        "100 TB vocabulary the band generalizes to q-gram-prefix "
+        "blocking (pairs within distance d share a q-gram among the "
+        "first qd+1), the same prefix-filter family as q51's PPJoin; "
+        "support counts per name ride along so downstream "
+        "canonicalization can pick the majority spelling. Levenshtein "
+        "is identically defined in both engines (unit-cost edits), so "
+        "the pair set hash-matches.",
+)
+def q127_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        ),
+    ).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        "n_a",
+        "n_b",
+    )
+    return pairs.filter(F.col("edit_dist") <= FUZZY_MAX_DIST)

