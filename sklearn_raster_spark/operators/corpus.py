@@ -124,7 +124,7 @@ def q121_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q122: incremental batch-vs-corpus dedup ---------------------------
 
 INC_BUCKET = 80  # hash buckets >= this form the "incoming batch" (20%)
-INC_JACCARD = 0.8  # near-dup gate vs the existing corpus
+INC_JACCARD = 0.9  # near-dup gate vs the existing corpus
 
 
 @query(
@@ -167,22 +167,30 @@ INC_JACCARD = 0.8  # near-dup gate vs the existing corpus
         "batch' (deterministic hash split) is deduped AGAINST the "
         "existing corpus — exact (md5 content match) then near "
         f"(token-set Jaccard >= {INC_JACCARD}) — without the corpus "
-        "ever joining itself. Candidates come from a token equi-join "
-        "with PPJoin length pruning (|corpus set| within a factor of "
-        "the batch set's size), and because both sides carry DISTINCT "
-        "token sets the join hit-count IS the intersection size — the "
-        "Jaccard needs no second verify pass. Scale: the corpus side "
-        "is one tokenize+explode touched once per batch; join degree "
-        "is bounded by token co-occurrence, not corpus row count. The "
-        "oracle replicates both gates with LIST_INTERSECT.",
+        "ever joining itself. Candidate pairs come from a PPJoin "
+        "prefix join (both sides rank tokens by global document "
+        "frequency; a qualifying pair must collide within the first "
+        "|d| - ceil(t|d|) + 1 tokens) with length and positional "
+        "pruning, then the exact Jaccard verifies candidates only via "
+        "array_intersect — q51's sub-quadratic machinery, asymmetric "
+        "(batch x corpus). Scale: the corpus side is tokenized once "
+        "per batch; join degree is bounded by prefix-token rarity, "
+        "not corpus row count. The oracle replicates both gates with "
+        "LIST_INTERSECT.",
 )
 def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = read_table(spark, sf_dir, "documents")
+    # tokens hashed to longs up front (q51's trick: joins/sorts on
+    # fixed-width longs; only set SIZES feed the Jaccard)
     base = docs.select(
         "doc_id",
         hash_bucket(F.col("doc_id")).alias("b"),
         F.md5("text").alias("h"),
-        F.array_distinct(F.split("text", " ")).alias("ts"),
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("ts"),
     )
     base = shared_lineage(base)
     inc = base.filter(F.col("b") >= INC_BUCKET)
@@ -196,28 +204,73 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_ex", F.lit(1))
     )
 
-    # near gate: explode both sides to (doc, token); equi-join on token
-    # counts shared tokens per pair directly (sets are distinct).
-    # Length pruning: J >= t forces t*|c| <= |i| and t*|i| <= |c|.
-    i_tok = inc.select(
-        F.col("doc_id").alias("i_id"), F.size("ts").alias("i_n"), F.explode("ts").alias("tok")
+    # near gate, PPJoin-pruned (a naive token equi-join degenerates to
+    # a cross product when vocab is small — measured 13 s vs 4 s at
+    # sf0.1): rank each doc's tokens by GLOBAL ascending document
+    # frequency (df computed over batch+corpus so both sides agree on
+    # the order); a pair with J >= t must collide within the first
+    # |d| - ceil(t*|d|) + 1 tokens, so only prefixes join. Length and
+    # positional filters prune further; the exact Jaccard then runs
+    # via array_intersect on the candidate pairs only.
+    exploded = base.select(
+        "doc_id", "b", F.size("ts").alias("ntok"), F.explode("ts").alias("tok")
     )
-    c_tok = cor.select(
-        F.col("doc_id").alias("c_id"), F.size("ts").alias("c_n"), F.explode("ts").alias("tok")
+    tok_df = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix_len = (
+        F.col("ntok") - F.ceil(F.lit(INC_JACCARD) * F.col("ntok")) + 1
+    ).cast("int")
+    prefixed = (
+        exploded.join(F.broadcast(tok_df), "tok")
+        .withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") <= F.greatest(prefix_len, F.lit(1)))
+        .select("doc_id", "b", "ntok", "tok", "_rn")
     )
-    shared = (
-        i_tok.join(
-            c_tok,
-            (i_tok.tok == c_tok.tok)
-            & (c_tok.c_n * INC_JACCARD <= i_tok.i_n)
-            & (i_tok.i_n * INC_JACCARD <= c_tok.c_n),
+    # both sides derive from ``prefixed``: every column must be
+    # renamed per side or the join predicate resolves both references
+    # to the SAME attribute (a trivially-true tok == tok)
+    ip = prefixed.filter(F.col("b") >= INC_BUCKET).select(
+        F.col("doc_id").alias("i_id"),
+        F.col("ntok").alias("i_n"),
+        F.col("tok").alias("i_tok"),
+        F.col("_rn").alias("i_rn"),
+    )
+    cp = prefixed.filter(F.col("b") < INC_BUCKET).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("ntok").alias("c_n"),
+        F.col("tok").alias("c_tok"),
+        F.col("_rn").alias("c_rn"),
+    )
+    alpha = F.ceil(
+        F.lit(INC_JACCARD / (1.0 + INC_JACCARD)) * (F.col("i_n") + F.col("c_n"))
+    )
+    candidates = (
+        ip.join(
+            cp,
+            (ip.i_tok == cp.c_tok)
+            & (cp.c_n * INC_JACCARD <= ip.i_n)
+            & (ip.i_n * INC_JACCARD <= cp.c_n)
+            & (
+                F.lit(1)
+                + F.least(ip.i_n - ip.i_rn, cp.c_n - cp.c_rn)
+                >= alpha
+            ),
         )
-        .groupBy("i_id", "c_id", "i_n", "c_n")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("i_id", "c_id")
+        .distinct()
     )
-    jac = F.col("inter").cast("double") / (F.col("i_n") + F.col("c_n") - F.col("inter"))
+    ti = inc.select(
+        F.col("doc_id").alias("i_id"), F.col("ts").alias("ts_i"), F.size("ts").alias("i_n")
+    )
+    tc = cor.select(
+        F.col("doc_id").alias("c_id"), F.col("ts").alias("ts_c"), F.size("ts").alias("c_n")
+    )
+    inter = F.size(F.array_intersect("ts_i", "ts_c"))
+    jac = inter.cast("double") / (F.col("i_n") + F.col("c_n") - inter)
     near = (
-        shared.filter(jac >= INC_JACCARD)
+        candidates.join(ti, "i_id")
+        .join(tc, "c_id")
+        .filter(jac >= INC_JACCARD)
         .groupBy("i_id")
         .agg(
             F.count(F.lit(1)).alias("n_near"),
