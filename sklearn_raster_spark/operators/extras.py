@@ -183,3 +183,55 @@ from sklearn_raster_spark.plans.registry import REGISTRY as _REG
 from dataclasses import replace as _replace
 
 _REG["q79_zorder_layout"] = _replace(_REG["q79_zorder_layout"], oracle=_q79_oracle())
+
+
+@query(
+    "q133_skyline_parts",
+    oracle="""
+    WITH cells AS (
+        SELECT p_retailprice AS price, p_size AS psize, COUNT(*) AS n_parts
+        FROM part GROUP BY 1, 2
+    )
+    SELECT price, psize, n_parts
+    FROM cells a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cells b
+        WHERE b.price <= a.price AND b.psize >= a.psize
+          AND (b.price < a.price OR b.psize > a.psize)
+    )
+    """,
+    doc="Skyline (Pareto-frontier) query: parts not dominated on "
+        "(price low, size high) — the multi-objective filter behind "
+        "'best trade-off' selection (quality-vs-length data filtering "
+        "uses the identical shape). Scale design: dominance is "
+        "decided on DISTINCT (price, size) CELLS, not rows — the "
+        "aggregate-then-refine trick bounds the dominance step by the "
+        "VALUE DOMAIN (|prices| x |sizes|), independent of row count; "
+        "and on the 2-D cells no quadratic test runs at all: keep the "
+        "max size per price, then one cumulative-max window over "
+        "ascending price marks exactly the non-dominated staircase "
+        "(a cell survives iff its size strictly exceeds every "
+        "cheaper price's max). Two tiny windows replace the oracle's "
+        "NOT EXISTS self-join; identical result, hash-graded.",
+)
+def q133_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    cells = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    # per-price champion: only the max size at each price can survive
+    w_price = Window.partitionBy("price")
+    champs = cells.withColumn("pmax", F.max("psize").over(w_price)).filter(
+        F.col("psize") == F.col("pmax")
+    )
+    # staircase: survives iff strictly larger than every cheaper
+    # price's champion (equal size at lower price dominates via the
+    # strict-price clause; equal price, larger size was removed above)
+    w_stair = (
+        Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        champs.withColumn("prev_max", F.max("psize").over(w_stair))
+        .filter(F.col("prev_max").isNull() | (F.col("psize") > F.col("prev_max")))
+        .select("price", "psize", "n_parts")
+    )

@@ -287,3 +287,45 @@ def q117_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = "q117_stream_interval_join_sink"
     run_append_stream_to_memory(stream, sink)
     return spark.table(sink)
+
+
+@query(
+    "q130_stream_tumbling_window",
+    oracle="""
+    SELECT
+        DATE_TRUNC('hour', ts) AS window_start,
+        event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window aggregation driven END-TO-END as an "
+        "availableNow streaming query (complete mode into a memory "
+        "sink): the streaming dual of q26, graded by the SAME batch "
+        "oracle — watermarked event-time windows with DECIMAL partial "
+        "sums, so the streaming aggregation state merges order-"
+        "independently exactly like the batch hash aggregate. "
+        "Window-start timestamps are emitted as TIMESTAMP_NTZ to "
+        "match the storage type (the session is UTC-pinned). The "
+        "existing availableNow==batch pytest pins the dual equality; "
+        "this entry makes the STREAMING execution itself a driver-"
+        "graded surface (state-store sizing per SCALE.md streaming).",
+)
+def q130_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.streaming import (
+        run_stream_to_memory,
+        tumbling_counts_stream,
+    )
+
+    stream = tumbling_counts_stream(spark, sf_dir)
+    sink = "q130_stream_tumbling_sink"
+    run_stream_to_memory(stream, sink, output_mode="complete")
+    return spark.table(sink).select(
+        F.col("window_start").cast("timestamp_ntz"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

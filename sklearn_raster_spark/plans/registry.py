@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.analytics",
     "sklearn_raster_spark.operators.skew",
     "sklearn_raster_spark.operators.corpus",
+    "sklearn_raster_spark.operators.retrieval",
 )
 
 
@@ -91,6 +92,10 @@ _WINDOW_ORDER = (
     # since its newest driver row gets regraded, so no driver row is
     # ever older than the code it grades. Never-graded queries lead.
     # -- new in round 4 (second session), never graded
+    "q130_stream_tumbling_window",
+    "q131_inverted_index",
+    "q132_bm25_retrieval",
+    "q133_skyline_parts",
     "q121_boilerplate_passages",
     "q122_incremental_dedup",
     "q123_cms_heavy_hitters",

@@ -141,3 +141,57 @@ def test_rolling_anomaly_is_zscore_exceedance(spark, sf_dir):
     assert (df.win_n >= ANOM_MIN_N).all()
     assert (df.var_num >= 0).all()  # Cauchy-Schwarz: n*ssq >= s^2
     assert (df.dev_num**2 > ANOM_Z**2 * df.var_num).all()
+
+
+RETRIEVAL_ORACLE_QUERIES = [
+    "q130_stream_tumbling_window",
+    "q131_inverted_index",
+    "q132_bm25_retrieval",
+    "q133_skyline_parts",
+]
+
+
+@pytest.mark.parametrize("name", RETRIEVAL_ORACLE_QUERIES)
+def test_retrieval_oracle_value_match(spark, sf_dir, name):
+    assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_inverted_index_postings_sorted_and_bounded(spark, sf_dir):
+    from sklearn_raster_spark.operators.retrieval import POSTINGS_CAP
+
+    df = load_all_queries()["q131_inverted_index"].fn(spark, sf_dir).toPandas()
+    assert (df.n_occurrences >= df.df).all()  # occurrences count multiplicity
+    for p in df.postings:
+        assert list(p) == sorted(p)  # delta-encodable layout
+        assert len(p) <= POSTINGS_CAP
+
+
+def test_bm25_ranking_laws(spark, sf_dir):
+    """Top-k is correctly ordered, scores positive, and a doc hitting
+    more query terms with equal tf cannot rank below one hitting
+    fewer (monotonicity in term coverage is implied by positive
+    per-term scores — checked via the n_terms_hit <= |query| bound
+    and score ordering)."""
+    from sklearn_raster_spark.operators.retrieval import BM25_QUERY, BM25_TOP
+
+    df = (
+        load_all_queries()["q132_bm25_retrieval"].fn(spark, sf_dir).toPandas()
+        .sort_values("rn")
+    )
+    assert len(df) <= BM25_TOP
+    assert (df.bm25 > 0).all()
+    assert (df.n_terms_hit <= len(BM25_QUERY)).all()
+    assert (df.bm25.diff().dropna() <= 1e-9).all()  # descending by rn
+
+
+def test_skyline_is_mutually_nondominated(spark, sf_dir):
+    df = load_all_queries()["q133_skyline_parts"].fn(spark, sf_dir).toPandas()
+    pts = list(zip(df.price, df.psize))
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i != j:
+                assert not (pb <= pa and sb >= sa)  # no dominance inside
+    # staircase shape: paying more must buy strictly more size, or the
+    # pricier point would be dominated — sizes strictly increase
+    ordered = df.sort_values("price")
+    assert (ordered.psize.diff().dropna() > 0).all()
