@@ -558,6 +558,10 @@ def q112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAXSIM_QUERY_MOD = 25  # vec_id % this == 0 -> query token
+# cap the query-token set: a retrieval system's query batch is a FIXED
+# workload — it must not grow with the corpus, or exact MaxSim turns
+# quadratic (measured 141 s at derived sf1 uncapped vs linear capped)
+MAXSIM_QUERY_CAP = 5_000
 
 
 @query(
@@ -567,7 +571,8 @@ MAXSIM_QUERY_MOD = 25  # vec_id % this == 0 -> query token
         SELECT vec_id AS qid, label AS qlabel, embedding AS qe,
                SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS qnrm
-        FROM embeddings WHERE vec_id % {MAXSIM_QUERY_MOD} = 0
+        FROM embeddings
+        WHERE vec_id % {MAXSIM_QUERY_MOD} = 0 AND vec_id < {MAXSIM_QUERY_CAP}
     ),
     c AS (
         SELECT vec_id AS cid, label AS clabel, embedding AS ce,
@@ -612,7 +617,10 @@ MAXSIM_QUERY_MOD = 25  # vec_id % this == 0 -> query token
 )
 def q128_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") % MAXSIM_QUERY_MOD == 0).select(
+    qv = emb.filter(
+        (F.col("vec_id") % MAXSIM_QUERY_MOD == 0)
+        & (F.col("vec_id") < MAXSIM_QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qe"),
