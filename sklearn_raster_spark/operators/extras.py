@@ -235,3 +235,95 @@ def q133_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_max").isNull() | (F.col("psize") > F.col("prev_max")))
         .select("price", "psize", "n_parts")
     )
+
+
+@query(
+    "q134_data_quality_checks",
+    oracle="""
+    SELECT 'orders' AS tbl, 'unique_key' AS chk,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'fk_customer',
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem', 'fk_orders',
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem', 'non_negative_qty',
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'discount_in_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'status_in_domain',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'customer', 'no_null_name',
+           CAST(COUNT(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+    FROM customer
+    """,
+    doc="Data-quality constraint suite (deequ/dbt-test shape): "
+        "uniqueness, referential integrity, range, domain and "
+        "null-rate checks emitted as one (table, check, violations) "
+        "status table — the validation gate a pipeline runs before "
+        "promoting a batch. Plan shape: each table is scanned ONCE "
+        "per check family with the checks fused into conditional "
+        "aggregates (count_if), referential checks are broadcast "
+        "left joins counting orphans, and the per-check one-row "
+        "results union into the report. At 100 TB every check stays "
+        "a partial-aggregable scan — no check materializes violating "
+        "rows (that is the debug query you run AFTER the gate trips).",
+)
+def q134_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    uniq = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orders").alias("tbl"), F.lit("unique_key").alias("chk"), "n_violations")
+    fk_cust = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(F.count_if(F.col("c_custkey").isNull()).alias("n_violations"))
+        .select(F.lit("orders").alias("tbl"), F.lit("fk_customer").alias("chk"), "n_violations")
+    )
+    fk_orders = (
+        lineitem.join(
+            orders.select("o_orderkey"), lineitem.l_orderkey == F.col("o_orderkey"), "left"
+        )
+        .agg(F.count_if(F.col("o_orderkey").isNull()).alias("n_violations"))
+        .select(F.lit("lineitem").alias("tbl"), F.lit("fk_orders").alias("chk"), "n_violations")
+    )
+    # range + domain checks fuse into ONE lineitem scan / ONE orders scan
+    li_checks = lineitem.agg(
+        F.count_if(F.col("l_quantity") < 0).alias("neg_qty"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_disc"),
+    )
+    li_stack = li_checks.select(
+        F.expr(
+            "stack(2, 'non_negative_qty', neg_qty, 'discount_in_range', bad_disc)"
+        ).alias("chk", "n_violations")
+    ).select(F.lit("lineitem").alias("tbl"), "chk", "n_violations")
+    status = orders.agg(
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias("n_violations")
+    ).select(F.lit("orders").alias("tbl"), F.lit("status_in_domain").alias("chk"), "n_violations")
+    null_name = customer.agg(
+        F.count_if(F.col("c_name").isNull()).alias("n_violations")
+    ).select(F.lit("customer").alias("tbl"), F.lit("no_null_name").alias("chk"), "n_violations")
+    return (
+        uniq.unionByName(fk_cust)
+        .unionByName(fk_orders)
+        .unionByName(li_stack)
+        .unionByName(status)
+        .unionByName(null_name)
+    )

@@ -651,3 +651,105 @@ def q128_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m").cast("double").alias("maxsim_score"),
         F.count(F.lit(1)).alias("n_qtokens"),
     )
+
+
+PQ_SUBSPACES = 8  # 64-dim -> 8 subvectors of 8 dims
+PQ_CODEBOOK = 16  # centroids per subspace -> 4-bit codes
+
+
+@query(
+    "q135_product_quantization",
+    doc=f"Product quantization (the IVF-PQ compression stage): the "
+        f"64-d embedding splits into {PQ_SUBSPACES} subvectors; each "
+        f"subspace learns a {PQ_CODEBOOK}-centroid k-means codebook "
+        "and every vector encodes as one code per subspace — "
+        f"{PQ_SUBSPACES} x 4 bits instead of 64 floats (64x "
+        "compression), the representation a billion-vector ANN index "
+        "actually stores beside q69's IVF coarse quantizer. Spark "
+        "shape: subspace slicing is a pure column projection; each "
+        "codebook fit is an MLlib KMeans over ONE narrow slice "
+        "(a FIXED subspace count of concurrent driver-thread fits on "
+        "a deterministic sample — not data-dependent); encoding "
+        "embeds the tiny codebooks as literal arrays and picks the "
+        f"argmin-distance code JVM-side (a {PQ_CODEBOOK}-element "
+        "fold per subspace — one narrow projection over the corpus, "
+        "no join, no Python). Rows-only: "
+        "codebooks are fitted model state; the laws (code range, "
+        "codebook utilization, reconstruction error beating the "
+        "mean-predictor baseline) are pytest-pinned.",
+)
+def q135_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    sub_d = dim // PQ_SUBSPACES
+    base = emb.select(
+        "vec_id",
+        *[
+            F.slice(F.col("embedding"), s * sub_d + 1, sub_d)
+            .cast("array<double>")
+            .alias(f"sub{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    base = shared_lineage(base)
+
+    # codebooks train on a deterministic sample (standard PQ practice:
+    # centroids need a representative sample, not the corpus) and the
+    # fixed-count fits run CONCURRENTLY from driver threads — Spark
+    # schedules the independent jobs in parallel, so wall time is one
+    # fit, not PQ_SUBSPACES fits (measured 11 s -> ~4 s at sf0.1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    train = base.filter(F.col("vec_id") % 5 == 0)
+    train = shared_lineage(train)
+
+    def fit_codebook(s: int):
+        km = KMeans(
+            k=PQ_CODEBOOK,
+            seed=42 + s,
+            maxIter=5,
+            featuresCol="feat",
+            predictionCol=f"code{s}",
+        )
+        return s, km.fit(train.select(array_to_vector(f"sub{s}").alias("feat")))
+
+    with ThreadPoolExecutor(max_workers=PQ_SUBSPACES) as pool:
+        models = dict(pool.map(fit_codebook, range(PQ_SUBSPACES)))
+
+    # encoding is PURE column expressions: each codebook (16 x 8
+    # doubles) embeds as literals, per-row distances to all centroids
+    # compute via zip_with folds, the code is the argmin position —
+    # one narrow projection over the corpus, no join, no Python, no
+    # model.transform lineage (the 8-way join-chain alternative cost
+    # 2x at sf0.1 and shuffles the corpus per subspace)
+    def sub_terms(s: int):
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in models[s].clusterCenters()
+            ]
+        )
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(f"sub{s}"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        best = F.array_min(dists)
+        code = (F.array_position(dists, best) - 1).cast("int")
+        return code, best
+
+    terms = [sub_terms(s) for s in range(PQ_SUBSPACES)]
+    sq_err = terms[0][1]
+    for _, b in terms[1:]:
+        sq_err = sq_err + b
+    return base.select(
+        "vec_id",
+        F.array(*[code for code, _ in terms]).alias("codes"),
+        F.round(sq_err, 6).alias("sq_error"),
+    )

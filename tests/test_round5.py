@@ -195,3 +195,40 @@ def test_skyline_is_mutually_nondominated(spark, sf_dir):
     # pricier point would be dominated — sizes strictly increase
     ordered = df.sort_values("price")
     assert (ordered.psize.diff().dropna() > 0).all()
+
+
+def test_data_quality_oracle_match(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q134_data_quality_checks") > 0
+
+
+def test_data_quality_all_pass_on_clean_fixture(spark, sf_dir):
+    """The driver fixtures satisfy every declared constraint, so the
+    gate must report zero violations across the board — and exactly
+    the declared check set."""
+    df = load_all_queries()["q134_data_quality_checks"].fn(spark, sf_dir).toPandas()
+    assert (df.n_violations == 0).all()
+    assert len(df) == 7
+
+
+def test_product_quantization_laws(spark, sf_dir):
+    """PQ codes stay in the codebook range, every subspace uses more
+    than one centroid (the codebook is not collapsed), and the mean
+    reconstruction error beats the mean-predictor baseline (total
+    variance) — compression must carry information."""
+    import numpy as np
+
+    from sklearn_raster_spark.operators.similarity import PQ_CODEBOOK, PQ_SUBSPACES
+    from sklearn_raster_spark.sources import read_table
+
+    pdf = load_all_queries()["q135_product_quantization"].fn(spark, sf_dir).toPandas()
+    codes = np.array(pdf.codes.tolist())
+    assert codes.shape[1] == PQ_SUBSPACES
+    assert codes.min() >= 0 and codes.max() < PQ_CODEBOOK
+    assert all(len(set(codes[:, s])) > 1 for s in range(PQ_SUBSPACES))
+    assert (pdf.sq_error >= 0).all()
+    emb = np.array(
+        read_table(spark, sf_dir, "embeddings").toPandas().embedding.tolist(),
+        dtype=np.float64,
+    )
+    total_var = ((emb - emb.mean(axis=0)) ** 2).sum(axis=1).mean()
+    assert pdf.sq_error.mean() < total_var
