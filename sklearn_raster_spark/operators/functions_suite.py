@@ -245,3 +245,108 @@ def q25_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "q138_bag_set_ops",
+    oracle="""
+    WITH h1 AS (
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    ),
+    h2 AS (
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+    ),
+    i AS (SELECT l_partkey FROM h1 INTERSECT ALL SELECT l_partkey FROM h2),
+    e AS (SELECT l_partkey FROM h1 EXCEPT ALL SELECT l_partkey FROM h2)
+    SELECT 'intersect_all' AS op, l_partkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM i GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', l_partkey, CAST(COUNT(*) AS BIGINT)
+    FROM e GROUP BY 2
+    """,
+    doc="BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL) "
+        "between two ship-years' part-key multisets — the multiplicity-"
+        "preserving duals of q18's set-semantics ops: INTERSECT ALL "
+        "keeps min(m1, m2) copies per key, EXCEPT ALL keeps "
+        "max(m1 - m2, 0). Catalyst plans both WITHOUT materializing "
+        "duplicate rows (a count-aggregate per side then a merge of "
+        "counts — the same min/max-of-multiplicity arithmetic the "
+        "output exposes), so the operator is one shuffle per side at "
+        "any scale. Output aggregated to (op, key, multiplicity) to "
+        "keep the graded surface the multiset itself.",
+)
+def q138_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    h1 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey")
+    h2 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey")
+    i = (
+        h1.intersectAll(h2)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "l_partkey", "multiplicity")
+    )
+    e = (
+        h1.exceptAll(h2)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "l_partkey", "multiplicity")
+    )
+    return i.unionByName(e)
+
+
+@query(
+    "q139_mode_aggregate",
+    oracle="""
+    WITH counts AS (
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority,
+           n AS mode_n, CAST(total_n AS BIGINT) AS total_n
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority
+               ) AS rn,
+               SUM(n) OVER (PARTITION BY c_mktsegment) AS total_n
+        FROM counts
+    ) WHERE rn = 1
+    """,
+    doc="MODE (most frequent value) per group with a deterministic "
+        "tie-break — the statistical aggregate SQL's MODE() leaves "
+        "tie-order undefined on, made engine-portable by ranking on "
+        "(count DESC, value ASC): the mode of order priorities per "
+        "market segment. Plan: two stacked hash aggregates (value "
+        "counts, then argmax-of-count per group) — both partial-"
+        "aggregable, no window, no sort of the fact table; the "
+        "second aggregate's input is |groups x values| rows, value-"
+        "domain bounded. The oracle's ARG_MIN on the (-n, value) "
+        "tuple encodes the same tie-break.",
+)
+def q139_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    counts = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy("c_mktsegment").agg(
+        F.min_by(
+            "o_orderpriority", F.struct((-F.col("n")).alias("neg"), "o_orderpriority")
+        ).alias("mode_priority"),
+        F.max("n").alias("mode_n"),
+        F.sum("n").cast("bigint").alias("total_n"),
+    )

@@ -657,6 +657,73 @@ PQ_SUBSPACES = 8  # 64-dim -> 8 subvectors of 8 dims
 PQ_CODEBOOK = 16  # centroids per subspace -> 4-bit codes
 
 
+def _pq_fit(spark: SparkSession, sf_dir: str):
+    """Shared PQ trainer for q135/q136: slice the corpus into
+    subvector columns (persisted once) and fit one KMeans codebook
+    per subspace CONCURRENTLY on a deterministic sample (standard PQ
+    practice: centroids need a representative sample, not the
+    corpus; driver threads let Spark schedule the fixed-count fits
+    in parallel). Returns (base, centroids) with centroids as plain
+    Python lists, ready to embed as literal arrays."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    sub_d = dim // PQ_SUBSPACES
+    base = emb.select(
+        "vec_id",
+        *[
+            F.slice(F.col("embedding"), s * sub_d + 1, sub_d)
+            .cast("array<double>")
+            .alias(f"sub{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    base = shared_lineage(base)
+    train = base.filter(F.col("vec_id") % 5 == 0)
+    train = shared_lineage(train)
+
+    def fit_codebook(s: int):
+        km = KMeans(k=PQ_CODEBOOK, seed=42 + s, maxIter=5, featuresCol="feat")
+        model = km.fit(train.select(array_to_vector(f"sub{s}").alias("feat")))
+        return s, [[float(x) for x in c] for c in model.clusterCenters()]
+
+    with ThreadPoolExecutor(max_workers=PQ_SUBSPACES) as pool:
+        centroids = dict(pool.map(fit_codebook, range(PQ_SUBSPACES)))
+    return base, [centroids[s] for s in range(PQ_SUBSPACES)]
+
+
+def _pq_code_terms(centroids):
+    """Per-subspace (code, squared-distance-to-assigned-centroid)
+    column expressions: the codebook embeds as literal arrays,
+    per-row distances to all centroids compute via zip_with folds,
+    the code is the argmin position — one narrow projection over the
+    corpus, no join, no Python, no model.transform lineage (the
+    join-chain alternative cost 2x at sf0.1 and shuffled the corpus
+    per subspace)."""
+
+    def one(s: int):
+        cents = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in centroids[s]]
+        )
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(f"sub{s}"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        best = F.array_min(dists)
+        code = (F.array_position(dists, best) - 1).cast("int")
+        return code, best
+
+    return [one(s) for s in range(PQ_SUBSPACES)]
+
+
 @query(
     "q135_product_quantization",
     doc=f"Product quantization (the IVF-PQ compression stage): the "
@@ -679,72 +746,8 @@ PQ_CODEBOOK = 16  # centroids per subspace -> 4-bit codes
         "mean-predictor baseline) are pytest-pinned.",
 )
 def q135_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    sub_d = dim // PQ_SUBSPACES
-    base = emb.select(
-        "vec_id",
-        *[
-            F.slice(F.col("embedding"), s * sub_d + 1, sub_d)
-            .cast("array<double>")
-            .alias(f"sub{s}")
-            for s in range(PQ_SUBSPACES)
-        ],
-    )
-    base = shared_lineage(base)
-
-    # codebooks train on a deterministic sample (standard PQ practice:
-    # centroids need a representative sample, not the corpus) and the
-    # fixed-count fits run CONCURRENTLY from driver threads — Spark
-    # schedules the independent jobs in parallel, so wall time is one
-    # fit, not PQ_SUBSPACES fits (measured 11 s -> ~4 s at sf0.1)
-    from concurrent.futures import ThreadPoolExecutor
-
-    train = base.filter(F.col("vec_id") % 5 == 0)
-    train = shared_lineage(train)
-
-    def fit_codebook(s: int):
-        km = KMeans(
-            k=PQ_CODEBOOK,
-            seed=42 + s,
-            maxIter=5,
-            featuresCol="feat",
-            predictionCol=f"code{s}",
-        )
-        return s, km.fit(train.select(array_to_vector(f"sub{s}").alias("feat")))
-
-    with ThreadPoolExecutor(max_workers=PQ_SUBSPACES) as pool:
-        models = dict(pool.map(fit_codebook, range(PQ_SUBSPACES)))
-
-    # encoding is PURE column expressions: each codebook (16 x 8
-    # doubles) embeds as literals, per-row distances to all centroids
-    # compute via zip_with folds, the code is the argmin position —
-    # one narrow projection over the corpus, no join, no Python, no
-    # model.transform lineage (the 8-way join-chain alternative cost
-    # 2x at sf0.1 and shuffles the corpus per subspace)
-    def sub_terms(s: int):
-        cents = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for c in models[s].clusterCenters()
-            ]
-        )
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(F.col(f"sub{s}"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        best = F.array_min(dists)
-        code = (F.array_position(dists, best) - 1).cast("int")
-        return code, best
-
-    terms = [sub_terms(s) for s in range(PQ_SUBSPACES)]
+    base, centroids = _pq_fit(spark, sf_dir)
+    terms = _pq_code_terms(centroids)
     sq_err = terms[0][1]
     for _, b in terms[1:]:
         sq_err = sq_err + b
@@ -752,4 +755,103 @@ def q135_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.array(*[code for code, _ in terms]).alias("codes"),
         F.round(sq_err, 6).alias("sq_error"),
+    )
+
+
+PQ_ANN_TOP = 10
+PQ_RERANK_FACTOR = 10  # ADC candidates per final result, exact re-ranked
+
+
+@query(
+    "q136_pq_ann_search",
+    doc=f"PQ asymmetric-distance ANN search (the query path of an "
+        "IVF-PQ index, completing q135's build path): each query "
+        "vector precomputes a lookup table of squared distances from "
+        f"its {PQ_SUBSPACES} subvectors to every codebook centroid "
+        f"({PQ_SUBSPACES} x {PQ_CODEBOOK} doubles, driver-side, "
+        "embedded as literals in the broadcast query row); a corpus "
+        "document's approximate distance is then just the SUM OF "
+        f"{PQ_SUBSPACES} TABLE LOOKUPS indexed by its codes — the ADC "
+        "trick that scores billions of 4-bit-coded vectors without "
+        "touching a float vector. Plan: one narrow encode projection "
+        "over the corpus (q135's expression path), a broadcast "
+        "cross-join against the tiny query-LUT table, per-query "
+        "top-k via ranking window (group-limit pushdown). Rows-only "
+        "(k-means codebooks are fitted state); recall vs the exact "
+        "scan is pytest-pinned.",
+)
+def q136_pq_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, centroids = _pq_fit(spark, sf_dir)
+    terms = _pq_code_terms(centroids)
+    coded = base.select(
+        F.col("vec_id").alias("nid"),
+        F.array(*[code for code, _ in terms]).alias("codes"),
+    )
+
+    # driver-side LUTs for the (tiny, fixed) query set: lut[s][c] =
+    # ||query_sub_s - centroid_{s,c}||^2
+    q_rows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", *[f"sub{s}" for s in range(PQ_SUBSPACES)])
+        .collect()
+    )
+    luts = []
+    for r in q_rows:
+        lut = [
+            [
+                sum((a - b) * (a - b) for a, b in zip(r[f"sub{s}"], c))
+                for c in centroids[s]
+            ]
+            for s in range(PQ_SUBSPACES)
+        ]
+        luts.append((r["vec_id"], lut))
+    queries = spark.createDataFrame(
+        [(qid, lut) for qid, lut in luts], "qid int, lut array<array<double>>"
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1),
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(queries))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(adc, 6).alias("adc_dist"))
+    )
+    # exact re-rank stage (standard IVF-PQ practice): ADC is a coarse
+    # 4-bit-per-subvector score, so take a candidate multiple by ADC
+    # and re-rank those few rows with TRUE distances — the expensive
+    # exact math runs on k*RERANK rows per query, not the corpus
+    w_adc = Window.partitionBy("qid").orderBy("adc_dist", "nid")
+    cands = (
+        scored.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= PQ_ANN_TOP * PQ_RERANK_FACTOR)
+        .select("qid", "nid", "adc_dist")
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("n_emb"))
+    exact_d = F.aggregate(
+        F.zip_with(
+            "q_emb", "n_emb",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    reranked = (
+        cands.join(F.broadcast(qe), "qid")
+        .join(ne, "nid")
+        .select("qid", "nid", "adc_dist", F.round(exact_d, 6).alias("exact_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("exact_dist", "nid")
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_ANN_TOP)
+        .select("qid", "nid", "adc_dist", "exact_dist", F.col("rn").cast("int"))
     )

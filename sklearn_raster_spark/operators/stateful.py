@@ -329,3 +329,59 @@ def q130_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q137_stream_sliding_window",
+    oracle="""
+    WITH s AS (
+        SELECT UNNEST(RANGE(0, 2)) AS k
+    ),
+    slid AS (
+        SELECT DATE_TRUNC('hour', ts) - (k::INTEGER * INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE
+                   * CASE WHEN MINUTE(ts) >= 30 THEN 1 ELSE 0 END AS window_start,
+               event_type, value
+        FROM events, s
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    doc="Sliding-window aggregation (1 h window, 30 min slide) driven "
+        "END-TO-END as an availableNow streaming query: every event "
+        "lands in exactly TWO overlapping windows, the state the "
+        "engine must maintain concurrently per key — the overlap "
+        "semantics q26/q130's tumbling windows don't exercise. The "
+        "oracle reconstructs Spark's window assignment arithmetic "
+        "(window_start = floor to the 30-min grid, k in {0,1} slides "
+        "back) in pure interval math. DECIMAL partial sums keep "
+        "streaming state merges order-independent.",
+)
+def q137_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    stream = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    sink = "q137_stream_sliding_sink"
+    run_stream_to_memory(stream, sink, output_mode="complete")
+    return spark.table(sink).select(
+        F.col("window_start").cast("timestamp_ntz"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

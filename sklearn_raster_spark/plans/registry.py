@@ -94,6 +94,10 @@ _WINDOW_ORDER = (
     # -- new in round 4 (second session), never graded
     "q134_data_quality_checks",
     "q135_product_quantization",
+    "q136_pq_ann_search",
+    "q137_stream_sliding_window",
+    "q138_bag_set_ops",
+    "q139_mode_aggregate",
     "q130_stream_tumbling_window",
     "q131_inverted_index",
     "q132_bm25_retrieval",
