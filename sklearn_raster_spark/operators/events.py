@@ -540,3 +540,166 @@ def q129_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.alias("dev_num"),
         var_num.alias("var_num"),
     )
+
+
+@query(
+    "q140_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    firsts AS (
+        SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day, COALESCE(f.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(f.new_users, 0))
+                OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+    FROM days d LEFT JOIN firsts f ON d.day = f.day
+    """,
+    doc="Cumulative distinct users per day — COUNT(DISTINCT) OVER is "
+        "unsupported as a running window in Spark (and would hold an "
+        "unbounded per-frame value set anywhere), so this is THE "
+        "scalable rewrite: distinct-ness collapses to each user's "
+        "FIRST day (one hash aggregate), then a day-level running sum "
+        "over the tiny per-day new-user counts. State shrinks from "
+        "O(users) per frame to O(days) total — the rewrite is the "
+        "operator. Both engines run the same formulation; the law "
+        "that it equals a true distinct count per day is pinned in "
+        "pytest against a direct per-day recount.",
+)
+def q140_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    firsts = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    # densify over every ACTIVE day so the running count is reported
+    # even on days that minted no new users
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    per_day = days.join(F.broadcast(firsts), "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).cast("bigint").alias("cum_users")
+    )
+
+
+@query(
+    "q141_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               DATE_TRUNC('week', e.ts) AS activity_week
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    ),
+    cells AS (
+        SELECT cohort_week, activity_week, COUNT(*) AS n_active
+        FROM activity GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.activity_week, c.n_active, s.cohort_size,
+           ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+    doc="Cohort retention matrix (the product-analytics staple): users "
+        "cohorted by first-activity week, each cell = how many of a "
+        "cohort were active in a given week, as a fraction of cohort "
+        "size. Plan: ONE user_id aggregate derives cohorts, the "
+        "cohort map joins back onto events (broadcast — the user "
+        "dimension is always smaller than the event stream), distinct "
+        "(user, week) pairs collapse before the cell count, and the "
+        "tiny week x week matrix joins its diagonal sizes. Every "
+        "aggregate is partial-combinable; nothing holds per-user "
+        "state beyond the first-seen aggregate.",
+)
+def q141_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # DuckDB DATE_TRUNC('week', ts) yields DATE; align the type
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    activity = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id", "cohort_week", F.date_trunc("week", "ts").cast("date").alias("activity_week")
+        )
+        .distinct()
+    )
+    cells = activity.groupBy("cohort_week", "activity_week").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "activity_week",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+ROLLING_MEDIAN_FRAME = 5  # trailing rows (4 preceding + current)
+
+
+@query(
+    "q142_rolling_median_udwf",
+    oracle=f"""
+    WITH cents AS (
+        SELECT event_id, user_id, EPOCH_US(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(MEDIAN(v) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {ROLLING_MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_median
+    FROM cents
+    """,
+    doc=f"Pandas UDF as a WINDOW function (the UDWF surface — distinct "
+        "from scalar UDFs (q40), grouped-map (q59) and grouped-agg "
+        f"(q76)): a numpy median over each trailing {ROLLING_MEDIAN_FRAME}-row "
+        "frame per user. Spark requires bounded frames for pandas "
+        "window UDFs precisely because each frame's slice ships to "
+        "the worker as an Arrow batch — the cost model this operator "
+        "demonstrates; the ordering key (epoch-micros, event_id) is "
+        "unique so frames are deterministic. Values are integer cents "
+        "(floor(v*100+0.5)), and the median of integers is exact in "
+        "binary floating point (a middle value or a .5 midpoint), so "
+        "the Python-computed result hash-matches DuckDB's MEDIAN "
+        "bitwise.",
+)
+def q142_rolling_median_udwf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    def _median(v):
+        return float(np.median(v.to_numpy(dtype=np.int64)))
+
+    median_udwf = F.pandas_udf(_median, "double", F.PandasUDFType.GROUPED_AGG)
+    cents = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(ROLLING_MEDIAN_FRAME - 1), 0)
+    )
+    return cents.select(
+        "event_id", "user_id", median_udwf("v").over(w).alias("rolling_median")
+    )

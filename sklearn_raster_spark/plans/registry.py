@@ -98,6 +98,9 @@ _WINDOW_ORDER = (
     "q137_stream_sliding_window",
     "q138_bag_set_ops",
     "q139_mode_aggregate",
+    "q140_cumulative_distinct_users",
+    "q141_cohort_retention",
+    "q142_rolling_median_udwf",
     "q130_stream_tumbling_window",
     "q131_inverted_index",
     "q132_bm25_retrieval",

@@ -300,3 +300,69 @@ def test_mode_aggregate_laws(spark, sf_dir):
     assert (df.mode_n >= 1).all()
     # the mode must account for at least 1/|domain| of the group
     assert (df.mode_n * 5 >= df.total_n).all()  # 5 distinct priorities
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q140_cumulative_distinct_users",
+        "q141_cohort_retention",
+        "q142_rolling_median_udwf",
+    ],
+)
+def test_batch4_oracle_value_match(spark, sf_dir, name):
+    assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_cumulative_distinct_equals_true_distinct(spark, sf_dir):
+    """The first-occurrence rewrite must equal a genuine per-day
+    distinct recount — the law that justifies the rewrite."""
+    import duckdb
+
+    pdf = (
+        load_all_queries()["q140_cumulative_distinct_users"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+    )
+    truth = duckdb.sql(
+        f"""
+        SELECT d.day, COUNT(DISTINCT e.user_id) AS cum
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM '{sf_dir}/events.parquet') d
+        JOIN '{sf_dir}/events.parquet' e ON CAST(e.ts AS DATE) <= d.day
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    assert list(pdf.cum_users) == list(truth.cum)
+
+
+def test_cohort_retention_laws(spark, sf_dir):
+    df = load_all_queries()["q141_cohort_retention"].fn(spark, sf_dir).toPandas()
+    assert (df.n_active <= df.cohort_size).all()
+    assert ((df.retention > 0) & (df.retention <= 1)).all()
+    # activity never predates the cohort (cohort = first activity)
+    assert (df.activity_week >= df.cohort_week).all()
+    # the diagonal is full: every cohort is 100% active in its own week
+    diag = df[df.activity_week == df.cohort_week]
+    assert (diag.retention == 1.0).all()
+
+
+def test_rolling_median_frame_law(spark, sf_dir):
+    """Each row's rolling median lies within the min/max of its
+    trailing frame (recomputed in pandas)."""
+    import numpy as np
+
+    from sklearn_raster_spark.operators.events import ROLLING_MEDIAN_FRAME
+    from sklearn_raster_spark.sources import read_table
+
+    pdf = load_all_queries()["q142_rolling_median_udwf"].fn(spark, sf_dir).toPandas()
+    ev = read_table(spark, sf_dir, "events").toPandas()
+    ev["v"] = np.floor(ev.value * 100 + 0.5).astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["expect"] = (
+        ev.groupby("user_id").v.transform(
+            lambda s: s.rolling(ROLLING_MEDIAN_FRAME, min_periods=1).median()
+        )
+    )
+    merged = pdf.merge(ev[["event_id", "expect"]], on="event_id")
+    assert np.allclose(merged.rolling_median, merged.expect)
