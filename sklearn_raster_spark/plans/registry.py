@@ -101,6 +101,7 @@ _WINDOW_ORDER = (
     "q140_cumulative_distinct_users",
     "q141_cohort_retention",
     "q142_rolling_median_udwf",
+    "q143_incremental_aggregate",
     "q130_stream_tumbling_window",
     "q131_inverted_index",
     "q132_bm25_retrieval",
