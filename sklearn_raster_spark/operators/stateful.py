@@ -385,3 +385,57 @@ def q137_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q144_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Session-window aggregation driven END-TO-END as an "
+        "availableNow streaming query (complete mode): the last "
+        "stateful streaming mechanism to be driver-graded — session "
+        "state MERGES adjacent windows as events arrive (unlike "
+        "tumbling/sliding whose window assignment is a pure function "
+        "of the timestamp), so the state store holds open sessions "
+        "per user that the watermark eventually seals. Hash-graded by "
+        "q28's batch reconstruction (gap-flag + cumulative session "
+        "number), proving the streaming merge converges to the batch "
+        "fixpoint. Completes the graded streaming matrix: tumbling "
+        "q130, sliding q137, session q144, dedup q107, inference "
+        "q116, stream-stream join q117.",
+)
+def q144_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.streaming import (
+        run_stream_to_memory,
+        session_counts_stream,
+    )
+
+    stream = session_counts_stream(spark, sf_dir)
+    sink = "q144_stream_session_sink"
+    run_stream_to_memory(stream, sink, output_mode="complete")
+    return spark.table(sink).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz"),
+        F.col("session_end").cast("timestamp_ntz"),
+        "n_events",
+    )

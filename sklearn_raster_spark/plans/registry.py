@@ -102,6 +102,7 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q142_rolling_median_udwf",
     "q143_incremental_aggregate",
+    "q144_stream_session_window",
     "q130_stream_tumbling_window",
     "q131_inverted_index",
     "q132_bm25_retrieval",

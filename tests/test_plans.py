@@ -100,3 +100,58 @@ def test_metadata_alias_not_mutated():
     ff._append_history("op1")
     assert "history" not in shared
     assert len(ff.metadata["history"]) == 1
+
+
+def test_boilerplate_and_grouped_split_broadcast(spark, sf_dir):
+    """q121's boilerplate set and q126's fold map must broadcast — the
+    only globally-shared state in either plan."""
+    plan = _plan(spark, sf_dir, "q121_boilerplate_passages")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan126 = _plan(spark, sf_dir, "q126_grouped_split")
+    assert "BroadcastHashJoin" in plan126
+
+
+def test_cms_sketch_aggregates_partially(spark, sf_dir):
+    """The count-min sketch groupBy must have a map-side partial phase
+    (mergeability is the whole point) and the estimate join must
+    broadcast the tiny d x w sketch."""
+    plan = _plan(spark, sf_dir, "q123_cms_heavy_hitters")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_has_no_join(spark, sf_dir):
+    """q135's encode phase is one narrow projection: literal codebooks,
+    no join anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "q135_product_quantization")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_maxsim_streams_corpus_once(spark, sf_dir):
+    """q128: query tokens broadcast (nested-loop against the tiny
+    side), never a shuffle of the corpus for the join."""
+    plan = _plan(spark, sf_dir, "q128_maxsim_late_interaction")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_aggregate_is_aggregate_only(spark, sf_dir):
+    """q143 merges view state with batch partials: aggregates and a
+    union, never a join."""
+    plan = _plan(spark, sf_dir, "q143_incremental_aggregate")
+    assert plan.count("HashAggregate") >= 4  # partial+final x (state, merge)
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_rolling_anomaly_single_user_shuffle(spark, sf_dir):
+    """q129's three window moments share ONE user_id exchange and ONE
+    window node."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q129_rolling_anomaly")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1

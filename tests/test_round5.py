@@ -372,3 +372,7 @@ def test_incremental_aggregate_oracle_match(spark, sf_dir):
     # the oracle IS the full recompute: passing proves the merged
     # incremental state equals a from-scratch aggregate bit-for-bit
     assert compare_query(spark, sf_dir, "q143_incremental_aggregate") > 0
+
+
+def test_stream_session_window_oracle_match(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q144_stream_session_window") > 0
