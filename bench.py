@@ -138,15 +138,18 @@ def main() -> None:
         "n_errors": len(timings) - len(ok),
     }
     result = {**summary, "queries": timings}
-    # compact headline FIRST: the driver's capture truncates long tails,
-    # and round 3 lost the official number to the per-query dict
-    print(json.dumps(summary), flush=True)
-    print(json.dumps(result), flush=True)
+    # Persist the artifact BEFORE printing: a consumer that closes our
+    # stdout early (e.g. `bench.py | head -1`) delivers SIGPIPE on the
+    # second print, and the run's only record must not die with it.
     try:
         with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    # compact headline FIRST: the driver's capture truncates long tails,
+    # and round 3 lost the official number to the per-query dict
+    print(json.dumps(summary), flush=True)
+    print(json.dumps(result), flush=True)
     spark.stop()
 
 
