@@ -83,8 +83,13 @@ def connected_components(
         # a stable sum-of-labels fingerprint IS idempotence — one tiny
         # aggregate per jump, no change-join. Every lbl value is
         # itself a node of ``e`` (self or a neighbor; ``e`` is
-        # symmetric), so the jump self-join is total.
-        fp = h.agg(F.sum("lbl")).first()[0]
+        # symmetric), so the jump self-join is total. DECIMAL sum: ids
+        # may span the full 64-bit hash range (q145 hashes names), and
+        # a bigint sum overflows under ANSI mode.
+        def _fp(df: DataFrame):
+            return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+        fp = _fp(h)
         for _ in range(max_jumps):
             j = h.select(F.col("node").alias("j_node"), F.col("lbl").alias("j_lbl"))
             h = (
@@ -92,7 +97,7 @@ def connected_components(
                 .select("node", F.col("j_lbl").alias("lbl"))
                 .localCheckpoint(eager=True)
             )
-            new_fp = h.agg(F.sum("lbl")).first()[0]
+            new_fp = _fp(h)
             if new_fp == fp:
                 break
             fp = new_fp

@@ -729,3 +729,101 @@ def q143_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+NEG_K = 3  # negatives kept per customer
+NEG_SLOTS = 8  # candidate slots drawn before the purchase anti-filter
+
+
+@query(
+    "q146_negative_sampling",
+    oracle=f"""
+    WITH idx AS (
+        SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS pidx
+        FROM part
+    ),
+    n AS (SELECT COUNT(*) AS n_parts FROM part),
+    slots AS (
+        SELECT c.c_custkey, s.slot,
+               {_oracle_bucket("c.c_custkey || ':' || s.slot", 1).replace('% 1', '')} % n.n_parts AS pidx
+        FROM customer c, (SELECT UNNEST(RANGE({NEG_SLOTS})) AS slot) s, n
+    ),
+    cands AS (
+        SELECT DISTINCT s.c_custkey, i.p_partkey, MIN(s.slot) AS slot
+        FROM slots s JOIN idx i ON s.pidx = i.pidx
+        GROUP BY s.c_custkey, i.p_partkey
+    ),
+    purchased AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT c_custkey, p_partkey, CAST(neg_rank AS INTEGER) AS neg_rank
+    FROM (
+        SELECT c.c_custkey, c.p_partkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey ORDER BY c.slot, c.p_partkey
+               ) AS neg_rank
+        FROM cands c
+        LEFT JOIN purchased p
+          ON c.c_custkey = p.o_custkey AND c.p_partkey = p.l_partkey
+        WHERE p.o_custkey IS NULL
+    ) WHERE neg_rank <= {NEG_K}
+    """,
+    doc=f"Deterministic negative sampling (contrastive/recsys training "
+        f"data): {NEG_K} parts per customer that the customer did NOT "
+        f"purchase, drawn by hashing (customer, slot) over "
+        f"{NEG_SLOTS} candidate slots through a ranked part index, "
+        "then anti-filtered against the purchase set and ranked by "
+        "slot. The scalable insight: negatives come from O(customers "
+        "x slots) generated rows — the customer x part cross product "
+        "is NEVER materialized (3B pairs at sf1 would be); the margin "
+        "of extra slots absorbs candidates knocked out by the "
+        "purchase filter. md5-hash assignment is a pure row-key "
+        "function — stable across engines, partitions and retries — "
+        "and the part-index indirection keeps the op correct under "
+        "ANY partkey keyspace. The oracle replicates slot hashing, "
+        "index mapping and anti-filter exactly.",
+)
+def q146_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = read_table(spark, sf_dir, "part")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    widx = Window.orderBy("p_partkey")
+    idx = part.select("p_partkey").withColumn(
+        "pidx", F.row_number().over(widx) - 1
+    )
+    n_parts = idx.count()
+
+    slot_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("c_custkey").cast("string"), F.col("slot"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    slots = customer.select(
+        "c_custkey", F.explode(F.sequence(F.lit(0), F.lit(NEG_SLOTS - 1))).alias("slot")
+    ).select("c_custkey", "slot", F.pmod(slot_hash, F.lit(n_parts)).alias("pidx"))
+    cands = (
+        slots.join(F.broadcast(idx), "pidx")
+        .groupBy("c_custkey", "p_partkey")
+        .agg(F.min("slot").alias("slot"))
+    )
+    purchased = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    wr = Window.partitionBy("c_custkey").orderBy("slot", "p_partkey")
+    return (
+        cands.join(purchased, ["c_custkey", "p_partkey"], "left_anti")
+        .withColumn("neg_rank", F.row_number().over(wr))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("c_custkey", "p_partkey", F.col("neg_rank").cast("int"))
+    )

@@ -410,3 +410,109 @@ def q127_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
     )
     return pairs.filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+
+
+@query(
+    "q145_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE names AS (
+        SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    ),
+    pairs AS (
+        SELECT a.p_name AS na, b.p_name AS nb
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= {FUZZY_MAX_DIST}
+         AND LEVENSHTEIN(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ),
+    edges AS (
+        SELECT na AS src, nb AS dst FROM pairs
+        UNION ALL SELECT nb, na FROM pairs
+        UNION ALL SELECT p_name, p_name FROM names
+    ),
+    reach AS (
+        SELECT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS p_name, MIN(lbl) AS cluster FROM reach GROUP BY node),
+    canon AS (
+        SELECT cluster, p_name AS canonical, n_parts AS canon_support
+        FROM (
+            SELECT c.cluster, n.p_name, n.n_parts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster ORDER BY n.n_parts DESC, n.p_name
+                   ) AS rn
+            FROM comp c JOIN names n ON c.p_name = n.p_name
+        ) WHERE rn = 1
+    )
+    SELECT c.p_name AS name, c.cluster, k.canonical,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS cluster_size
+    FROM comp c JOIN canon k ON c.cluster = k.cluster
+    """,
+    doc="End-to-end entity resolution (the q104 composition pattern "
+        "applied to strings): fuzzy name pairs (q127's banded "
+        "levenshtein join) become an undirected graph, connected "
+        "components (operators/graph.py's min-star contraction, run "
+        "on xxhash64 node ids, relabeled to each cluster's MIN NAME "
+        "so labels are engine-portable) merge transitive variants, "
+        "and each cluster elects the majority spelling (support DESC, "
+        "name ASC) as canonical — the catalog-canonicalization "
+        "pipeline, hash-checked against one recursive-CTE oracle. "
+        "Every stage is vocabulary-sized (distinct names, Heaps-law "
+        "small), never row-count-sized; singleton names pass through "
+        "as their own cluster via the identity edges.",
+)
+def q145_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from sklearn_raster_spark.operators.graph import connected_components
+
+    part = read_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    names = names.localCheckpoint(eager=True)  # feeds pairs + canon + singleton union
+    a = names.select(F.col("p_name").alias("na"), F.length("p_name").alias("la"))
+    b = names.select(F.col("p_name").alias("nb"), F.length("p_name").alias("lb"))
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("na") < F.col("nb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= FUZZY_MAX_DIST),
+        )
+        .filter(F.levenshtein("na", "nb") <= FUZZY_MAX_DIST)
+        .select("na", "nb")
+    )
+    # components on stable 64-bit ids (graph.py's fingerprint needs a
+    # numeric min-semiring); names map back after
+    edges = pairs.select(
+        F.xxhash64("na").alias("src"), F.xxhash64("nb").alias("dst")
+    )
+    comp = connected_components(edges, src="src", dst="dst", assume_distinct=True)
+    ids = names.select("p_name", F.xxhash64("p_name").alias("node"))
+    labeled = ids.join(comp, "node", "left").select(
+        "p_name", F.coalesce("component", F.col("node")).alias("hash_cluster")
+    )
+    # relabel clusters by MIN NAME (engine-portable, unlike hash order)
+    cluster_name = labeled.groupBy("hash_cluster").agg(
+        F.min("p_name").alias("cluster")
+    )
+    members = labeled.join(F.broadcast(cluster_name), "hash_cluster").select(
+        "p_name", "cluster"
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n_parts").desc(), "p_name")
+    canon = (
+        members.join(names, "p_name")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("p_name").alias("canonical"))
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        members.join(F.broadcast(canon), "cluster")
+        .select(
+            F.col("p_name").alias("name"),
+            "cluster",
+            "canonical",
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("cluster_size"),
+        )
+    )

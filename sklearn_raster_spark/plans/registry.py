@@ -103,6 +103,8 @@ _WINDOW_ORDER = (
     "q142_rolling_median_udwf",
     "q143_incremental_aggregate",
     "q144_stream_session_window",
+    "q145_entity_resolution",
+    "q146_negative_sampling",
     "q130_stream_tumbling_window",
     "q131_inverted_index",
     "q132_bm25_retrieval",
@@ -191,9 +193,9 @@ _WINDOW_ORDER = (
     "q78_udtf_lateral_trigrams",
     "q94_gap_fill_ffill",
     "q95_event_funnel",
-    # ---- NOTE: with 26 second-session queries prepended, a 50-query
-    #      window now closes around q62 (11 new + 4 + 9 + 15 first-
-    #      session + ~11 stale re-grades). Everything from here down
+    # ---- NOTE: with 28 second-session queries prepended, a 50-query
+    #      window now closes inside the stale block (13 + 4 + 9 new +
+    #      15 first-session + ~9 stale re-grades). Everything from here down
     #      was hash-green in CORRECTNESS_r01-r03 with code unchanged
     #      since, or is rows-only and pytest-pinned; the session
     #      pre-flight sweep still value-checks ALL oracles at sf0.01,

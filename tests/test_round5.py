@@ -376,3 +376,44 @@ def test_incremental_aggregate_oracle_match(spark, sf_dir):
 
 def test_stream_session_window_oracle_match(spark, sf_dir):
     assert compare_query(spark, sf_dir, "q144_stream_session_window") > 0
+
+
+@pytest.mark.parametrize(
+    "name", ["q145_entity_resolution", "q146_negative_sampling"]
+)
+def test_batch5_oracle_value_match(spark, sf_dir, name):
+    assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_entity_resolution_laws(spark, sf_dir):
+    df = load_all_queries()["q145_entity_resolution"].fn(spark, sf_dir).toPandas()
+    # every name appears exactly once; canonical is a member of its cluster
+    assert df.name.is_unique
+    by_cluster = df.groupby("cluster")
+    for cl, g in by_cluster:
+        assert set(g.canonical) == {g.canonical.iloc[0]}
+        assert g.canonical.iloc[0] in set(g.name)
+        assert (g.cluster_size == len(g)).all()
+        assert cl == g.name.min()  # cluster label is the min member name
+
+
+def test_negative_sampling_excludes_purchases(spark, sf_dir):
+    import duckdb
+
+    from sklearn_raster_spark.operators.pipeline import NEG_K
+
+    pdf = load_all_queries()["q146_negative_sampling"].fn(spark, sf_dir).toPandas()
+    purchased = duckdb.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM '{sf_dir}/orders.parquet' o
+        JOIN '{sf_dir}/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey
+        """
+    ).df()
+    bought = set(zip(purchased.c, purchased.p))
+    assert not any((c, p) in bought for c, p in zip(pdf.c_custkey, pdf.p_partkey))
+    per_cust = pdf.groupby("c_custkey").size()
+    assert (per_cust <= NEG_K).all()
+    # each customer's ranks are 1..k contiguous
+    for _, g in pdf.groupby("c_custkey"):
+        assert sorted(g.neg_rank) == list(range(1, len(g) + 1))
