@@ -827,3 +827,62 @@ def q146_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= NEG_K)
         .select("c_custkey", "p_partkey", F.col("neg_rank").cast("int"))
     )
+
+
+WF_FOLDS = 3  # walk-forward folds: train <= cutoff_i, validate next year
+
+
+@query(
+    "q147_walk_forward_split",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT f.fold,
+               CASE WHEN YEAR(o.o_orderdate) <= 1995 + f.fold THEN 'train'
+                    WHEN YEAR(o.o_orderdate) = 1996 + f.fold THEN 'val'
+                    END AS role,
+               o.o_totalprice
+        FROM orders o,
+             (SELECT UNNEST(RANGE({WF_FOLDS})) AS fold) f
+    )
+    SELECT CAST(fold AS INTEGER) AS fold, role,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10))) AS DOUBLE) AS revenue
+    FROM labeled WHERE role IS NOT NULL
+    GROUP BY fold, role
+    """,
+    doc=f"Walk-forward (temporal) cross-validation split: fold i "
+        "trains on everything through year 1995+i and validates on "
+        "the following year — the time-leakage-safe evaluation "
+        "protocol for forecasting/ranking models, completing the "
+        "split family (row-hash q72, stratified q73, entity-grouped "
+        "q126, temporal q147): a model must never see the future, "
+        "which random splits cannot guarantee. Plan: each row fans "
+        f"out to its {WF_FOLDS} fold roles via one small explode "
+        "(never a per-fold rescan), the date predicate is a pure "
+        "column function, and per-(fold, role) DECIMAL aggregates "
+        "partial-combine; assignment is a function of the DATE, so it "
+        "is stable under any partitioning, engine or retry.",
+)
+def q147_walk_forward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.explode(F.sequence(F.lit(0), F.lit(WF_FOLDS - 1))).alias("fold"),
+        F.year("o_orderdate").alias("yr"),
+        "o_totalprice",
+    ).select(
+        "fold",
+        F.when(F.col("yr") <= 1995 + F.col("fold"), "train")
+        .when(F.col("yr") == 1996 + F.col("fold"), "val")
+        .alias("role"),
+        "o_totalprice",
+    )
+    return (
+        labeled.filter(F.col("role").isNotNull())
+        .groupBy(F.col("fold").cast("int"), "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

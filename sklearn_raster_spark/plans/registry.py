@@ -105,6 +105,7 @@ _WINDOW_ORDER = (
     "q144_stream_session_window",
     "q145_entity_resolution",
     "q146_negative_sampling",
+    "q147_walk_forward_split",
     "q130_stream_tumbling_window",
     "q131_inverted_index",
     "q132_bm25_retrieval",

@@ -417,3 +417,15 @@ def test_negative_sampling_excludes_purchases(spark, sf_dir):
     # each customer's ranks are 1..k contiguous
     for _, g in pdf.groupby("c_custkey"):
         assert sorted(g.neg_rank) == list(range(1, len(g) + 1))
+
+
+def test_walk_forward_split_laws(spark, sf_dir):
+    from sklearn_raster_spark.operators.pipeline import WF_FOLDS
+
+    assert compare_query(spark, sf_dir, "q147_walk_forward_split") > 0
+    df = load_all_queries()["q147_walk_forward_split"].fn(spark, sf_dir).toPandas()
+    # every fold has both roles, and later folds train on supersets
+    per_fold = df.pivot(index="fold", columns="role", values="n_orders")
+    assert set(per_fold.columns) == {"train", "val"}
+    assert per_fold.train.is_monotonic_increasing
+    assert len(per_fold) == WF_FOLDS
