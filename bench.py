@@ -1,10 +1,11 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints the COMPACT summary JSON line {"metric", "value", "unit", "sf",
-"n_queries"} FIRST (so a tail-truncating capture still records the
-headline number), then the full line with the per-query dict, and also
-writes the full result to BENCH_LOCAL.json next to this file.
+Prints the full line with the per-query dict first, then the COMPACT
+summary JSON line {"metric", "value", "unit", "sf", "n_queries"} LAST —
+the driver records the stdout TAIL, so the final line is the one that
+survives truncation. Also writes the full result to BENCH_LOCAL.json
+next to this file.
 
 Timing covers plan BUILD + materialization together: some builders
 eagerly persist shared lineages (q51 token table, q100 band keys, q101
@@ -146,10 +147,11 @@ def main() -> None:
             json.dump(result, f, indent=1, sort_keys=True)
     except OSError:
         pass
-    # compact headline FIRST: the driver's capture truncates long tails,
-    # and round 3 lost the official number to the per-query dict
-    print(json.dumps(summary), flush=True)
+    # compact headline LAST: the driver records the stdout TAIL, so the
+    # final line is the one guaranteed to survive truncation (round 3
+    # lost the number to the dict; round 4 lost it by printing first).
     print(json.dumps(result), flush=True)
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 

@@ -10,6 +10,7 @@ fair correctness check for the streaming semantics.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -685,10 +686,9 @@ ROLLING_MEDIAN_FRAME = 5  # trailing rows (4 preceding + current)
 def q142_rolling_median_udwf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    def _median(v):
+    @F.pandas_udf("double")
+    def median_udwf(v: pd.Series) -> float:
         return float(np.median(v.to_numpy(dtype=np.int64)))
-
-    median_udwf = F.pandas_udf(_median, "double", F.PandasUDFType.GROUPED_AGG)
     cents = read_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -702,4 +702,57 @@ def q142_rolling_median_udwf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cents.select(
         "event_id", "user_id", median_udwf("v").over(w).alias("rolling_median")
+    )
+
+
+@query(
+    "q148_rolling_median_jvm",
+    oracle=f"""
+    WITH cents AS (
+        SELECT event_id, user_id, EPOCH_US(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(MEDIAN(v) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {ROLLING_MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_median
+    FROM cents
+    """,
+    doc=f"The SCALE path for q142's rolling median — zero Python: the "
+        f"trailing {ROLLING_MEDIAN_FRAME}-row frame materializes as "
+        f"array(lag(v,{ROLLING_MEDIAN_FRAME - 1})..lag(v,1), v), "
+        "array_sort puts the partition-start NULLs LAST, and the "
+        "median is the mean of the two middle elements among the n "
+        "non-null ones (equal indexes when n is odd) — all inside "
+        "whole-stage codegen, one window exchange, no Arrow transfer. "
+        "q142 ships one Arrow slice per ROW (9.9 s at sf0.1, the "
+        "suite's slowest query, round-4 VERDICT.md item 3) and stays "
+        "registered as the UDWF surface demo; this form is what a "
+        "100 TB pipeline runs. On integer cents the two are "
+        "bitwise-equal (pytest-pinned): (a+b) of ints < 2^52 is "
+        "exact in float64 and /2 only shifts the exponent.",
+)
+def q148_rolling_median_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    frame = F.array_sort(
+        F.array(
+            *[F.lag("v", i).over(w) for i in range(ROLLING_MEDIAN_FRAME - 1, 0, -1)],
+            F.col("v"),
+        )
+    )
+    n = F.least(F.row_number().over(w), F.lit(ROLLING_MEDIAN_FRAME))
+    lower = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    upper = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return cents.select(
+        "event_id",
+        "user_id",
+        ((lower + upper) / F.lit(2.0)).alias("rolling_median"),
     )

@@ -42,7 +42,10 @@ POSTINGS_CAP = 100  # posting-list prefix kept in the graded output
     idx AS (
         SELECT tok,
                COUNT(*) AS df,
-               (LIST(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}] AS postings
+               ARRAY_TO_STRING(
+                   (LIST(CAST(doc_id AS VARCHAR) ORDER BY doc_id))[1:{POSTINGS_CAP}],
+                   ' '
+               ) AS postings
         FROM dt GROUP BY tok
     ),
     occ AS (SELECT tok, COUNT(*) AS n_occurrences FROM toks GROUP BY tok)
@@ -57,9 +60,11 @@ POSTINGS_CAP = 100  # posting-list prefix kept in the graded output
         "occurrence counts; the groupBy(token) key is exactly the "
         "posting-segment shard key, so at 100 TB each reducer emits "
         "one token's (or token-range's) complete segment and partial "
-        "aggregation combines map-side. Posting arrays sort "
-        "ascending — delta-encodable, the layout real indexes store. "
-        "The LIST(... ORDER BY) oracle checks the ARRAY VALUES "
+        "aggregation combines map-side. Posting lists sort "
+        "ascending — delta-encodable, the layout real indexes store — "
+        "and are graded as a space-joined STRING (scalar schema: the "
+        "driver's canonicalizer cannot sort array cells, round-4 "
+        "VERDICT.md item 1), which still checks the posting VALUES "
         "element-for-element, not just counts.",
 )
 def q131_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,9 +76,12 @@ def q131_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_CAP).cast(
+                    "array<string>"
+                ),
+                " ",
+            ).alias("postings"),
         )
     )
     occ = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -740,7 +740,11 @@ def _pq_code_terms(centroids):
         "embeds the tiny codebooks as literal arrays and picks the "
         f"argmin-distance code JVM-side (a {PQ_CODEBOOK}-element "
         "fold per subspace — one narrow projection over the corpus, "
-        "no join, no Python). Rows-only: "
+        "no join, no Python). The graded `codes` column is the "
+        "'-'-joined code STRING (scalar schema — the driver's "
+        "canonicalizer cannot sort array cells, round-4 VERDICT.md "
+        "item 2 — while still pinning every per-subspace code "
+        "value). Rows-only: "
         "codebooks are fitted model state; the laws (code range, "
         "codebook utilization, reconstruction error beating the "
         "mean-predictor baseline) are pytest-pinned.",
@@ -753,7 +757,9 @@ def q135_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_err = sq_err + b
     return base.select(
         "vec_id",
-        F.array(*[code for code, _ in terms]).alias("codes"),
+        F.array_join(
+            F.array(*[code for code, _ in terms]).cast("array<string>"), "-"
+        ).alias("codes"),
         F.round(sq_err, 6).alias("sq_error"),
     )
 

@@ -391,7 +391,7 @@ def q137_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q144_stream_session_window",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -399,7 +399,8 @@ def q137_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), numbered AS (
         SELECT *, SUM(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_no
         FROM flagged
     )
     SELECT user_id,

@@ -88,6 +88,12 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
+    # Round-5 head (VERDICT r4 #1/#3): the two formerly driver-broken
+    # rows lead now that their schemas are scalar, then this round's
+    # new/changed queries; the round-4 never-graded block follows.
+    "q131_inverted_index",
+    "q135_product_quantization",
+    "q148_rolling_median_jvm",
     # Round-4 policy (VERDICT r3 #1): every query whose CODE changed
     # since its newest driver row gets regraded, so no driver row is
     # ever older than the code it grades. Never-graded queries lead.

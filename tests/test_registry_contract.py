@@ -54,3 +54,26 @@ def test_every_query_has_doc():
     qs = load_all_queries()
     undocumented = [n for n, s in qs.items() if len((s.doc or "").strip()) < 30]
     assert not undocumented, undocumented
+
+
+def test_no_nested_types_in_any_output_schema(spark, sf_dir):
+    """Driver-gradability contract: the grader canonicalizes results
+    with pandas sort_values over every column, which dies on
+    unhashable cells (TypeError on list/dict — round-4 VERDICT.md
+    killed q131/q135 this way). Every registered query must therefore
+    emit a purely scalar schema: no array, map, or struct columns.
+    Array-shaped results encode as joined strings (q131 postings,
+    q135 codes) or explode to one row per element."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, spec in sorted(load_all_queries().items()):
+        df = spec.fn(spark, sf_dir)  # analysis only — never executed
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
