@@ -329,8 +329,9 @@ def q138_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counts, then argmax-of-count per group) — both partial-"
         "aggregable, no window, no sort of the fact table; the "
         "second aggregate's input is |groups x values| rows, value-"
-        "domain bounded. The oracle's ARG_MIN on the (-n, value) "
-        "tuple encodes the same tie-break.",
+        "domain bounded. The oracle ranks with ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, value ASC) and keeps rank 1 — the same "
+        "(count DESC, value ASC) tie-break.",
 )
 def q139_mode_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")

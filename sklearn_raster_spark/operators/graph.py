@@ -303,31 +303,74 @@ def q124_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM member GROUP BY partkey
     """,
     doc="Per-node triangle counts over the co-purchase graph — the "
-        "clustering-coefficient / community-density primitive. With "
-        "edges oriented a<b<c, triangles enumerate as wedge join "
-        "(a,b)x(b,c) + closure semi-check (a,c): two self-joins on an "
-        "edge list that is orders of magnitude smaller than lineitem. "
-        "Scale note: on power-law graphs the wedge join is dominated "
-        "by hub nodes; the standard hardening is degree-ordering "
-        "(orient edges low-degree -> high-degree so wedge count is "
-        "sum of min-degree^2) — semantics identical, and the a<b<c "
-        "form here IS the oracle's enumeration, so the result is "
-        "hash-graded.",
+        "clustering-coefficient / community-density primitive — via "
+        "DEGREE-ORDERED orientation (round-4 VERDICT.md item 5): each "
+        "undirected edge points from its lower-(degree, id) endpoint "
+        "to the higher, every triangle enumerates exactly once as two "
+        "out-edges of its minimum-rank node plus a closure probe, and "
+        "the wedge join costs sum-of-out-degree^2 where out-degrees "
+        "are arboricity-bounded (O(sqrt(m)) worst case) instead of "
+        "hub-degree^2 under the naive a<b<c orientation — on a "
+        "power-law co-purchase graph the hub contributes ZERO wedges "
+        "(all its edges point in; pytest-pinned on a star fixture). "
+        "Node-id orientation remains the tie-break, so enumeration is "
+        "deterministic; per-node membership counts are orientation-"
+        "invariant and hash-match the oracle's a<b<c enumeration.",
 )
 def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_pairs(spark, sf_dir)
-    # two consumers below (wedge sides + closure probe): materialize once
-    e = e.localCheckpoint(eager=True)
-    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
-    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    member = (
+    o = degree_oriented_edges(e).localCheckpoint(eager=True)
+    member = _triangle_members(o)
+    return member.groupBy("partkey").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def degree_oriented_edges(e: DataFrame) -> DataFrame:
+    """Orient the undirected (pa < pb) edge list from the lower-
+    (degree, node-id) endpoint to the higher. Out-degrees under this
+    orientation are bounded by the graph's degeneracy (<= O(sqrt(m))),
+    which bounds the triangle wedge join at sum(out_deg^2) regardless
+    of hub sizes — the standard power-law hardening. Carries dst's
+    (deg, id) rank so the wedge stage can order its two endpoints
+    without re-joining degrees."""
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withd = e.join(
+        deg.select(F.col("node").alias("pa"), F.col("deg").alias("da")), "pa"
+    ).join(deg.select(F.col("node").alias("pb"), F.col("deg").alias("db")), "pb")
+    fwd = F.struct(F.col("da"), F.col("pa")) < F.struct(F.col("db"), F.col("pb"))
+    return withd.select(
+        F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+
+
+def _triangle_members(o: DataFrame) -> DataFrame:
+    """One row per (triangle, member) from a degree-oriented edge
+    list: wedges pair two out-edges of a pivot (endpoints ordered by
+    (deg, id) so each wedge appears once), the closure probe joins the
+    oriented (b, c) edge — which, when it exists, necessarily points
+    b -> c because rank(b) < rank(c)."""
+    w1 = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_deg").alias("bd")
+    )
+    w2 = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dst_deg").alias("cd")
+    )
+    wedges = w1.join(w2, "a").filter(
+        F.struct(F.col("bd"), F.col("b")) < F.struct(F.col("cd"), F.col("c"))
+    )
+    closure = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closure, ["b", "c"])
+    return (
         tri.select(F.col("a").alias("partkey"))
         .unionByName(tri.select(F.col("b").alias("partkey")))
         .unionByName(tri.select(F.col("c").alias("partkey")))
     )
-    return member.groupBy("partkey").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 PAGERANK_ITERS = 8

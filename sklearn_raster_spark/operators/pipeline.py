@@ -38,8 +38,12 @@ def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
-def _oracle_bucket(expr: str, n_buckets: int = 100) -> str:
-    return f"CAST(('0x' || SUBSTR(MD5(CAST({expr} AS VARCHAR)), 1, 6)) AS BIGINT) % {n_buckets}"
+def _oracle_bucket(expr: str, n_buckets: int | None = 100) -> str:
+    """DuckDB dual of _bucket. n_buckets=None returns the RAW 24-bit
+    hash value (no modulo) for callers that apply their own modulus
+    (q146 uses `raw % n_parts` where n_parts is a subquery column)."""
+    raw = f"CAST(('0x' || SUBSTR(MD5(CAST({expr} AS VARCHAR)), 1, 6)) AS BIGINT)"
+    return raw if n_buckets is None else f"{raw} % {n_buckets}"
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
@@ -745,7 +749,7 @@ NEG_SLOTS = 8  # candidate slots drawn before the purchase anti-filter
     n AS (SELECT COUNT(*) AS n_parts FROM part),
     slots AS (
         SELECT c.c_custkey, s.slot,
-               {_oracle_bucket("c.c_custkey || ':' || s.slot", 1).replace('% 1', '')} % n.n_parts AS pidx
+               {_oracle_bucket("c.c_custkey || ':' || s.slot", None)} % n.n_parts AS pidx
         FROM customer c, (SELECT UNNEST(RANGE({NEG_SLOTS})) AS slot) s, n
     ),
     cands AS (

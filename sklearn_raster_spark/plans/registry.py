@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.skew",
     "sklearn_raster_spark.operators.corpus",
     "sklearn_raster_spark.operators.retrieval",
+    "sklearn_raster_spark.operators.composition",
 )
 
 
@@ -88,44 +89,127 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # Round-5 head (VERDICT r4 #1/#3): the two formerly driver-broken
-    # rows lead now that their schemas are scalar, then this round's
-    # new/changed queries; the round-4 never-graded block follows.
+    # Round-5 policy (VERDICT r4 #3): (1) queries whose code or oracle
+    # changed this round lead — the two formerly driver-broken rows
+    # (q131/q135, now scalar schemas), the two new queries (q148/q149),
+    # and every query re-touched by this round's fixes; (2) then every
+    # query whose NEWEST driver row is r01-r03, those in modules that
+    # churned this round first; (3) the r4-graded greens re-grade last
+    # (their driver rows are the freshest). The 50-query window closes
+    # inside block (2); everything below is still value-checked by the
+    # session pre-flight sweep at sf0.01.
+    # -- (1) changed or new in round 5
     "q131_inverted_index",
     "q135_product_quantization",
     "q148_rolling_median_jvm",
-    # Round-4 policy (VERDICT r3 #1): every query whose CODE changed
-    # since its newest driver row gets regraded, so no driver row is
-    # ever older than the code it grades. Never-graded queries lead.
-    # -- new in round 4 (second session), never graded
-    "q134_data_quality_checks",
-    "q135_product_quantization",
-    "q136_pq_ann_search",
-    "q137_stream_sliding_window",
-    "q138_bag_set_ops",
-    "q139_mode_aggregate",
-    "q140_cumulative_distinct_users",
-    "q141_cohort_retention",
+    "q149_pipeline_composition",
     "q142_rolling_median_udwf",
-    "q143_incremental_aggregate",
     "q144_stream_session_window",
+    "q125_triangle_count",
+    "q127_fuzzy_name_join",
     "q145_entity_resolution",
     "q146_negative_sampling",
-    "q147_walk_forward_split",
-    "q130_stream_tumbling_window",
-    "q131_inverted_index",
-    "q132_bm25_retrieval",
-    "q133_skyline_parts",
-    "q121_boilerplate_passages",
-    "q122_incremental_dedup",
-    "q123_cms_heavy_hitters",
-    "q124_khop_reachability",
-    "q125_triangle_count",
-    "q126_grouped_split",
-    "q127_fuzzy_name_join",
-    "q128_maxsim_late_interaction",
-    "q129_rolling_anomaly",
-    # -- new in round 4 (first session), never graded
+    "q139_mode_aggregate",
+    # -- (2a) newest driver row r01-r03, module churned in round 5
+    "q100_bounded_neardup",
+    "q101_contamination_check",
+    "q102_sequence_packing",
+    "q105_fixed_size_sample",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_math_funcs",
+    "q24_array_funcs",
+    "q25_json_funcs",
+    "q26_tumbling_window",
+    "q27_sliding_window",
+    "q28_session_window",
+    "q29_dedup_keep_first",
+    "q30_event_pivot",
+    "q33_explode_ordinality",
+    "q34_map_funcs",
+    "q54_kneighbors_lsh",
+    "q55_knn_cosine_bruteforce",
+    "q57_embedding_neardup",
+    "q59_stateful_running_agg",
+    "q60_text_stats",
+    "q61_language_id",
+    "q62_fingerprint",
+    "q63_regex_tokens",
+    "q64_quality_filter",
+    "q65_bigram_counts",
+    "q69_ann_ivf",
+    "q71_merge_upsert",
+    "q72_hash_split",
+    "q73_stratified_sample",
+    "q80_dynamic_session_window",
+    "q84_copurchase_components",
+    "q94_gap_fill_ffill",
+    "q95_event_funnel",
+    "q96_tfidf_top_terms",
+    # -- (2b) newest driver row r01-r03, module untouched this round
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_customers_per_region",
+    "q08_customers_with_orders",
+    "q09_customers_without_orders",
+    "q103_chi_square_contingency",
+    "q104_dedup_corpus",
+    "q10_returned_item_revenue",
+    "q11_distinct_segments_per_nation",
+    "q12_rollup_order_status",
+    "q13_cube_returnflag_status",
+    "q14_grouping_sets",
+    "q15_top3_orders_per_customer",
+    "q16_running_totals",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_orders_above_customer_avg",
+    "q20_price_band_join",
+    "q31_asof_join",
+    "q38_interval_join",
+    "q40_linear_inference_nodata",
+    "q41_nb_classify_embeddings",
+    "q42_nb_proba_embeddings",
+    "q43_pca_transform_embeddings",
+    "q44_kneighbors_embeddings",
+    "q45_mllib_linear_regression",
+    "q46_mllib_kmeans",
+    "q47_mllib_logistic_proba",
+    "q48_compiled_linear_inference",
+    "q49_csv_source",
+    "q50_exact_dedup",
+    "q51_jaccard_pairs",
+    "q58_json_source",
+    "q66_wide_long_reshape",
+    "q67_inverse_transform_roundtrip",
+    "q68_raster_stack_source",
+    "q70_multimodal_features",
+    "q74_orc_source",
+    "q75_partitioned_sink_prune",
+    "q76_grouped_agg_pandas_udaf",
+    "q77_range_interval_window",
+    "q78_udtf_lateral_trigrams",
+    "q79_zorder_layout",
+    "q81_multimodal_frame_sample",
+    "q82_multimodal_resize",
+    "q83_full_outer_join",
+    "q85_argmax_aggregates",
+    "q86_exact_percentiles",
+    "q87_price_histogram",
+    "q88_order_gaps_islands",
+    "q89_conditional_aggregates",
+    "q90_null_safe_join",
+    "q91_ordered_string_agg",
+    "q92_approx_percentiles",
+    "q93_salted_agg",
+    "q97_regression_aggregates",
+    "q98_bitwise_aggregates",
+    "q99_checksum_source",
+    # -- (3) r4-graded greens, re-grade last
     "q106_contamination_bloom",
     "q107_stream_dedup",
     "q108_priority_sample",
@@ -141,8 +225,24 @@ _WINDOW_ORDER = (
     "q118_frequent_itemsets",
     "q119_als_recommendations",
     "q120_pagerank",
-    # -- stale: last driver row is r01, and dedup.py/text.py/relational
-    #    churned since
+    "q121_boilerplate_passages",
+    "q122_incremental_dedup",
+    "q123_cms_heavy_hitters",
+    "q124_khop_reachability",
+    "q126_grouped_split",
+    "q128_maxsim_late_interaction",
+    "q129_rolling_anomaly",
+    "q130_stream_tumbling_window",
+    "q132_bm25_retrieval",
+    "q133_skyline_parts",
+    "q134_data_quality_checks",
+    "q136_pq_ann_search",
+    "q137_stream_sliding_window",
+    "q138_bag_set_ops",
+    "q140_cumulative_distinct_users",
+    "q141_cohort_retention",
+    "q143_incremental_aggregate",
+    "q147_walk_forward_split",
     "q32_approx_count_distinct",
     "q35_union_type_promotion",
     "q36_sort_merge_join",
@@ -151,122 +251,6 @@ _WINDOW_ORDER = (
     "q52_minhash_lsh_pairs",
     "q53_simhash_neardup",
     "q56_ann_lsh",
-    "q60_text_stats",
-    "q61_language_id",
-    "q62_fingerprint",
-    "q63_regex_tokens",
-    # -- modules changed this round (dedup minhash rework, graph CC
-    #    seed, estimator wrap-reset, pipeline bloom) and in round 3's
-    #    post-grading commit (estimator/features/dedup/similarity/
-    #    analytics/fetch)
-    "q104_dedup_corpus",
-    "q84_copurchase_components",
-    "q51_jaccard_pairs",
-    "q50_exact_dedup",
-    # oracle-backed estimator queries ahead of the rows-only ones so
-    # the 50-query boundary sheds the weakest-signal rows first
-    "q40_linear_inference_nodata",
-    "q48_compiled_linear_inference",
-    "q43_pca_transform_embeddings",
-    "q44_kneighbors_embeddings",
-    "q41_nb_classify_embeddings",
-    "q42_nb_proba_embeddings",
-    "q54_kneighbors_lsh",
-    "q67_inverse_transform_roundtrip",
-    "q55_knn_cosine_bruteforce",
-    "q57_embedding_neardup",
-    "q69_ann_ivf",
-    "q100_bounded_neardup",
-    "q101_contamination_check",
-    "q102_sequence_packing",
-    "q105_fixed_size_sample",
-    "q72_hash_split",
-    "q73_stratified_sample",
-    "q71_merge_upsert",
-    "q97_regression_aggregates",
-    "q99_checksum_source",
-    # -- features.py (StructField metadata chain) consumers
-    "q68_raster_stack_source",
-    "q75_partitioned_sink_prune",
-    "q49_csv_source",
-    "q58_json_source",
-    "q74_orc_source",
-    # -- regression cross-section (untouched, re-grade oldest greens)
-    "q01_pricing_summary",
-    "q26_tumbling_window",
-    "q59_stateful_running_agg",
-    "q76_grouped_agg_pandas_udaf",
-    "q77_range_interval_window",
-    "q78_udtf_lateral_trigrams",
-    "q94_gap_fill_ffill",
-    "q95_event_funnel",
-    # ---- NOTE: with 28 second-session queries prepended, a 50-query
-    #      window now closes inside the stale block (13 + 4 + 9 new +
-    #      15 first-session + ~9 stale re-grades). Everything from here down
-    #      was hash-green in CORRECTNESS_r01-r03 with code unchanged
-    #      since, or is rows-only and pytest-pinned; the session
-    #      pre-flight sweep still value-checks ALL oracles at sf0.01,
-    #      so nothing below the line is unverified — it just re-grades
-    #      later. Ordered by re-grade priority regardless of where the
-    #      driver's window cuts. ----
-    # analytics.py module re-grades (only q97's expressions changed,
-    # but regrade the module conservatively first below the line)
-    "q92_approx_percentiles",
-    "q98_bitwise_aggregates",
-    "q103_chi_square_contingency",
-    "q85_argmax_aggregates",
-    "q86_exact_percentiles",
-    "q87_price_histogram",
-    "q88_order_gaps_islands",
-    "q89_conditional_aggregates",
-    "q90_null_safe_join",
-    "q91_ordered_string_agg",
-    "q93_salted_agg",
-    "q96_tfidf_top_terms",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_customers_per_region",
-    "q08_customers_with_orders",
-    "q09_customers_without_orders",
-    "q10_returned_item_revenue",
-    "q11_distinct_segments_per_nation",
-    "q12_rollup_order_status",
-    "q13_cube_returnflag_status",
-    "q14_grouping_sets",
-    "q15_top3_orders_per_customer",
-    "q16_running_totals",
-    "q17_topk_orders",
-    "q18_set_ops",
-    "q19_orders_above_customer_avg",
-    "q20_price_band_join",
-    "q21_string_funcs",
-    "q22_date_funcs",
-    "q23_math_funcs",
-    "q24_array_funcs",
-    "q25_json_funcs",
-    "q27_sliding_window",
-    "q28_session_window",
-    "q29_dedup_keep_first",
-    "q30_event_pivot",
-    "q31_asof_join",
-    "q33_explode_ordinality",
-    "q34_map_funcs",
-    "q38_interval_join",
-    "q45_mllib_linear_regression",
-    "q46_mllib_kmeans",
-    "q47_mllib_logistic_proba",
-    "q64_quality_filter",
-    "q65_bigram_counts",
-    "q66_wide_long_reshape",
-    "q70_multimodal_features",
-    "q79_zorder_layout",
-    "q80_dynamic_session_window",
-    "q81_multimodal_frame_sample",
-    "q82_multimodal_resize",
-    "q83_full_outer_join",
 )
 
 

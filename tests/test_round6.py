@@ -11,6 +11,7 @@ from tests.oracle_utils import compare_query
 
 NEW_ORACLE_QUERIES = [
     "q148_rolling_median_jvm",
+    "q149_pipeline_composition",
 ]
 
 
@@ -36,3 +37,110 @@ def test_rolling_median_jvm_bitwise_equals_udwf(spark, sf_dir):
     assert len(udwf) == len(jvm)
     assert (udwf.event_id == jvm.event_id).all()
     assert (udwf.rolling_median == jvm.rolling_median).all()  # bitwise
+
+
+def test_triangle_oracle_still_green(spark, sf_dir):
+    assert compare_query(spark, sf_dir, "q125_triangle_count") > 0
+
+
+def test_degree_ordering_bounds_hub_wedges(spark):
+    """Skew fixture: a 200-spoke star (hub = node 0, the LOWEST id)
+    plus one closing edge 1-2. Naive id-ordered orientation points
+    every star edge 0->k, so the hub alone generates C(200,2) = 19900
+    wedges. Degree ordering points spokes -> hub (deg 1 < deg 200):
+    the hub emits ZERO wedges and the whole wedge set collapses to
+    the two genuine ones, while the triangle {0,1,2} still counts
+    exactly once per member."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.graph import (
+        _triangle_members,
+        degree_oriented_edges,
+    )
+
+    hub_edges = [(0, k) for k in range(1, 201)] + [(1, 2)]
+    e = spark.createDataFrame(hub_edges, "pa int, pb int")
+    o = degree_oriented_edges(e)
+
+    wedge_total = (
+        o.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .select(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0]["w"]
+    )
+    naive_hub_wedges = 200 * 199 // 2
+    assert wedge_total <= 2, wedge_total  # vs 19900 under id ordering
+    assert wedge_total < naive_hub_wedges
+
+    counts = {
+        r["partkey"]: r["n"]
+        for r in _triangle_members(o).groupBy("partkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert counts == {0: 1, 1: 1, 2: 1}
+
+
+def test_fuzzy_oracle_still_green(spark, sf_dir):
+    for name in ("q127_fuzzy_name_join", "q145_entity_resolution"):
+        assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_qgram_blocking_prunes_below_length_band(spark, sf_dir):
+    """The positional q-gram block must be (a) complete — a superset
+    of the true edit-distance pairs — and (b) strictly tighter than
+    length-band-only blocking on the real catalog vocabulary, else it
+    buys nothing at scale."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.text import (
+        FUZZY_MAX_DIST,
+        fuzzy_qgram_candidates,
+    )
+    from sklearn_raster_spark.sources import read_table
+
+    names = (
+        read_table(spark, sf_dir, "part")
+        .select("p_name").distinct().localCheckpoint(eager=True)
+    )
+    n_cand = fuzzy_qgram_candidates(names, "p_name").count()
+
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    band = a.join(
+        b,
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        ),
+    )
+    n_band = band.count()
+    n_true = band.filter(
+        F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
+    ).count()
+
+    assert n_true <= n_cand < n_band, (n_true, n_cand, n_band)
+
+
+def test_composition_stages_are_nondegenerate(spark, sf_dir):
+    """q149 composes six stages; each must actually move rows on the
+    fixture or the composed grade proves nothing about stage order.
+    At both test scales the decontamination and quota stages drop
+    rows (boilerplate/dedup are no-ops on this synthetic corpus —
+    documented — so the pipeline pins them as pass-throughs)."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.sources import read_table
+
+    out = load_all_queries()["q149_pipeline_composition"].fn(spark, sf_dir).toPandas()
+    n_docs_in = read_table(spark, sf_dir, "documents").count()
+    assert out.n_docs.sum() < n_docs_in  # decontaminate + quota dropped rows
+    assert (out.n_bins >= 1).all()
+    assert (out.n_docs >= out.n_bins).all()  # bins never outnumber docs
+    assert set(out.split) == {"train", "val", "test"}
+    # quota cap: weight 4 sources keep <= 4*unit docs per split, etc.
+    from sklearn_raster_spark.operators.composition import MIX_QUOTA_UNIT
+
+    heavy = out[out.source.isin([f"src{i}" for i in range(5)])]
+    assert (heavy.n_docs <= 4 * MIX_QUOTA_UNIT).all()
+    light = out[~out.source.isin([f"src{i}" for i in range(10)])]
+    assert (light.n_docs <= MIX_QUOTA_UNIT).all()
