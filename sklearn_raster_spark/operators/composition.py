@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sklearn_raster_spark.operators.corpus import BOILER_DF
 from sklearn_raster_spark.operators.pipeline import (
     PACK_TARGET_TOKENS,
     SHINGLE_N,
@@ -52,6 +51,18 @@ from sklearn_raster_spark.sources import read_table
 from sklearn_raster_spark.utils.cache import shared_lineage
 
 CLEAN_MAX_BOILER = 0.5  # q121's mostly_boiler threshold
+# Boilerplate document-frequency threshold as a PERCENT of corpus
+# size (8% = q121's absolute BOILER_DF=40 at its 500-doc fixture).
+# q121 keeps the absolute form (its operator contract); the
+# composition MUST use the relative form — the first derived-sf1 run
+# of this query returned ZERO rows because an absolute df=40 marks
+# essentially every common bigram as boilerplate in a 50k-doc corpus
+# and the clean stage then dropped all 50k docs. An absolute
+# threshold is a fixture constant; a pipeline constant must scale
+# with the corpus it cleans. Kept as an integer percent so both
+# engines evaluate df*100 >= pct*N in exact integer arithmetic (a
+# float 0.08*N differs between engines at the boundary).
+CLEAN_BOILER_PCT = 8
 MIX_QUOTA_UNIT = 15  # docs kept per (split, source) per unit of weight
 
 
@@ -80,7 +91,8 @@ def _shingle_expr(n: int):
     ),
     boiler AS (
         SELECT shingle FROM sh2 GROUP BY shingle
-        HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+        HAVING COUNT(DISTINCT doc_id) * 100 >=
+               {CLEAN_BOILER_PCT} * (SELECT COUNT(*) FROM documents)
     ),
     frac AS (
         SELECT s.doc_id,
@@ -150,7 +162,10 @@ def _shingle_expr(n: int):
     GROUP BY split, source
     """,
     doc="END-TO-END pipeline composition: clean (drop docs whose "
-        f"boilerplate-bigram coverage exceeds {CLEAN_MAX_BOILER}) -> "
+        "coverage by boilerplate bigrams — those in >= "
+        f"{CLEAN_BOILER_PCT}% of the CORPUS, a relative threshold "
+        "because an absolute one empties the pipeline at 100x scale "
+        f"— exceeds {CLEAN_MAX_BOILER}) -> "
         "exact-dedup (min doc_id per md5 digest) -> deterministic "
         "hash split -> decontaminate (drop any TRAIN doc sharing a "
         f"{SHINGLE_N}-gram with a val/test doc — q101 reversed, the "
@@ -169,10 +184,15 @@ def _shingle_expr(n: int):
 )
 def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # corpus size for the relative boilerplate threshold: a parquet
+    # metadata count (no scan), driver-side once at plan-build time.
+    # df*100 >= pct*N in integers == the oracle's HAVING, exactly
+    n_docs = docs.count()
+    boiler_df_min = -(-CLEAN_BOILER_PCT * n_docs // 100)
     base = docs.select("doc_id", "source", "text", F.split("text", " ").alias("ws"))
     base = shared_lineage(base)  # feeds stage 1, dedup, shingles, packing
 
-    # stage 1: clean (q121's coverage on 2-gram shingles)
+    # stage 1: clean (q121's coverage on 2-gram shingles, relative df)
     sh2 = base.filter(F.size("ws") >= 2).select(
         "doc_id", _shingle_expr(2).alias("shingle")
     )
@@ -180,7 +200,7 @@ def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = (
         sh2.groupBy("shingle")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= BOILER_DF)
+        .filter(F.col("df") >= boiler_df_min)
         .select("shingle", F.lit(1).alias("_hit"))
     )
     frac = (
