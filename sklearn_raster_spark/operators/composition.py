@@ -188,11 +188,25 @@ def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata count (no scan), driver-side once at plan-build time.
     # df*100 >= pct*N in integers == the oracle's HAVING, exactly
     n_docs = docs.count()
-    boiler_df_min = -(-CLEAN_BOILER_PCT * n_docs // 100)
     base = docs.select("doc_id", "source", "text", F.split("text", " ").alias("ws"))
     base = shared_lineage(base)  # feeds stage 1, dedup, shingles, packing
+    return stage_pack_summary(
+        stage_quota(
+            stage_decontaminate(stage_split(stage_dedup(stage_clean(base, n_docs))))
+        )
+    )
 
-    # stage 1: clean (q121's coverage on 2-gram shingles, relative df)
+
+# Each stage is (DataFrame in, DataFrame out) over the carrier schema
+# (doc_id, source, text, ws [, split]) so tests can recompose them —
+# tests/test_round6.py chains them in the WRONG order and asserts the
+# summary checksum moves, proving the oracle pins stage order.
+
+
+def stage_clean(base: DataFrame, n_docs: int) -> DataFrame:
+    """Drop docs whose boilerplate-bigram coverage exceeds the q121
+    threshold; boilerplate = bigram in >= CLEAN_BOILER_PCT% of docs."""
+    boiler_df_min = -(-CLEAN_BOILER_PCT * n_docs // 100)
     sh2 = base.filter(F.size("ws") >= 2).select(
         "doc_id", _shingle_expr(2).alias("shingle")
     )
@@ -210,23 +224,32 @@ def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("_hit").cast("double") / F.count(F.lit(1))).alias("boiler_frac")
         )
     )
-    clean = (
+    return (
         base.join(frac, "doc_id", "left")
         .filter(F.coalesce("boiler_frac", F.lit(0.0)) <= CLEAN_MAX_BOILER)
         .drop("boiler_frac")
     )
 
-    # stage 2: exact dedup, min doc_id keeps (q50's keeper rule)
+
+def stage_dedup(df: DataFrame) -> DataFrame:
+    """Exact dedup, min doc_id keeps (q50's keeper rule)."""
     wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    dedup = (
-        clean.withColumn("rd", F.row_number().over(wd))
+    return (
+        df.withColumn("rd", F.row_number().over(wd))
         .filter(F.col("rd") == 1)
         .drop("rd")
     )
 
-    # stage 3: split, then decontaminate the train side (q101 reversed)
-    assigned = dedup.withColumn("split", train_val_test(dedup, F.col("doc_id")))
-    assigned = shared_lineage(assigned)
+
+def stage_split(df: DataFrame) -> DataFrame:
+    """Assign the deterministic hash split (q72)."""
+    return df.withColumn("split", train_val_test(df, F.col("doc_id")))
+
+
+def stage_decontaminate(df: DataFrame) -> DataFrame:
+    """Drop TRAIN docs sharing any SHINGLE_N-gram with a val/test doc
+    (q101 reversed); expects the split column assigned."""
+    assigned = shared_lineage(df)
     shn = assigned.filter(F.size("ws") >= SHINGLE_N).select(
         "doc_id", "split", _shingle_expr(SHINGLE_N).alias("shingle")
     )
@@ -238,9 +261,12 @@ def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    decon = assigned.join(contaminated, "doc_id", "left_anti")
+    return assigned.join(contaminated, "doc_id", "left_anti")
 
-    # stage 4: source-weighted mix quota (q114's weights)
+
+def stage_quota(df: DataFrame) -> DataFrame:
+    """Source-weighted mix quota (q114's weights) per (split, source)
+    in md5-pseudorandom order."""
     weight = (
         F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 4.0)
         .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2.0)
@@ -249,18 +275,22 @@ def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("split", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    quota = (
-        decon.withColumn("rq", F.row_number().over(wq))
+    return (
+        df.withColumn("rq", F.row_number().over(wq))
         .filter(F.col("rq") <= weight * MIX_QUOTA_UNIT)
+        .drop("rq")
     )
 
-    # stage 5: pack (q102's integer bins) + stage 6: summary
+
+def stage_pack_summary(df: DataFrame) -> DataFrame:
+    """Pack per (split, source) into q102's integer bins, then the
+    per-(split, source) summary with the docid_sum membership pin."""
     wp = (
         Window.partitionBy("split", "source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = quota.select(
+    packed = df.select(
         "split",
         "source",
         "doc_id",

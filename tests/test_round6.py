@@ -144,3 +144,34 @@ def test_composition_stages_are_nondegenerate(spark, sf_dir):
     assert (heavy.n_docs <= 4 * MIX_QUOTA_UNIT).all()
     light = out[~out.source.isin([f"src{i}" for i in range(10)])]
     assert (light.n_docs <= MIX_QUOTA_UNIT).all()
+
+
+def test_composition_checksum_pins_stage_order(spark, sf_dir):
+    """Mutation test: the whole reason q149 exists is that stage ORDER
+    matters — so running decontamination AFTER the mix quota (a doc
+    that later gets dropped has already consumed a quota slot) must
+    move the docid_sum membership checksum. If the mutated chain
+    produced the same summary, the composed oracle would prove
+    nothing beyond the per-stage grades."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators import composition as C
+    from sklearn_raster_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "text", F.split("text", " ").alias("ws")
+    )
+    n = docs.count()
+    prefix = C.stage_split(C.stage_dedup(C.stage_clean(base, n)))
+    correct = C.stage_pack_summary(
+        C.stage_quota(C.stage_decontaminate(prefix))
+    ).toPandas()
+    mutated = C.stage_pack_summary(
+        C.stage_decontaminate(C.stage_quota(prefix))
+    ).toPandas()
+
+    def checksum(df):
+        return sorted(map(tuple, df[["split", "source", "docid_sum"]].values))
+
+    assert checksum(correct) != checksum(mutated)
