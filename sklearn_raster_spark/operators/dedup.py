@@ -278,6 +278,140 @@ def q52_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
+MINHASH_PORT_TABLES = 3
+MINHASH_PORT_SHINGLE = 3
+MINHASH_PORT_THRESHOLD = 0.7
+
+
+def _md5_int60(col: F.Column) -> F.Column:
+    """Portable 60-bit integer hash: first 15 hex digits of md5,
+    parsed base-16 — bit-identical in Spark (conv) and DuckDB
+    (CAST('0x…' AS BIGINT)); 60 bits stays inside signed BIGINT in
+    both engines (the q72/_oracle_bucket trick, widened)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+@query(
+    "q150_minhash_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ARRAY_TO_STRING(ws[i:i+{MINHASH_PORT_SHINGLE - 1}], ' ') AS shingle
+        FROM toks, UNNEST(RANGE(1, LEN(ws) - {MINHASH_PORT_SHINGLE - 2})) AS t(i)
+        WHERE LEN(ws) >= {MINHASH_PORT_SHINGLE}
+    ),
+    sigs AS (
+        SELECT doc_id, tbl.i AS tbl,
+               MIN(CAST(('0x' || SUBSTR(MD5(shingle || '#' || tbl.i), 1, 15))
+                   AS BIGINT)) AS h
+        FROM sh, (SELECT UNNEST(RANGE({MINHASH_PORT_TABLES})) AS i) tbl
+        GROUP BY doc_id, tbl.i
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.tbl = b.tbl AND a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, LIST(shingle) AS ss FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(LEN(LIST_INTERSECT(x.ss, y.ss)) AS DOUBLE)
+               / (LEN(x.ss) + LEN(y.ss) - LEN(LIST_INTERSECT(x.ss, y.ss)))
+                   AS jac
+        FROM cand c JOIN sets x ON c.doc_a = x.doc_id
+                    JOIN sets y ON c.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+    FROM verified WHERE jac >= {MINHASH_PORT_THRESHOLD}
+    """,
+    doc=f"MinHash LSH with a PORTABLE hash family — the hash-graded "
+        "twin of q52, upgrading the LSH mechanism itself from a "
+        "rows-only waiver to a full value-level driver grade: "
+        f"{MINHASH_PORT_TABLES} one-minhash OR-tables where table "
+        "i's signature is min(md5-60bit(shingle || '#' || i)) over "
+        f"the doc's distinct {MINHASH_PORT_SHINGLE}-word shingles, "
+        "banded self-join on (table, signature), exact shingle-"
+        "Jaccard verify on candidates only (threshold "
+        f"{MINHASH_PORT_THRESHOLD}) — so the oracle reproduces the "
+        "ENTIRE pipeline including which qualifying pairs the "
+        "banding probabilistically misses (both engines miss the "
+        "same ones: the hash family is deterministic and "
+        "bit-identical). q52 remains the production path — xxhash64 "
+        "costs a fraction of md5 and its positional shingling never "
+        "materializes shingle strings; this twin exists to prove the "
+        "banding MECHANISM end-to-end, priced at test scale.",
+)
+def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    k = MINHASH_PORT_SHINGLE
+    with_ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= k
+    )
+    sh = with_ws.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - k),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i + 1, k), " "),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sh = shared_lineage(sh)  # feeds signatures AND both verify sides
+    sigs = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("tbl"),
+                        _md5_int60(
+                            F.concat_ws("#", F.col("shingle"), F.lit(str(i)))
+                        ).alias("hv"),
+                    )
+                    for i in range(MINHASH_PORT_TABLES)
+                ]
+            )
+        ).alias("s"),
+    ).groupBy("doc_id", F.col("s.tbl").alias("tbl")).agg(
+        F.min("s.hv").alias("h")
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("tbl").alias("tbl_a"), F.col("h").alias("h_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("tbl").alias("tbl_b"), F.col("h").alias("h_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tbl_a") == F.col("tbl_b"))
+            & (F.col("h_a") == F.col("h_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    jac = inter.cast("double") / (F.size("ss_a") + F.size("ss_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # filter on the UNROUNDED value (matches the oracle's WHERE,
+        # which also precedes its ROUND) — filtering post-round would
+        # flip boundary pairs
+        .filter(jac >= F.lit(MINHASH_PORT_THRESHOLD))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash_col(hashes_col: str = "tok_hashes", bits: int = 64) -> F.Column:
     """64-bit SimHash over a precomputed array<long> of token hashes:
     sum +1/-1 per bit position, set bit where the sum is positive.

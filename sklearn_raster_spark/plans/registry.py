@@ -103,6 +103,7 @@ _WINDOW_ORDER = (
     "q135_product_quantization",
     "q148_rolling_median_jvm",
     "q149_pipeline_composition",
+    "q150_minhash_portable",
     "q142_rolling_median_udwf",
     "q144_stream_session_window",
     "q125_triangle_count",

@@ -12,6 +12,7 @@ from tests.oracle_utils import compare_query
 NEW_ORACLE_QUERIES = [
     "q148_rolling_median_jvm",
     "q149_pipeline_composition",
+    "q150_minhash_portable",
 ]
 
 
@@ -175,3 +176,45 @@ def test_composition_checksum_pins_stage_order(spark, sf_dir):
         return sorted(map(tuple, df[["split", "source", "docid_sum"]].values))
 
     assert checksum(correct) != checksum(mutated)
+
+
+def test_minhash_portable_recall_vs_bruteforce(spark, sf_dir):
+    """q150's banding must (a) never report a pair below the Jaccard
+    threshold (soundness — the exact verify guarantees it) and (b)
+    recover most of the true above-threshold pairs (the 3-OR-table
+    recall; a 0.7-sim pair collides in >=1 table with p ~ 1-0.3^3 =
+    97%). Brute force enumerates all shingle-set pairs directly."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.dedup import (
+        MINHASH_PORT_SHINGLE as K,
+        MINHASH_PORT_THRESHOLD as T,
+    )
+    from sklearn_raster_spark.sources import read_table
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in load_all_queries()["q150_minhash_portable"].fn(spark, sf_dir).collect()
+    }
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= K)
+        .collect()
+    )
+    sets = {
+        r.doc_id: {" ".join(r.ws[i : i + K]) for i in range(len(r.ws) - K + 1)}
+        for r in rows
+    }
+    truth = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= T:
+            truth.add((a, b))
+
+    assert got <= truth  # soundness: exact verify admits no false pair
+    assert truth, "fixture has no qualifying pairs; test is vacuous"
+    assert len(got) / len(truth) >= 0.9  # 3-table OR recall floor
