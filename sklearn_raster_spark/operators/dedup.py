@@ -499,6 +499,120 @@ def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+SIMHASH_PORT_BITS = 60  # md5-int60 hash width (q150's portable family)
+SIMHASH_PORT_BAND_BITS = 15  # 4 bands x 15 bits
+SIMHASH_PORT_HAMMING = 6
+
+
+@query(
+    "q151_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(w), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.i AS bit,
+               SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT UNNEST(RANGE({SIMHASH_PORT_BITS})) AS i) b
+        GROUP BY doc_id, b.i
+    ),
+    fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                        ELSE 0 END) AS fp
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, fp, band.i AS band,
+               (fp >> ({SIMHASH_PORT_BAND_BITS} * band.i))
+                   & {(1 << SIMHASH_PORT_BAND_BITS) - 1} AS key
+        FROM fp, (SELECT UNNEST(
+            RANGE({SIMHASH_PORT_BITS // SIMHASH_PORT_BAND_BITS})) AS i) band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.fp, b.fp)) <= {SIMHASH_PORT_HAMMING}
+    """,
+    doc=f"SimHash near-dup with the PORTABLE md5-60bit hash family — "
+        "q53's hash-graded twin (q150's pattern applied to the second "
+        "fingerprint family): every token occurrence votes its 60 "
+        "hash bits +1/-1, the sign vector is the fingerprint, "
+        f"{SIMHASH_PORT_BITS // SIMHASH_PORT_BAND_BITS} x "
+        f"{SIMHASH_PORT_BAND_BITS}-bit bands generate candidates, "
+        f"and hamming <= {SIMHASH_PORT_HAMMING} (bit_count of xor) "
+        "keeps near-dups. Deterministic and bit-identical in both "
+        "engines, so the ORACLE reproduces fingerprints, band "
+        "collisions, and the exact surviving pair set — upgrading "
+        "the banded-fingerprint mechanism from a rows-only waiver to "
+        "a full value grade. q53 (xxhash64, 64-bit) remains the "
+        "production path: xxhash64 is one JVM instruction stream vs "
+        "md5's, and the SQL dual's token x 60-bit vote expansion "
+        "exists only to make the oracle exact.",
+)
+def q151_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    n_bands = SIMHASH_PORT_BITS // SIMHASH_PORT_BAND_BITS
+    band_mask = (1 << SIMHASH_PORT_BAND_BITS) - 1
+    fps = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.transform(
+                "words",
+                lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+            ).alias("tok_hashes"),
+        )
+        .select(
+            "doc_id", simhash_col("tok_hashes", bits=SIMHASH_PORT_BITS).alias("fp")
+        )
+    )
+    fps = shared_lineage(fps)  # both sides of the banded self-join
+    banded = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fp", SIMHASH_PORT_BAND_BITS * i)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_PORT_HAMMING)
+        .distinct()
+    )
+
+
 @query(
     "q104_dedup_corpus",
     oracle="""

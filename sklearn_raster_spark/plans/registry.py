@@ -104,6 +104,7 @@ _WINDOW_ORDER = (
     "q148_rolling_median_jvm",
     "q149_pipeline_composition",
     "q150_minhash_portable",
+    "q151_simhash_portable",
     "q142_rolling_median_udwf",
     "q144_stream_session_window",
     "q125_triangle_count",

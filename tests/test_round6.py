@@ -13,6 +13,7 @@ NEW_ORACLE_QUERIES = [
     "q148_rolling_median_jvm",
     "q149_pipeline_composition",
     "q150_minhash_portable",
+    "q151_simhash_portable",
 ]
 
 
@@ -218,3 +219,33 @@ def test_minhash_portable_recall_vs_bruteforce(spark, sf_dir):
     assert got <= truth  # soundness: exact verify admits no false pair
     assert truth, "fixture has no qualifying pairs; test is vacuous"
     assert len(got) / len(truth) >= 0.9  # 3-table OR recall floor
+
+
+def test_simhash_portable_pairs_share_vocabulary(spark, sf_dir):
+    """SimHash (q151) has no exact-verify stage — its guarantee is
+    probabilistic — so pin the semantic floor the fingerprint must
+    deliver: every reported near-dup pair shares a substantial token
+    overlap, and hamming stays within the declared band threshold."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.dedup import SIMHASH_PORT_HAMMING
+    from sklearn_raster_spark.sources import read_table
+
+    pairs = (
+        load_all_queries()["q151_simhash_portable"].fn(spark, sf_dir).toPandas()
+    )
+    assert len(pairs) > 0
+    assert pairs.hamming.between(0, SIMHASH_PORT_HAMMING).all()
+
+    toks = {
+        r.doc_id: set(r.ws)
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .collect()
+    }
+    for r in pairs.itertuples():
+        a, b = toks[r.doc_a], toks[r.doc_b]
+        jac = len(a & b) / len(a | b)
+        # hamming<=6/60 admits moderate similarity (observed floor
+        # ~0.25 on this fixture); the law is "never vocabulary-disjoint"
+        assert jac >= 0.1, (r.doc_a, r.doc_b, jac)
