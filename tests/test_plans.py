@@ -155,3 +155,40 @@ def test_rolling_anomaly_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q129_rolling_anomaly")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_jvm_rolling_median_has_no_python(spark, sf_dir):
+    """q148 is q142's scale dual: the plan must contain ZERO Python
+    evaluation nodes (the UDWF demo q142 must contain exactly the
+    pandas window node it demonstrates), one window exchange total."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q148_rolling_median_jvm")
+    for node in ("ArrowEvalPython", "BatchEvalPython", "ArrowWindowPython",
+                 "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, node
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    udwf_plan = _plan(spark, sf_dir, "q142_rolling_median_udwf")
+    assert "ArrowWindowPython" in udwf_plan  # Spark 4's pandas-UDWF node
+
+
+def test_composition_pushes_projection_and_broadcasts(spark, sf_dir):
+    """q149 reads only (doc_id, source, text) from documents and joins
+    its Zipf-small shingle sets via broadcast, never cartesian."""
+    plan = _plan(spark, sf_dir, "q149_pipeline_composition")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("lang" not in l for l in read_schemas)
+
+
+def test_portable_fingerprint_joins_are_banded(spark, sf_dir):
+    """q150/q151 self-join on (band/table, key) equi-keys — hash or
+    sort-merge, never a cross product; q150's verify join carries slim
+    id pairs into the shingle-set lookups."""
+    for name in ("q150_minhash_portable", "q151_simhash_portable"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        ), name
