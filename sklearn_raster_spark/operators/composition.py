@@ -44,7 +44,9 @@ from sklearn_raster_spark.operators.pipeline import (
     SPLIT_BOUNDS,
     _mix_weight_sql,
     _oracle_bucket,
+    mix_weight_col,
     train_val_test,
+    word_shingles,
 )
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
@@ -67,14 +69,9 @@ MIX_QUOTA_UNIT = 15  # docs kept per (split, source) per unit of weight
 
 
 def _shingle_expr(n: int):
-    """n-word shingles of the pre-split ws array (same expression as
-    q121/q101)."""
-    return F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ws") - n),
-            lambda i: F.array_join(F.slice(F.col("ws"), i + 1, n), " "),
-        )
-    )
+    """n-word shingles of the pre-split ws array — the shared
+    definition from pipeline.word_shingles (q121/q101's expression)."""
+    return word_shingles(n)
 
 
 @query(
@@ -265,13 +262,9 @@ def stage_decontaminate(df: DataFrame) -> DataFrame:
 
 
 def stage_quota(df: DataFrame) -> DataFrame:
-    """Source-weighted mix quota (q114's weights) per (split, source)
-    in md5-pseudorandom order."""
-    weight = (
-        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 4.0)
-        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2.0)
-        .otherwise(1.0)
-    )
+    """Source-weighted mix quota (q114's weights via the shared
+    mix_weight_col) per (split, source) in md5-pseudorandom order."""
+    weight = mix_weight_col("source")
     wq = Window.partitionBy("split", "source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )

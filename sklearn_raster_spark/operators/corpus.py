@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sklearn_raster_spark.operators.pipeline import hash_bucket, _oracle_bucket
+from sklearn_raster_spark.operators.pipeline import (
+    _oracle_bucket,
+    hash_bucket,
+    word_shingles,
+)
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
 from sklearn_raster_spark.utils.cache import shared_lineage
@@ -90,12 +94,7 @@ def q121_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_ws = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= BOILER_N)
     shingles = with_ws.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - BOILER_N),
-                lambda i: F.array_join(F.slice(F.col("ws"), i + 1, BOILER_N), " "),
-            )
-        ).alias("shingle"),
+        word_shingles(BOILER_N).alias("shingle"),
     )
     # the tokenize+slide lineage feeds both the df aggregate and the
     # per-doc coverage join — materialize once

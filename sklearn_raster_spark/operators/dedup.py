@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sklearn_raster_spark.operators.pipeline import word_shingle_array
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
 from sklearn_raster_spark.utils.cache import shared_lineage
@@ -352,14 +353,7 @@ def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = with_ws.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ws") - k),
-                    lambda i: F.array_join(F.slice(F.col("ws"), i + 1, k), " "),
-                )
-            )
-        ).alias("shingle"),
+        F.explode(F.array_distinct(word_shingle_array(k))).alias("shingle"),
     )
     sh = shared_lineage(sh)  # feeds signatures AND both verify sides
     sigs = sh.select(
@@ -564,10 +558,7 @@ def q151_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.split("text", " ").alias("words"))
         .select(
             "doc_id",
-            F.transform(
-                "words",
-                lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
-            ).alias("tok_hashes"),
+            F.transform("words", _md5_int60).alias("tok_hashes"),
         )
         .select(
             "doc_id", simhash_col("tok_hashes", bits=SIMHASH_PORT_BITS).alias("fp")

@@ -319,6 +319,10 @@ def q124_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_pairs(spark, sf_dir)
+    # checkpoint the (expensive) basket-explode pair lineage ONCE:
+    # degree_oriented_edges reads e three times (two degree selects +
+    # the orient join) and ReusedExchange dedup is not guaranteed
+    e = e.localCheckpoint(eager=True)
     o = degree_oriented_edges(e).localCheckpoint(eager=True)
     member = _triangle_members(o)
     return member.groupBy("partkey").agg(F.count(F.lit(1)).alias("n_triangles"))

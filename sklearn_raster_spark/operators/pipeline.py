@@ -261,12 +261,7 @@ def q101_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = with_ws.select(
         "doc_id",
         "split",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - SHINGLE_N),
-                lambda i: F.array_join(F.slice(F.col("ws"), i + 1, SHINGLE_N), " "),
-            )
-        ).alias("shingle"),
+        word_shingles(SHINGLE_N).alias("shingle"),
     )
     # eager shared cache: the tokenize+slide lineage feeds both the
     # train shingle set and the eval side of the join — materialize
@@ -362,12 +357,7 @@ def q106_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = with_ws.select(
         "doc_id",
         "split",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("ws") - SHINGLE_N),
-                lambda i: F.array_join(F.slice(F.col("ws"), i + 1, SHINGLE_N), " "),
-            )
-        ).alias("shingle"),
+        word_shingles(SHINGLE_N).alias("shingle"),
     )
     # the tokenize+slide lineage feeds the bloom build (train side),
     # the sizing count, and the probe side — materialize once
@@ -573,6 +563,35 @@ def _mix_weight_sql(col: str) -> str:
     )
 
 
+def word_shingle_array(n: int) -> Column:
+    """Array of n-word shingles of the pre-split `ws` column — THE
+    definition of the slide-and-join shingle expression, shared by
+    q101 (contamination), q121 (boilerplate), q149 (composition) and
+    q150 (portable MinHash); their oracles all reproduce exactly this
+    arithmetic, so a single Spark-side source of truth keeps the four
+    graded paths from drifting. Callers filter size(ws) >= n first."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.array_join(F.slice(F.col("ws"), i + 1, n), " "),
+    )
+
+
+def word_shingles(n: int) -> Column:
+    """Exploded (one row per occurrence) form of word_shingle_array."""
+    return F.explode(word_shingle_array(n))
+
+
+def mix_weight_col(col: str = "source") -> Column:
+    """Spark dual of _mix_weight_sql — the single source of truth for
+    the training-mix source weights, shared by q114 and q149's quota
+    stage so the two graded paths cannot drift."""
+    return (
+        F.when(F.col(col).isin("src0", "src1", "src2", "src3", "src4"), 4.0)
+        .when(F.col(col).isin("src5", "src6", "src7", "src8", "src9"), 2.0)
+        .otherwise(1.0)
+    )
+
+
 @query(
     "q114_training_mix",
     oracle=f"""
@@ -614,11 +633,7 @@ def q114_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    weight = (
-        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 4.0)
-        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2.0)
-        .otherwise(1.0)
-    )
+    weight = mix_weight_col("source")
     ranked = docs.select(
         "doc_id",
         "source",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
+from sklearn_raster_spark.utils.cache import shared_lineage
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
@@ -402,18 +403,16 @@ MIN_QGRAM_LEN = Q_GRAM * (FUZZY_MAX_DIST + 1)
 def q127_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    names = names.localCheckpoint(eager=True)  # feeds grams + 2 stat joins
     cand = fuzzy_qgram_candidates(names, "p_name")
-    stats = names.select(
-        F.col("p_name"), F.col("n_parts")
-    )
     pairs = (
         cand.join(
-            F.broadcast(stats).withColumnRenamed("p_name", "name_a")
+            F.broadcast(names).withColumnRenamed("p_name", "name_a")
             .withColumnRenamed("n_parts", "n_a"),
             "name_a",
         )
         .join(
-            F.broadcast(stats).withColumnRenamed("p_name", "name_b")
+            F.broadcast(names).withColumnRenamed("p_name", "name_b")
             .withColumnRenamed("n_parts", "n_b"),
             "name_b",
         )
@@ -435,16 +434,25 @@ def fuzzy_qgram_candidates(names: DataFrame, col: str) -> DataFrame:
     Every true pair whose longer member has >= q(d+1) chars survives
     (count bound above); both-short pairs come from the fallback
     band join over the short subset alone."""
-    grams = names.select(
-        F.col(col).alias("name"),
-        F.length(col).alias("len"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({col}) - {Q_GRAM - 1}, 0)),"
-                f" i -> substring({col}, i, {Q_GRAM}))"
-            )
-        ).alias("pos", "gram"),
+    # names shorter than Q_GRAM must not enter the generator at all:
+    # Spark's sequence(1, 0) counts DOWN ([1, 0]), which would emit the
+    # whole short string twice posing as q-grams at fake positions
+    grams = (
+        names.filter(F.length(col) >= Q_GRAM)
+        .select(
+            F.col(col).alias("name"),
+            F.length(col).alias("len"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({col}) - {Q_GRAM - 1}),"
+                    f" i -> substring({col}, i, {Q_GRAM}))"
+                )
+            ).alias("pos", "gram"),
+        )
     )
+    # both sides of the gram self-join read this explode — materialize
+    # once (the q150/q151 shared-lineage pattern for self-joins)
+    grams = shared_lineage(grams)
     ga = grams.select(
         F.col("name").alias("name_a"), F.col("len").alias("len_a"),
         F.col("pos").alias("pos_a"), "gram",

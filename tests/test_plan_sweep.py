@@ -15,15 +15,35 @@ from sklearn_raster_spark.plans.registry import load_all_queries
 INTENTIONAL_CROSS = {"q119_als_recommendations"}
 
 
-def test_no_cartesian_products_anywhere(spark, sf_dir):
+def test_no_cartesian_products_or_nested_outputs_anywhere(spark, sf_dir):
+    """One pass over every registered builder checks BOTH whole-surface
+    invariants: no cartesian product in the physical plan, and no
+    array/map/struct column in the output schema (the driver's
+    canonicalizer does pandas sort_values over every column and dies
+    on unhashable cells — the round-4 q131/q135 failure). NOTE:
+    spec.fn() is not free — streaming builders drive availableNow
+    queries and model builders fit — so the two invariants share this
+    single build pass and caches are released as we go."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from sklearn_raster_spark.utils.cache import release_shared_caches
+
     reg = load_all_queries()
     violations = {}
     for name, spec in reg.items():
-        df = spec.fn(spark, sf_dir)  # analysis gate: must resolve
+        df = spec.fn(spark, sf_dir)  # must build and resolve
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
         if "CartesianProduct" in plan and name not in INTENTIONAL_CROSS:
             violations[name] = "CartesianProduct"
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nested:
+            violations[name] = f"nested output columns: {nested}"
+        release_shared_caches()
     assert violations == {}, violations
     assert len(reg) >= 102  # the sweep really covered the full surface
