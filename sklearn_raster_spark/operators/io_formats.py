@@ -233,3 +233,69 @@ def q99_checksum_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercises the full fetched-bytes-match-pin path)
     local = fetch_to_cache("file://" + src, sha256_of(src))
     return spark.read.parquet(local).select("doc_id", "lang", "source", "n_chars")
+
+
+BINFILE_MOD = 20  # one payload file per doc_id % this == 0
+
+
+def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
+    """One-time directory of raw per-document payload files (idempotent
+    via a marker): each selected doc's text is written as the BYTES of
+    one `<doc_id>.bin` by the EXECUTORS (foreachPartition — payloads
+    never route through the driver, the same layout a 100 TB lake
+    stores media in: one object per asset, keyed by id)."""
+    import os
+    import tempfile
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, "binfiles")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        docs = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % BINFILE_MOD == 0
+        )
+
+        def write_files(rows):
+            for r in rows:
+                tmp = os.path.join(path, f".{r.doc_id}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(r.text.encode("utf-8"))
+                os.replace(tmp, os.path.join(path, f"{r.doc_id}.bin"))
+
+        docs.select("doc_id", "text").foreachPartition(write_files)
+        with open(marker, "w"):
+            pass
+    return path
+
+
+@query(
+    "q152_binaryfile_source",
+    oracle=f"""
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           MD5(text) AS payload_md5
+    FROM documents
+    WHERE doc_id % {BINFILE_MOD} = 0
+    """,
+    doc="binaryFile source — the raw-asset ingestion path that feeds "
+        "the multimodal surface (q70/q81/q82 fabricate payloads "
+        "in-plan; a real lake stores one object per asset): per-doc "
+        "payload files are written by executors, read back with "
+        "spark.read.format('binaryFile') (built-in; path, length, "
+        "content columns), doc ids recovered from filenames with "
+        "regexp_extract, and the oracle — running on the ORIGINAL "
+        "documents table — must match byte length and md5 of every "
+        "payload, proving byte-exact fidelity through the "
+        "file-per-asset round trip. At 100 TB this scan "
+        "parallelizes per file and supports pathGlobFilter/"
+        "recursiveFileLookup partition pruning.",
+)
+def q152_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = materialize_binary_files(spark, sf_dir)
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("payload_md5"),
+    )

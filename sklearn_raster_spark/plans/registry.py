@@ -105,6 +105,7 @@ _WINDOW_ORDER = (
     "q149_pipeline_composition",
     "q150_minhash_portable",
     "q151_simhash_portable",
+    "q152_binaryfile_source",
     "q142_rolling_median_udwf",
     "q144_stream_session_window",
     "q125_triangle_count",

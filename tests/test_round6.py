@@ -14,6 +14,7 @@ NEW_ORACLE_QUERIES = [
     "q149_pipeline_composition",
     "q150_minhash_portable",
     "q151_simhash_portable",
+    "q152_binaryfile_source",
 ]
 
 
