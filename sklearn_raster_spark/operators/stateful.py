@@ -290,6 +290,44 @@ def q117_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q153_stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.value AS purchase_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click'
+            AND c.user_id = p.user_id
+            AND c.ts <= p.ts
+            AND c.ts > p.ts - INTERVAL 1 HOUR
+      )
+    """,
+    doc="Stream-stream LEFT SEMI join driven END-TO-END as an "
+        "availableNow streaming query: purchases preceded by a click "
+        "from the same user within the preceding hour — the "
+        "filter-by-other-stream shape (conversion attribution) where "
+        "the probe stream never lands in the output. Completes the "
+        "graded stream-stream join matrix beside q117's inner "
+        "interval join: semi state is CHEAPER than inner — a left row "
+        "retires on its FIRST match instead of waiting for all — and "
+        "both sides' state stays watermark-bounded. Hash-graded by an "
+        "EXISTS batch oracle over the same events.",
+)
+def q153_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.streaming import (
+        run_append_stream_to_memory,
+        semi_join_stream,
+    )
+
+    stream = semi_join_stream(spark, sf_dir)
+    sink = "q153_stream_semi_join_sink"
+    run_append_stream_to_memory(stream, sink)
+    return spark.table(sink)
+
+
+@query(
     "q130_stream_tumbling_window",
     oracle="""
     SELECT

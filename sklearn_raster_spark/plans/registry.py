@@ -106,6 +106,7 @@ _WINDOW_ORDER = (
     "q150_minhash_portable",
     "q151_simhash_portable",
     "q152_binaryfile_source",
+    "q153_stream_semi_join",
     "q142_rolling_median_udwf",
     "q144_stream_session_window",
     "q125_triangle_count",

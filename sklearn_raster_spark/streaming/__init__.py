@@ -293,3 +293,36 @@ def run_stream_foreach_batch_parquet(
         q.stop()
         raise TimeoutError(f"foreachBatch stream did not finish in {timeout_sec}s")
     return q
+
+
+def semi_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases preceded by a click
+    from the same user within the preceding hour (the conversion
+    filter). Semi is the join mode a filter-by-other-stream pipeline
+    wants — the right side never lands in the output, and Spark drops
+    a left row's state as soon as one match arrives OR the right
+    watermark passes its interval bound."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("purchase_id", "user_id", "purchase_value")

@@ -15,6 +15,7 @@ NEW_ORACLE_QUERIES = [
     "q150_minhash_portable",
     "q151_simhash_portable",
     "q152_binaryfile_source",
+    "q153_stream_semi_join",
 ]
 
 
