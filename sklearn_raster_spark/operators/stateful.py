@@ -328,6 +328,56 @@ def q153_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q154_stream_outer_join",
+    oracle="""
+    WITH cutoff AS (
+        SELECT LEAST(
+            MAX(ts) FILTER (WHERE event_type = 'click'),
+            MAX(ts) FILTER (WHERE event_type = 'purchase')
+        ) - INTERVAL 4 HOUR AS m
+        FROM events
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events, cutoff WHERE event_type = 'click' AND ts <= cutoff.m
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, c.user_id, p.purchase_id,
+           CAST(DATEDIFF('second', p.purchase_ts, c.click_ts) AS BIGINT)
+               AS gap_seconds
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts <= c.click_ts
+     AND p.purchase_ts > c.click_ts - INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream LEFT OUTER interval join driven END-TO-END as "
+        "an availableNow streaming query — completes the graded join "
+        "matrix (inner q117, semi q153, outer q154): unmatched clicks "
+        "emit NULL-padded ONLY when the watermark passes their "
+        "joinable range, so the query restricts both itself and its "
+        "batch LEFT JOIN oracle to the deterministic emitted prefix "
+        "(clicks >= 4 h older than the earlier side's max — end-of-stream "
+        "state that never expires is exactly the part an unbounded "
+        "run would emit later, not silently drop). This is the "
+        "semantics trap of outer streaming joins made explicit and "
+        "hash-graded.",
+)
+def q154_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.streaming import (
+        outer_join_stream,
+        run_append_stream_to_memory,
+    )
+
+    stream = outer_join_stream(spark, sf_dir)
+    sink = "q154_stream_outer_join_sink"
+    run_append_stream_to_memory(stream, sink)
+    return spark.table(sink)
+
+
+@query(
     "q130_stream_tumbling_window",
     oracle="""
     SELECT

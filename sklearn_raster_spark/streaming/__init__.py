@@ -326,3 +326,72 @@ def semi_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "left_semi",
     ).select("purchase_id", "user_id", "purchase_value")
+
+
+# watermark (2h) + join interval (1h) + margin: the emitted-prefix lag
+# behind the GLOBAL watermark, which Spark takes as the MIN of the two
+# inputs' (max event time - delay)
+OUTER_JOIN_SAFE_LAG = "4 hours"
+
+
+def outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, padded
+    with NULL purchase columns when no same-user purchase preceded it
+    within an hour. Outer rows only emit once the watermark passes the
+    left row's joinable range — end-of-stream rows whose state never
+    expires are NOT emitted by an availableNow run, so the query (and
+    its batch oracle) restrict to clicks at least OUTER_JOIN_SAFE_LAG
+    older than the stream's max timestamp: the deterministic emitted
+    prefix."""
+    from pyspark.sql import functions as SF
+
+    from sklearn_raster_spark.sources import read_table
+
+    cutoff = (
+        read_table(spark, sf_dir, "events")
+        .agg(
+            SF.least(
+                SF.max(SF.when(SF.col("event_type") == "click", SF.col("ts"))),
+                SF.max(SF.when(SF.col("event_type") == "purchase", SF.col("ts"))),
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+        .filter(
+            F.col("click_ts")
+            <= F.lit(cutoff) - F.expr(f"INTERVAL {OUTER_JOIN_SAFE_LAG}")
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") > F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts")).alias(
+            "gap_seconds"
+        ),
+    )

@@ -16,6 +16,7 @@ NEW_ORACLE_QUERIES = [
     "q151_simhash_portable",
     "q152_binaryfile_source",
     "q153_stream_semi_join",
+    "q154_stream_outer_join",
 ]
 
 
@@ -221,6 +222,18 @@ def test_minhash_portable_recall_vs_bruteforce(spark, sf_dir):
     assert got <= truth  # soundness: exact verify admits no false pair
     assert truth, "fixture has no qualifying pairs; test is vacuous"
     assert len(got) / len(truth) >= 0.9  # 3-table OR recall floor
+
+
+def test_stream_outer_join_emits_both_sides(spark, sf_dir):
+    """The outer join must be non-degenerate on the fixture: at least
+    one NULL-padded unmatched click AND at least one matched pair,
+    else the grade proves only one half of the outer semantics."""
+    df = load_all_queries()["q154_stream_outer_join"].fn(spark, sf_dir).toPandas()
+    assert df.purchase_id.isna().any()
+    assert df.purchase_id.notna().any()
+    matched = df[df.purchase_id.notna()]
+    assert (matched.gap_seconds >= 0).all()
+    assert (matched.gap_seconds < 3600).all()
 
 
 def test_simhash_portable_pairs_share_vocabulary(spark, sf_dir):
