@@ -85,9 +85,99 @@ def test_degree_ordering_bounds_hub_wedges(spark):
     assert counts == {0: 1, 1: 1, 2: 1}
 
 
+def test_triangle_enumeration_matches_bruteforce_on_random_graphs(spark):
+    """Degree-ordered wedge enumeration must count triangles exactly
+    on ARBITRARY structure, not just the star fixture and the
+    co-purchase oracle: seeded random graphs, per-node membership
+    counts vs itertools brute force."""
+    import random
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.graph import (
+        _triangle_members,
+        degree_oriented_edges,
+    )
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(5, 12)
+        edges = sorted(
+            {(a, b) for a, b in combinations(range(n), 2) if rng.random() < 0.45}
+        )
+        if not edges:
+            continue
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        truth = {}
+        for a, b, c in combinations(range(n), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    truth[v] = truth.get(v, 0) + 1
+
+        e = spark.createDataFrame(edges, "pa int, pb int")
+        got = {
+            r["partkey"]: r["n"]
+            for r in _triangle_members(degree_oriented_edges(e))
+            .groupBy("partkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == truth, (seed, edges, got, truth)
+
+
 def test_fuzzy_oracle_still_green(spark, sf_dir):
     for name in ("q127_fuzzy_name_join", "q145_entity_resolution"):
         assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_qgram_blocking_complete_on_random_edits(spark):
+    """Completeness of the positional q-gram block on ADVERSARIAL
+    strings: random names with <= FUZZY_MAX_DIST random edits
+    (substitution / insertion / deletion) applied must always survive
+    blocking — the Gravano count-bound implementation, not just the
+    catalog fixture, guarantees it."""
+    import random
+    import string
+
+    from sklearn_raster_spark.operators.text import (
+        FUZZY_MAX_DIST,
+        MIN_QGRAM_LEN,
+        fuzzy_qgram_candidates,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    expected = set()
+    for i in range(25):
+        base = "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(MIN_QGRAM_LEN, 24)))
+        edited = list(base)
+        for _ in range(rng.randint(1, FUZZY_MAX_DIST)):
+            op = rng.choice("sid")
+            pos = rng.randrange(len(edited))
+            if op == "s":
+                edited[pos] = rng.choice(string.ascii_lowercase)
+            elif op == "i":
+                edited.insert(pos, rng.choice(string.ascii_lowercase))
+            elif op == "d" and len(edited) > MIN_QGRAM_LEN:
+                del edited[pos]
+        other = "".join(edited)
+        if other == base:
+            continue
+        rows.append((base,))
+        rows.append((other,))
+        expected.add(tuple(sorted((base, other))))
+
+    names = spark.createDataFrame(rows, "p_name string")
+    got = {
+        tuple(sorted((r.name_a, r.name_b)))
+        for r in fuzzy_qgram_candidates(names, "p_name").collect()
+    }
+    missing = expected - got
+    assert not missing, missing
 
 
 def test_qgram_blocking_prunes_below_length_band(spark, sf_dir):
