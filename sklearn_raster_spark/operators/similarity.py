@@ -861,3 +861,169 @@ def q136_pq_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_ANN_TOP)
         .select("qid", "nid", "adc_dist", "exact_dist", F.col("rn").cast("int"))
     )
+
+
+# --- q155: portable sign-LSH ANN (hash-graded hyperplane banding) ----
+
+SIGN_PLANES = 32  # 8 bands x 4 sign bits
+SIGN_BAND_BITS = 4
+SIGN_EMB_DIM = 64  # embeddings table dimension (asserted at build)
+
+
+def _sign_lsh_planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — the
+    SAME literal doubles are embedded in the Spark plan and inlined in
+    the oracle SQL text (repr round-trips float64 exactly), so both
+    engines compute identical sequential-fold dots and identical sign
+    bits. Components are uniform in [-1, 1): md5_int60 / 2^59 - 1."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane{j}:{i}".encode()).hexdigest()[:15], 16)
+            / 2**59
+            - 1.0
+            for i in range(SIGN_EMB_DIM)
+        ]
+        for j in range(SIGN_PLANES)
+    ]
+
+
+def _sign_lsh_oracle() -> str:
+    planes = _sign_lsh_planes()
+    n_bands = SIGN_PLANES // SIGN_BAND_BITS
+
+    def dot_sql(vec_expr: str, plane: list[float]) -> str:
+        lits = "LIST_VALUE(" + ", ".join(repr(x) for x in plane) + ")"
+        return (
+            f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({vec_expr}, {lits}), "
+            "s -> CAST(s[1] AS DOUBLE) * s[2]), (a, b) -> a + b)"
+        )
+
+    band_keys = []
+    for b in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql('embedding', planes[b * SIGN_BAND_BITS + k])} > 0 "
+            f"THEN {1 << k} ELSE 0 END)"
+            for k in range(SIGN_BAND_BITS)
+        )
+        band_keys.append(f"({bits}) AS key{b}")
+    keys_sql = ",\n               ".join(band_keys)
+    union_bands = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {b} AS band, key{b} AS key FROM keyed"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT vec_id, embedding,
+               {keys_sql}
+        FROM embeddings
+    ),
+    banded AS (
+{union_bands}
+    ),
+    qb AS (SELECT * FROM banded WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nid
+        FROM qb q JOIN banded e ON q.band = e.band AND q.key = e.key
+        WHERE e.vec_id != q.vec_id
+    ),
+    sims AS (
+        SELECT c.qid, c.nid,
+               ROUND(
+                   LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe.embedding, ne.embedding),
+                               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)
+                   / (SQRT(LIST_REDUCE(LIST_TRANSFORM(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+                    * SQRT(LIST_REDUCE(LIST_TRANSFORM(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)))
+               , 6) AS cosine
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.qid
+        JOIN embeddings ne ON ne.vec_id = c.nid
+    )
+    SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        FROM sims
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@query(
+    "q155_ann_signlsh_portable",
+    oracle=_sign_lsh_oracle(),
+    doc=f"Sign-hyperplane LSH ANN with a PORTABLE plane family — the "
+        "vector-space completion of the q150/q151 pattern, upgrading "
+        "the third LSH family (random-projection ANN, q56's "
+        "mechanism) from a rows-only waiver to a full value grade: "
+        f"{SIGN_PLANES} md5-derived hyperplanes (identical literal "
+        f"doubles in plan and oracle) give {SIGN_PLANES // SIGN_BAND_BITS} "
+        f"x {SIGN_BAND_BITS}-bit sign bands; same-band candidates "
+        "re-rank by exact 6dp-rounded cosine (sequential-fold dots "
+        "matching LIST_REDUCE) into per-query top-k. Every stage — "
+        "sign bits, band collisions, candidate set, final ranking — "
+        "is bit-reproducible in DuckDB, so the probabilistic recall "
+        "loss itself is graded (both engines miss the same "
+        "neighbors). q56 (MLlib seeded projections) remains the "
+        "library path.",
+)
+def q155_ann_signlsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _sign_lsh_planes()
+    n_bands = SIGN_PLANES // SIGN_BAND_BITS
+    emb = read_table(spark, sf_dir, "embeddings")
+    key_cols = []
+    for b in range(n_bands):
+        bits = None
+        for k in range(SIGN_BAND_BITS):
+            plane = F.array(
+                *[F.lit(x) for x in planes[b * SIGN_BAND_BITS + k]]
+            )
+            bit = F.when(dot_seq(F.col("embedding"), plane) > 0, F.lit(1 << k)).otherwise(
+                F.lit(0)
+            )
+            bits = bit if bits is None else bits + bit
+        key_cols.append(bits.alias(f"key{b}"))
+    keyed = emb.select("vec_id", "embedding", *key_cols)
+    keyed = shared_lineage(keyed)  # feeds both sides of the band join
+    banded = keyed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"key{b}").alias("key"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "band", "key"
+    )
+    cand = (
+        qb.join(banded.withColumnRenamed("vec_id", "nid"), ["band", "key"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    vecs = keyed.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    qv = vecs.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    nv = vecs.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), F.col("nrm").alias("nn")
+    )
+    sims = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(nv, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot_seq(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "nid", "cosine", F.col("rn").cast("int").alias("rn"))
+    )

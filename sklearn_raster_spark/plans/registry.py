@@ -108,6 +108,7 @@ _WINDOW_ORDER = (
     "q152_binaryfile_source",
     "q153_stream_semi_join",
     "q154_stream_outer_join",
+    "q155_ann_signlsh_portable",
     "q142_rolling_median_udwf",
     "q144_stream_session_window",
     "q125_triangle_count",

@@ -17,6 +17,7 @@ NEW_ORACLE_QUERIES = [
     "q152_binaryfile_source",
     "q153_stream_semi_join",
     "q154_stream_outer_join",
+    "q155_ann_signlsh_portable",
 ]
 
 
@@ -312,6 +313,27 @@ def test_minhash_portable_recall_vs_bruteforce(spark, sf_dir):
     assert got <= truth  # soundness: exact verify admits no false pair
     assert truth, "fixture has no qualifying pairs; test is vacuous"
     assert len(got) / len(truth) >= 0.9  # 3-table OR recall floor
+
+
+def test_signlsh_recall_vs_exact(spark, sf_dir):
+    """The portable sign-LSH (q155) must recover a solid share of the
+    exact cosine top-k (q55) — the operator exists to find neighbors,
+    not just to be gradable. 8 OR-bands of 4 bits give every similar
+    pair multiple chances to collide; on this weakly-similar synthetic
+    corpus the measured operating point is 0.56/0.72 (sf0.001/sf0.01),
+    floored at 0.5."""
+    qs = load_all_queries()
+    exact = {
+        (r.qid, r.nid)
+        for r in qs["q55_knn_cosine_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.qid, r.nid)
+        for r in qs["q155_ann_signlsh_portable"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "exact baseline empty; test vacuous"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
 
 
 def test_stream_outer_join_emits_both_sides(spark, sf_dir):
