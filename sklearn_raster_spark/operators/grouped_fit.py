@@ -1,0 +1,142 @@
+"""Per-group model fitting — the "many small models" training pattern
+(one model per segment/tenant/source), which no global-fit surface
+(q45-q48, MLlib) covers: the grouping key shards the TRAINING itself.
+
+Spark shape: groupBy(key).applyInPandas(fit_kernel) — each group's
+rows arrive as one pandas frame, the kernel fits and returns the
+fitted parameters as ONE row per group. At 100 TB this is the only
+fit topology that parallelizes across segments with zero coordination
+(no parameter server, no global aggregation): thousands of small
+models train as independent tasks, and the output is a tiny
+(|groups| rows) model table that downstream scoring joins broadcast.
+
+Grading: generic solvers (lstsq, SGD) are float-order-dependent and
+would be rows-only. OLS with ONE feature has an exact closed form on
+integer data, so the kernel accumulates the sufficient statistics
+(n, Σx, Σy, Σxy, Σx², Σy²) as PYTHON INTS (exact), and only the final
+slope/intercept/R² divisions touch floats — one double division per
+parameter, bit-identical to the DuckDB oracle computing the same
+integer ratios. The kernel IS a model fit (it sees raw rows, learns
+parameters); the determinism comes from choosing the estimator whose
+sufficient statistics are exact, the same DECIMAL-partials discipline
+every graded aggregate in this repo follows.
+
+No reference analog (the reference wraps ONE estimator over a grid —
+SURVEY.md §2.1); this is the [extension] training-pipeline dual.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sklearn_raster_spark.plans.registry import query
+from sklearn_raster_spark.sources import read_table
+
+FIT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n", LongType()),
+        StructField("slope", DoubleType()),
+        StructField("intercept", DoubleType()),
+        StructField("r2", DoubleType()),
+    ]
+)
+
+
+def _ols_fit_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fit y = a + b*x by exact-integer OLS on one group's rows.
+    Sufficient statistics accumulate as Python ints (arbitrary
+    precision — no overflow, no float order dependence); each output
+    parameter is ONE double division of exact integers, reproducible
+    bit-for-bit by any engine computing the same ratios."""
+    x = [int(v) for v in pdf["x"]]
+    y = [int(v) for v in pdf["y"]]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sx2 = sum(a * a for a in x)
+    sy2 = sum(b * b for b in y)
+    # every intermediate converts int -> float64 BEFORE the float ops,
+    # in the same order the oracle's CASTs apply them: num*num exceeds
+    # 2^53, so engines must round the SAME intermediates or last-ulp
+    # drift survives the 6dp round at the boundary
+    num = float(n * sxy - sx * sy)
+    den = float(n * sx2 - sx * sx)
+    syy = float(n * sy2 - sy * sy)
+    slope = num / den
+    intercept = (sy / n) - slope * (sx / n)
+    r2 = (num * num) / (den * syy)
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "n": [n],
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+            "r2": [round(r2, 6)],
+        }
+    )
+
+
+@query(
+    "q156_grouped_model_fit",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               COUNT(*) AS n,
+               SUM(n_chars) AS sx,
+               SUM(LEN(STRING_SPLIT(text, ' '))) AS sy,
+               SUM(n_chars * LEN(STRING_SPLIT(text, ' '))) AS sxy,
+               SUM(n_chars * n_chars) AS sx2,
+               SUM(LEN(STRING_SPLIT(text, ' ')) * LEN(STRING_SPLIT(text, ' '))) AS sy2
+        FROM documents
+        GROUP BY source
+    )
+    SELECT source, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND(CAST(sy AS DOUBLE) / n
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sx2 - sx * sx AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sx2 - sx * sx AS DOUBLE)
+                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) AS r2
+    FROM stats
+    """,
+    doc="Per-group model fitting (the 'many small models' pattern — "
+        "one regression per source segment, a training topology the "
+        "global-fit surfaces q45-q48 cannot express): "
+        "groupBy(source).applyInPandas fits token-count ~ char-count "
+        "OLS per group and emits the fitted (slope, intercept, R2) as "
+        "a |groups|-row model table, ready to broadcast into a "
+        "scoring join. Hash-graded EXACTLY despite being a Python "
+        "model fit: one-feature OLS has a closed form whose "
+        "sufficient statistics are exact integers here, so the kernel "
+        "accumulates Python ints and performs one double division per "
+        "parameter — the same ratios the oracle computes (DuckDB "
+        "integer sums are exact HUGEINTs). At 100 TB each group fits "
+        "in one task with zero coordination; skewed groups split via "
+        "the same salting duals as any hot aggregate key.",
+)
+def q156_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    docs = read_table(spark, sf_dir, "documents")
+    ensure_workers_can_import(spark)
+    rows = docs.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).alias("y"),
+    )
+    return rows.groupBy("source").applyInPandas(_ols_fit_kernel, FIT_SCHEMA)

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "sklearn_raster_spark.operators.corpus",
     "sklearn_raster_spark.operators.retrieval",
     "sklearn_raster_spark.operators.composition",
+    "sklearn_raster_spark.operators.grouped_fit",
 )
 
 
@@ -109,6 +110,7 @@ _WINDOW_ORDER = (
     "q153_stream_semi_join",
     "q154_stream_outer_join",
     "q155_ann_signlsh_portable",
+    "q156_grouped_model_fit",
     "q142_rolling_median_udwf",
     "q144_stream_session_window",
     "q125_triangle_count",

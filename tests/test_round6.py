@@ -18,6 +18,7 @@ NEW_ORACLE_QUERIES = [
     "q153_stream_semi_join",
     "q154_stream_outer_join",
     "q155_ann_signlsh_portable",
+    "q156_grouped_model_fit",
 ]
 
 
@@ -313,6 +314,19 @@ def test_minhash_portable_recall_vs_bruteforce(spark, sf_dir):
     assert got <= truth  # soundness: exact verify admits no false pair
     assert truth, "fixture has no qualifying pairs; test is vacuous"
     assert len(got) / len(truth) >= 0.9  # 3-table OR recall floor
+
+
+def test_grouped_fit_learns_real_structure(spark, sf_dir):
+    """Each per-source OLS must learn the genuine chars->tokens
+    relationship, not degenerate parameters: positive slope (longer
+    docs have more tokens), a strong fit (R2 well above chance since
+    tokens ~ chars/avg_word_len), and one model per source."""
+    df = load_all_queries()["q156_grouped_model_fit"].fn(spark, sf_dir).toPandas()
+    assert df.source.is_unique and len(df) == 20
+    assert (df.slope > 0.05).all()  # ~1 token per few chars
+    assert (df.r2 > 0.8).all(), df.r2.min()  # chars predict tokens strongly
+    assert (df.r2 <= 1.0).all()
+    assert (df.n >= 2).all()
 
 
 def test_signlsh_recall_vs_exact(spark, sf_dir):
