@@ -57,8 +57,19 @@ def _ols_fit_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """Fit y = a + b*x by exact-integer OLS on one group's rows.
     Sufficient statistics accumulate as Python ints (arbitrary
     precision — no overflow, no float order dependence); each output
-    parameter is ONE double division of exact integers, reproducible
-    bit-for-bit by any engine computing the same ratios."""
+    parameter is a few double ops over exact integers, reproducible
+    bit-for-bit by any engine computing the same ratios.
+
+    Determinism discipline (each point burned once already):
+    - every int converts to float64 BEFORE the float ops, in the same
+      order the oracle's CASTs apply them (num*num exceeds 2^53, so
+      engines must round the SAME intermediates);
+    - parameters are emitted UNROUNDED — the 6dp round happens in
+      SPARK (F.round, HALF_UP) to match DuckDB ROUND; Python round()
+      is HALF_EVEN and flips exact .5 boundaries;
+    - degenerate groups (single row, constant x: den == 0; constant
+      y: syy == 0) emit NULL parameters, matching the oracle's
+      NULLIF-guarded divisions, instead of crashing the executor."""
     x = [int(v) for v in pdf["x"]]
     y = [int(v) for v in pdf["y"]]
     n = len(x)
@@ -66,23 +77,22 @@ def _ols_fit_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     sxy = sum(a * b for a, b in zip(x, y))
     sx2 = sum(a * a for a in x)
     sy2 = sum(b * b for b in y)
-    # every intermediate converts int -> float64 BEFORE the float ops,
-    # in the same order the oracle's CASTs apply them: num*num exceeds
-    # 2^53, so engines must round the SAME intermediates or last-ulp
-    # drift survives the 6dp round at the boundary
     num = float(n * sxy - sx * sy)
     den = float(n * sx2 - sx * sx)
     syy = float(n * sy2 - sy * sy)
-    slope = num / den
-    intercept = (sy / n) - slope * (sx / n)
-    r2 = (num * num) / (den * syy)
+    if den == 0.0:
+        slope = intercept = r2 = None
+    else:
+        slope = num / den
+        intercept = (float(sy) / n) - slope * (float(sx) / n)
+        r2 = (num * num) / (den * syy) if syy != 0.0 else None
     return pd.DataFrame(
         {
             "source": [pdf["source"].iloc[0]],
             "n": [n],
-            "slope": [round(slope, 6)],
-            "intercept": [round(intercept, 6)],
-            "r2": [round(r2, 6)],
+            "slope": pd.array([slope], dtype="Float64"),
+            "intercept": pd.array([intercept], dtype="Float64"),
+            "r2": pd.array([r2], dtype="Float64"),
         }
     )
 
@@ -103,15 +113,15 @@ def _ols_fit_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     SELECT source, n,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope,
+                 / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE), 0), 6) AS slope,
            ROUND(CAST(sy AS DOUBLE) / n
                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sx2 - sx * sx AS DOUBLE))
+                    / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE), 0))
                    * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
            ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
                   * CAST(n * sxy - sx * sy AS DOUBLE))
-                 / (CAST(n * sx2 - sx * sx AS DOUBLE)
-                    * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) AS r2
+                 / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE)
+                          * CAST(n * sy2 - sy * sy AS DOUBLE), 0), 6) AS r2
     FROM stats
     """,
     doc="Per-group model fitting (the 'many small models' pattern — "
@@ -139,4 +149,14 @@ def q156_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("x"),
         F.size(F.split("text", " ")).alias("y"),
     )
-    return rows.groupBy("source").applyInPandas(_ols_fit_kernel, FIT_SCHEMA)
+    fitted = rows.groupBy("source").applyInPandas(_ols_fit_kernel, FIT_SCHEMA)
+    # 6dp rounding happens ENGINE-SIDE (Spark HALF_UP == DuckDB ROUND);
+    # the kernel emits unrounded doubles — Python round() is HALF_EVEN
+    # and would flip exact .5 boundaries against the oracle
+    return fitted.select(
+        "source",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )

@@ -247,6 +247,17 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    # executors write with plain open(): correct only when they share
+    # the driver's filesystem. Locally /tmp stands in for the shared
+    # object store a cluster would use; fail fast rather than silently
+    # reading a partial directory on a multi-node master.
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        raise NotImplementedError(
+            f"materialize_binary_files writes to a local tempdir; on "
+            f"master={master!r} point the output at shared storage "
+            "(s3://, hdfs://) instead"
+        )
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, "binfiles")
     marker = os.path.join(path, "_SUCCESS")

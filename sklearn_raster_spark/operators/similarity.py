@@ -865,53 +865,50 @@ def q136_pq_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q155: portable sign-LSH ANN (hash-graded hyperplane banding) ----
 
-SIGN_PLANES = 32  # 8 bands x 4 sign bits
-SIGN_BAND_BITS = 4
-SIGN_EMB_DIM = 64  # embeddings table dimension (asserted at build)
+SIGN_LSH_BANDS = 8  # OR-amplification: 8 bands x 4 sign bits
+SIGN_LSH_BITS = 4
+SIGN_EMB_DIM = _EMB_DIM  # embeddings dimension, asserted at plan build
 
 
-def _sign_lsh_planes() -> list[list[float]]:
+def _sign_lsh_planes() -> list:
     """Deterministic pseudo-random hyperplanes derived from md5 — the
     SAME literal doubles are embedded in the Spark plan and inlined in
     the oracle SQL text (repr round-trips float64 exactly), so both
     engines compute identical sequential-fold dots and identical sign
-    bits. Components are uniform in [-1, 1): md5_int60 / 2^59 - 1."""
+    bits. Components are uniform in [-1, 1): md5_int60 / 2^59 - 1.
+    Shaped [band][bit][dim] for the shared q100 band-key helpers
+    (_band_key_col / _oracle_band_key)."""
     import hashlib
 
-    return [
-        [
+    def comp(j: int, i: int) -> float:
+        return (
             int(hashlib.md5(f"plane{j}:{i}".encode()).hexdigest()[:15], 16)
             / 2**59
             - 1.0
-            for i in range(SIGN_EMB_DIM)
+        )
+
+    return [
+        [
+            [comp(b * SIGN_LSH_BITS + k, i) for i in range(SIGN_EMB_DIM)]
+            for k in range(SIGN_LSH_BITS)
         ]
-        for j in range(SIGN_PLANES)
+        for b in range(SIGN_LSH_BANDS)
     ]
 
 
+_SIGN_LSH_PLANES = _sign_lsh_planes()
+
+
 def _sign_lsh_oracle() -> str:
-    planes = _sign_lsh_planes()
-    n_bands = SIGN_PLANES // SIGN_BAND_BITS
-
-    def dot_sql(vec_expr: str, plane: list[float]) -> str:
-        lits = "LIST_VALUE(" + ", ".join(repr(x) for x in plane) + ")"
-        return (
-            f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({vec_expr}, {lits}), "
-            "s -> CAST(s[1] AS DOUBLE) * s[2]), (a, b) -> a + b)"
-        )
-
-    band_keys = []
-    for b in range(n_bands):
-        bits = " + ".join(
-            f"(CASE WHEN {dot_sql('embedding', planes[b * SIGN_BAND_BITS + k])} > 0 "
-            f"THEN {1 << k} ELSE 0 END)"
-            for k in range(SIGN_BAND_BITS)
-        )
-        band_keys.append(f"({bits}) AS key{b}")
+    n_bands = SIGN_LSH_BANDS
+    band_keys = [
+        f"({_oracle_band_key('embedding', _SIGN_LSH_PLANES[b])}) AS key{b}"
+        for b in range(n_bands)
+    ]
     keys_sql = ",\n               ".join(band_keys)
     union_bands = "\n        UNION ALL\n".join(
         f"        SELECT vec_id, {b} AS band, key{b} AS key FROM keyed"
-        for b in range(n_bands)
+        for b in range(SIGN_LSH_BANDS)
     )
     return f"""
     WITH keyed AS (
@@ -954,33 +951,31 @@ def _sign_lsh_oracle() -> str:
         "vector-space completion of the q150/q151 pattern, upgrading "
         "the third LSH family (random-projection ANN, q56's "
         "mechanism) from a rows-only waiver to a full value grade: "
-        f"{SIGN_PLANES} md5-derived hyperplanes (identical literal "
-        f"doubles in plan and oracle) give {SIGN_PLANES // SIGN_BAND_BITS} "
-        f"x {SIGN_BAND_BITS}-bit sign bands; same-band candidates "
-        "re-rank by exact 6dp-rounded cosine (sequential-fold dots "
-        "matching LIST_REDUCE) into per-query top-k. Every stage — "
-        "sign bits, band collisions, candidate set, final ranking — "
-        "is bit-reproducible in DuckDB, so the probabilistic recall "
+        f"{SIGN_LSH_BANDS * SIGN_LSH_BITS} md5-derived hyperplanes "
+        f"(identical literal doubles in plan and oracle) give "
+        f"{SIGN_LSH_BANDS} x {SIGN_LSH_BITS}-bit sign bands via q100's "
+        "shared band-key helpers; same-band candidates re-rank by "
+        "exact 6dp-rounded cosine (sequential-fold dots matching "
+        "LIST_REDUCE) into per-query top-k. Every stage — sign bits, "
+        "band collisions, candidate set, final ranking — is "
+        "bit-reproducible in DuckDB, so the probabilistic recall "
         "loss itself is graded (both engines miss the same "
         "neighbors). q56 (MLlib seeded projections) remains the "
         "library path.",
 )
 def q155_ann_signlsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = _sign_lsh_planes()
-    n_bands = SIGN_PLANES // SIGN_BAND_BITS
+    n_bands = SIGN_LSH_BANDS
     emb = read_table(spark, sf_dir, "embeddings")
-    key_cols = []
-    for b in range(n_bands):
-        bits = None
-        for k in range(SIGN_BAND_BITS):
-            plane = F.array(
-                *[F.lit(x) for x in planes[b * SIGN_BAND_BITS + k]]
-            )
-            bit = F.when(dot_seq(F.col("embedding"), plane) > 0, F.lit(1 << k)).otherwise(
-                F.lit(0)
-            )
-            bits = bit if bits is None else bits + bit
-        key_cols.append(bits.alias(f"key{b}"))
+    # fail fast on a dimension mismatch: zip_with/LIST_ZIP would
+    # null-pad, collapsing every vector into band key '0000...' and
+    # degenerating the band join into an all-pairs cross
+    dim = len(emb.select("embedding").first()[0])
+    if dim != SIGN_EMB_DIM:
+        raise ValueError(f"embeddings dim {dim} != SIGN_EMB_DIM {SIGN_EMB_DIM}")
+    key_cols = [
+        _band_key_col(F.col("embedding"), _SIGN_LSH_PLANES[b]).alias(f"key{b}")
+        for b in range(n_bands)
+    ]
     keyed = emb.select("vec_id", "embedding", *key_cols)
     keyed = shared_lineage(keyed)  # feeds both sides of the band join
     banded = keyed.select(

@@ -343,16 +343,14 @@ def outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     its batch oracle) restrict to clicks at least OUTER_JOIN_SAFE_LAG
     older than the stream's max timestamp: the deterministic emitted
     prefix."""
-    from pyspark.sql import functions as SF
-
     from sklearn_raster_spark.sources import read_table
 
     cutoff = (
         read_table(spark, sf_dir, "events")
         .agg(
-            SF.least(
-                SF.max(SF.when(SF.col("event_type") == "click", SF.col("ts"))),
-                SF.max(SF.when(SF.col("event_type") == "purchase", SF.col("ts"))),
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
             ).alias("m")
         )
         .collect()[0]["m"]

@@ -329,6 +329,38 @@ def test_grouped_fit_learns_real_structure(spark, sf_dir):
     assert (df.n >= 2).all()
 
 
+def test_grouped_fit_degenerate_groups_yield_nulls(spark):
+    """Single-row, constant-x, and constant-y groups must emit NULL
+    parameters (matching the oracle's NULLIF-guarded divisions), not
+    crash the executor with ZeroDivisionError."""
+    import pandas as pd
+
+    from sklearn_raster_spark.operators.grouped_fit import (
+        FIT_SCHEMA,
+        _ols_fit_kernel,
+    )
+
+    rows = [
+        ("single", 10, 3),          # n == 1 -> den == 0
+        ("constx", 5, 1), ("constx", 5, 9),   # constant x -> den == 0
+        ("consty", 1, 4), ("consty", 9, 4),   # constant y -> syy == 0
+        ("good", 1, 2), ("good", 2, 4), ("good", 3, 6),
+    ]
+    df = (
+        spark.createDataFrame(rows, "source string, x long, y long")
+        .groupBy("source")
+        .applyInPandas(_ols_fit_kernel, FIT_SCHEMA)
+        .toPandas()
+        .set_index("source")
+    )
+    assert pd.isna(df.loc["single", "slope"])
+    assert pd.isna(df.loc["constx", "slope"])
+    assert pd.isna(df.loc["consty", "r2"])
+    assert df.loc["consty", "slope"] == 0.0  # flat line fits exactly
+    assert abs(df.loc["good", "slope"] - 2.0) < 1e-12
+    assert df.loc["good", "r2"] == 1.0
+
+
 def test_signlsh_recall_vs_exact(spark, sf_dir):
     """The portable sign-LSH (q155) must recover a solid share of the
     exact cosine top-k (q55) — the operator exists to find neighbors,
