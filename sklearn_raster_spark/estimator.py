@@ -505,13 +505,20 @@ class SparkEstimator:
         # first-run cost of this operator.
         import pandas as pd
 
+        # Explicit schema + list-of-list cells: the Arrow path (session.py
+        # turns it on) would infer list<double> from ndarray cells, but a
+        # BARE SparkSession (the driver's correctness harness) falls back
+        # to _inferSchemaFromList, which cannot type an ndarray cell
+        # (CANNOT_INFER_TYPE_FOR_FIELD — the round-5 q54 driver crash).
+        # The schema string types both paths identically.
         fit_arrs = spark.createDataFrame(
             pd.DataFrame(
                 {
                     "fit_idx": np.arange(fit_X.shape[0], dtype=np.int64),
-                    "fit_arr": list(fit_X),
+                    "fit_arr": fit_X.tolist(),
                 }
-            )
+            ),
+            schema="fit_idx long, fit_arr array<double>",
         )
 
         # Seeded unit-norm Gaussian hyperplanes (the same projection
@@ -537,7 +544,10 @@ class SparkEstimator:
                         np.arange(n_fit, dtype=np.int64), num_hash_tables
                     ),
                 }
-            )
+            ),
+            # scalar int64 columns infer fine on both paths, but the
+            # explicit schema keeps this upload bare-session-proof too
+            schema="_tbl long, _bucket long, fit_idx long",
         )
 
         data = ff.df.withColumn("_rid", F.monotonically_increasing_id())

@@ -181,8 +181,10 @@ def _shingle_expr(n: int):
 )
 def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # corpus size for the relative boilerplate threshold: a parquet
-    # metadata count (no scan), driver-side once at plan-build time.
+    # corpus size for the relative boilerplate threshold: one
+    # driver-side count job at plan-build time (answered from parquet
+    # metadata for a bare scan; still a job, and a real scan if
+    # read_table ever gains a filter/transform).
     # df*100 >= pct*N in integers == the oracle's HAVING, exactly
     n_docs = docs.count()
     base = docs.select("doc_id", "source", "text", F.split("text", " ").alias("ws"))

@@ -97,6 +97,23 @@ def _ols_fit_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def fitted_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The |groups|-row fitted model table with UNROUNDED parameters
+    (one exact-integer OLS per source segment) — shared by q156 (which
+    grades the parameters) and q158 (which broadcasts the table back
+    over documents for distributed scoring)."""
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    docs = read_table(spark, sf_dir, "documents")
+    ensure_workers_can_import(spark)
+    rows = docs.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).alias("y"),
+    )
+    return rows.groupBy("source").applyInPandas(_ols_fit_kernel, FIT_SCHEMA)
+
+
 @query(
     "q156_grouped_model_fit",
     oracle="""
@@ -140,16 +157,7 @@ def _ols_fit_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         "the same salting duals as any hot aggregate key.",
 )
 def q156_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sklearn_raster_spark.session import ensure_workers_can_import
-
-    docs = read_table(spark, sf_dir, "documents")
-    ensure_workers_can_import(spark)
-    rows = docs.select(
-        "source",
-        F.col("n_chars").alias("x"),
-        F.size(F.split("text", " ")).alias("y"),
-    )
-    fitted = rows.groupBy("source").applyInPandas(_ols_fit_kernel, FIT_SCHEMA)
+    fitted = fitted_model_table(spark, sf_dir)
     # 6dp rounding happens ENGINE-SIDE (Spark HALF_UP == DuckDB ROUND);
     # the kernel emits unrounded doubles — Python round() is HALF_EVEN
     # and would flip exact .5 boundaries against the oracle
@@ -159,4 +167,73 @@ def q156_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
+    )
+
+
+@query(
+    "q158_grouped_model_score",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               COUNT(*) AS n,
+               SUM(n_chars) AS sx,
+               SUM(LEN(STRING_SPLIT(text, ' '))) AS sy,
+               SUM(n_chars * LEN(STRING_SPLIT(text, ' '))) AS sxy,
+               SUM(n_chars * n_chars) AS sx2
+        FROM documents
+        GROUP BY source
+    ),
+    slopes AS (
+        SELECT source, sx, sy, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE), 0) AS slope
+        FROM stats
+    ),
+    models AS (
+        SELECT source, slope,
+               CAST(sy AS DOUBLE) / n - slope * (CAST(sx AS DOUBLE) / n) AS intercept
+        FROM slopes
+    )
+    SELECT d.doc_id, d.source,
+           ROUND(m.intercept + m.slope * CAST(d.n_chars AS DOUBLE), 6) AS pred_tokens,
+           ROUND(CAST(LEN(STRING_SPLIT(d.text, ' ')) AS DOUBLE)
+                 - (m.intercept + m.slope * CAST(d.n_chars AS DOUBLE)), 6) AS residual
+    FROM documents d
+    JOIN models m ON d.source = m.source
+    """,
+    doc="Distributed scoring with q156's fitted model table — the "
+        "second half of the training topology (fit -> |groups|-row "
+        "model table -> broadcast -> map-side score) that a 100 TB "
+        "segment-model pipeline runs: the per-source (slope, "
+        "intercept) table from the applyInPandas OLS fit is broadcast "
+        "back over every document and each row gets its predicted "
+        "token count and residual in ONE narrow map stage — no "
+        "second shuffle, no Python in the scoring path. Graded "
+        "EXACTLY per row: the parameters are bit-identical integer "
+        "ratios (q156's discipline), prediction is one multiply-add "
+        "over doubles applied in the same order as the oracle's "
+        "expression, rounded 6dp engine-side (Spark HALF_UP == "
+        "DuckDB ROUND). Degenerate segments (den == 0) score NULL, "
+        "matching the oracle's NULLIF-guarded slope. [extension] — "
+        "composes reference E3 predict (estimator.py:117-228) with "
+        "the per-group fit.",
+)
+def q158_grouped_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    models = fitted_model_table(spark, sf_dir).select("source", "slope", "intercept")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split("text", " ")).cast("double").alias("y"),
+    ).join(F.broadcast(models), "source")
+    # same float64 op ORDER as the oracle: intercept + slope * x, then
+    # y - (that), each rounded 6dp — bit-identical inputs make the
+    # rounded outputs equal
+    pred = F.col("intercept") + F.col("slope") * F.col("x")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.round(pred, 6).alias("pred_tokens"),
+        F.round(F.col("y") - pred, 6).alias("residual"),
     )

