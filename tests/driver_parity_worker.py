@@ -44,7 +44,13 @@ EXECUTE = {
 
 
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # CI executes only the pandas-boundary set (EXECUTE); set
+    # SPARK_GRAFT_PARITY_EXECUTE_ALL=1 for the exhaustive bare-session
+    # execution sweep (run once per round — minutes, not CI-cheap).
+    execute_all = os.environ.get("SPARK_GRAFT_PARITY_EXECUTE_ALL") == "1"
     from pyspark.sql import SparkSession
 
     # The driver's session: master + getOrCreate, NOTHING else.
@@ -60,7 +66,7 @@ def main() -> int:
         try:
             df = spec.fn(spark, sf_dir)
             _ = df.schema  # force analysis/resolution
-            if name in EXECUTE:
+            if execute_all or name in EXECUTE:
                 n = df.count()
                 if n < 0:  # pragma: no cover - count() is never negative
                     raise AssertionError("negative count")
@@ -73,7 +79,8 @@ def main() -> int:
         for name, msg in failed.items():
             print(f"DRIVER-PARITY FAIL {name}: {msg}", file=sys.stderr)
         return 1
-    print(f"DRIVER-PARITY OK: {len(reg)} built, {len(EXECUTE)} executed")
+    n_exec = len(reg) if execute_all else len(EXECUTE)
+    print(f"DRIVER-PARITY OK: {len(reg)} built, {n_exec} executed")
     return 0
 
 
