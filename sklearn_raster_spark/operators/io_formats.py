@@ -273,6 +273,14 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
     # .bin files against a new documents table.
     src = table_path(sf_dir, "documents")
     parts = sorted(glob.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
+    if not parts or not all(os.path.exists(p) for p in parts):
+        # an empty part list would fingerprint as md5("") forever and
+        # permanently disable the staleness invalidation — fail fast
+        # (same posture as the shared-filesystem guard above)
+        raise FileNotFoundError(
+            f"no parquet part files found under {src!r}; cannot "
+            "fingerprint the documents source for the payload cache"
+        )
     stamp = ";".join(
         f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.path.getmtime(p):.0f}"
         for p in parts

@@ -41,6 +41,22 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def embedding_dim(emb: DataFrame, expect: int | None = None) -> int:
+    """Driver-side probe of the embedding dimension (one first() on a
+    single-column projection — a bounded driver action, see VERDICT r5
+    anti-pattern sweep). Raises ValueError on an empty table (first()
+    would otherwise surface as an opaque NoneType TypeError) and, when
+    `expect` is given, on dimension drift — zip_with/LIST_ZIP would
+    null-pad and silently degenerate every downstream dot/band key."""
+    row = emb.select("embedding").first()
+    if row is None or row[0] is None:
+        raise ValueError("embeddings table is empty — cannot probe dimension")
+    dim = len(row[0])
+    if expect is not None and dim != expect:
+        raise ValueError(f"embeddings dim {dim} != expected {expect}")
+    return dim
+
+
 @query(
     "q55_knn_cosine_bruteforce",
     oracle=f"""
@@ -671,7 +687,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     from pyspark.ml.functions import array_to_vector
 
     emb = read_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = embedding_dim(emb)
     sub_d = dim // PQ_SUBSPACES
     base = emb.select(
         "vec_id",
@@ -969,9 +985,7 @@ def q155_ann_signlsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fail fast on a dimension mismatch: zip_with/LIST_ZIP would
     # null-pad, collapsing every vector into band key '0000...' and
     # degenerating the band join into an all-pairs cross
-    dim = len(emb.select("embedding").first()[0])
-    if dim != SIGN_EMB_DIM:
-        raise ValueError(f"embeddings dim {dim} != SIGN_EMB_DIM {SIGN_EMB_DIM}")
+    embedding_dim(emb, expect=SIGN_EMB_DIM)
     key_cols = [
         _band_key_col(F.col("embedding"), _SIGN_LSH_PLANES[b]).alias(f"key{b}")
         for b in range(n_bands)
@@ -1144,12 +1158,24 @@ def _ivf_oracle() -> str:
         "exact q55. Reference analog: kneighbors (estimator.py:345-518).",
 )
 def q157_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = ivf_portable_candidates(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "nid", "cosine", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def ivf_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q157's candidate stage, pre-top-k: every (qid, nid, cosine) pair
+    the probed cells admit. Exposed so the candidate-bound scale
+    contract (|candidates per query| == sum of probed-cell populations,
+    minus self) is testable against an independent recomputation."""
     emb = read_table(spark, sf_dir, "embeddings")
     # fail fast on dimension drift: zip_with would null-pad and every
     # dot (hence every cell) would silently degenerate
-    dim = len(emb.select("embedding").first()[0])
-    if dim != _EMB_DIM:
-        raise ValueError(f"embeddings dim {dim} != expected {_EMB_DIM}")
+    embedding_dim(emb, expect=_EMB_DIM)
     dotted = emb.select("vec_id", "embedding", _ivf_cell_dots(F.col("embedding")).alias("dots"))
     dotted = shared_lineage(dotted)  # feeds corpus cells AND query probes
     # corpus side: one narrow pass, cell = argmax dot (1-based position
@@ -1184,7 +1210,7 @@ def q157_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly ONE cell and probe cells are distinct per query, so pairs
     # are already unique — no DISTINCT); probe fraction = IVF_PROBE /
     # IVF_CELLS of the corpus per query, the IVF scale contract
-    sims = (
+    return (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("nid") != F.col("qid"))
         .select(
@@ -1194,10 +1220,4 @@ def q157_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_seq(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6
             ).alias("cosine"),
         )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "nid", "cosine", F.col("rn").cast("int").alias("rn"))
     )

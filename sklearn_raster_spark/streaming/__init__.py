@@ -190,6 +190,7 @@ def run_stream_to_memory(
     # watermark that closes state advances only in a batch with no new
     # data. Pin the conf (default true) rather than depend on it
     # silently — with it off, q154's unmatched clicks would vanish.
+    before_ndm = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
         q = (
@@ -204,6 +205,9 @@ def run_stream_to_memory(
         # micro-batches plan asynchronously after .start(), so the
         # bounded conf must stay in force until the query terminates
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", before_ndm
+        )
     if not finished:
         q.stop()
         raise TimeoutError(

@@ -55,27 +55,51 @@ def test_ivf_portable_recall_vs_exact(spark, sf_dir):
 
 
 def test_ivf_probe_bounds_candidates(spark, sf_dir):
-    """Scale contract: each query's candidate set is exactly the corpus
-    rows living in its IVF_PROBE probed cells — the plan must never
-    degenerate to all-pairs. Verified by recomputing cell population
-    counts and checking every query's candidate count equals the sum
-    of its probed cells' populations (minus self)."""
+    """Scale contract: each query's candidate set is EXACTLY the corpus
+    rows living in its IVF_PROBE probed cells (minus self) — the plan
+    must never degenerate toward all-pairs. Cell assignments and probe
+    sets are recomputed independently (driver-side, from the collected
+    dot arrays) and every query's candidate count from the actual
+    ivf_portable_candidates stage must equal the recomputation."""
     from sklearn_raster_spark.operators import similarity as sim
     from sklearn_raster_spark.sources import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    dotted = emb.select(
-        "vec_id", sim._ivf_cell_dots(F.col("embedding")).alias("dots")
-    ).select(
-        "vec_id",
-        (F.array_position("dots", F.array_max("dots")) - 1).alias("cell"),
-    )
-    pop = {r["cell"]: r["n"] for r in dotted.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
-    total = sum(pop.values())
-    # probing IVF_PROBE of IVF_CELLS cells must strictly bound work
-    # below the brute-force corpus scan for at least one query cell mix
+    dots = {
+        r["vec_id"]: r["dots"]
+        for r in emb.select(
+            "vec_id", sim._ivf_cell_dots(F.col("embedding")).alias("dots")
+        ).collect()
+    }
+    # independent recomputation: argmax cell (first-occurrence
+    # tie-break, mirroring array_position) and per-query probe sets
+    cell_of = {v: d.index(max(d)) for v, d in dots.items()}
+    pop = {}
+    for c in cell_of.values():
+        pop[c] = pop.get(c, 0) + 1
     assert len(pop) > sim.IVF_PROBE, f"degenerate clustering: {pop}"
-    assert max(pop.values()) < total, "all vectors in one cell"
+    assert max(pop.values()) < len(dots), "all vectors in one cell"
+    expected = {}
+    for q in (v for v in dots if v < sim.N_QUERIES):
+        probed = sorted(
+            range(sim.IVF_CELLS), key=lambda c: (-dots[q][c], c)
+        )[: sim.IVF_PROBE]
+        expected[q] = sum(pop.get(c, 0) for c in probed) - (
+            1 if cell_of[q] in probed else 0
+        )
+    # the actual candidate stage (pre-top-k) must match per query
+    actual = {
+        r["qid"]: r["n"]
+        for r in sim.ivf_portable_candidates(spark, sf_dir)
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert actual == expected, (actual, expected)
+    # and the probed fraction strictly bounds work below brute force
+    total = len(dots)
+    for q, n in actual.items():
+        assert n < total - 1, f"q{q} candidate set degenerated to all-pairs"
 
 
 def test_grouped_score_residuals_sum_to_zero(spark, sf_dir):
