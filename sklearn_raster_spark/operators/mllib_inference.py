@@ -108,21 +108,36 @@ def q47_mllib_logistic_proba(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ITEMSET_MIN_ORDERS = 3
+# Relative support floor: 1 order per 50k baskets, integer-ceil. The
+# absolute ITEMSET_MIN_ORDERS alone is a scale bug of the q149 class —
+# the derived-sf1 run showed the pattern lattice growing linearly with
+# the corpus (200k itemsets, OOM on the default 8g heap at 10x) because
+# an absolute floor admits everything as data grows; at 100 TB a
+# 3-order floor is ~1e-11 relative support and FPGrowth dies. The
+# effective threshold is max(absolute, ceil(n_baskets/50000)): bit-
+# identical results at every driver-graded sf (ceil hits 3 exactly at
+# sf0.1's 147,236 baskets), 30 at derived sf1, and corpus-proportional
+# beyond — the lattice stays bounded.
+ITEMSET_SUPPORT_DENOM = 50_000
 
 
 @query(
     "q118_frequent_itemsets",
     oracle=f"""
-    WITH baskets AS (
-        SELECT l_orderkey, LIST_DISTINCT(LIST(l_partkey)) AS parts
-        FROM lineitem GROUP BY l_orderkey
+    WITH n AS (
+        SELECT GREATEST(
+            {ITEMSET_MIN_ORDERS},
+            (COUNT(DISTINCT l_orderkey) + {ITEMSET_SUPPORT_DENOM - 1})
+                // {ITEMSET_SUPPORT_DENOM}
+        ) AS min_orders
+        FROM lineitem
     ), singles AS (
         SELECT CAST(1 AS INTEGER) AS size, l_partkey AS item_a,
                CAST(NULL AS BIGINT) AS item_b,
                COUNT(DISTINCT l_orderkey) AS freq
         FROM lineitem
         GROUP BY l_partkey
-        HAVING COUNT(DISTINCT l_orderkey) >= {ITEMSET_MIN_ORDERS}
+        HAVING COUNT(DISTINCT l_orderkey) >= (SELECT min_orders FROM n)
     ), pairs AS (
         SELECT CAST(2 AS INTEGER) AS size, a.l_partkey AS item_a,
                b.l_partkey AS item_b,
@@ -130,7 +145,7 @@ ITEMSET_MIN_ORDERS = 3
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY a.l_partkey, b.l_partkey
-        HAVING COUNT(DISTINCT a.l_orderkey) >= {ITEMSET_MIN_ORDERS}
+        HAVING COUNT(DISTINCT a.l_orderkey) >= (SELECT min_orders FROM n)
     )
     SELECT size, item_a, item_b, CAST(freq AS BIGINT) AS freq
     FROM singles
@@ -138,17 +153,21 @@ ITEMSET_MIN_ORDERS = 3
     SELECT size, item_a, item_b, CAST(freq AS BIGINT) AS freq FROM pairs
     """,
     doc="Frequent-itemset mining (market-basket analysis) with MLlib "
-        f"FPGrowth over order baskets, minimum support {ITEMSET_MIN_ORDERS} "
-        "orders: the association-mining surface (FP-tree build is one "
-        "pass + one grouped pass, itemset counting stays distributed). "
-        "FPGrowth is EXACT — no RNG, no sketch — so the size<=2 slice "
-        "of its output (canonicalized: sorted items into (item_a, "
-        "item_b) columns) hash-matches a plain SQL counting oracle; "
-        "larger itemsets ride the same run and are pytest-pinned by "
-        "the downward-closure law (every subset of a frequent itemset "
-        "is frequent with >= its support). Scale: support pruning "
-        "bounds the pattern lattice; the basket table is one groupBy "
-        "of the fact table.",
+        "FPGrowth over order baskets, minimum support max("
+        f"{ITEMSET_MIN_ORDERS} orders, 1 per {ITEMSET_SUPPORT_DENOM} "
+        "baskets): the association-mining surface (FP-tree build is "
+        "one pass + one grouped pass, itemset counting stays "
+        "distributed). FPGrowth is EXACT — no RNG, no sketch — so the "
+        "size<=2 slice of its output (canonicalized: sorted items "
+        "into (item_a, item_b) columns) hash-matches a plain SQL "
+        "counting oracle; larger itemsets ride the same run and are "
+        "pytest-pinned by the downward-closure law (every subset of a "
+        "frequent itemset is frequent with >= its support). Scale: "
+        "the RELATIVE support floor keeps the pattern lattice bounded "
+        "as the corpus grows (the derived-sf1 run caught the absolute "
+        "floor admitting a linearly-growing lattice — the q149 "
+        "threshold class); the basket table is one groupBy of the "
+        "fact table.",
 )
 def q118_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.fpm import FPGrowth
@@ -158,9 +177,16 @@ def q118_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.collect_list("l_partkey")).alias("items")
     )
     n_baskets = baskets.count()
+    min_orders = max(
+        ITEMSET_MIN_ORDERS,
+        -(-n_baskets // ITEMSET_SUPPORT_DENOM),  # integer ceil
+    )
     fp = FPGrowth(
         itemsCol="items",
-        minSupport=ITEMSET_MIN_ORDERS / n_baskets,
+        # MLlib keeps itemsets with freq >= ceil(minSupport * n);
+        # (min_orders - 0.5) makes that ceil land on min_orders exactly,
+        # immune to the float boundary of min_orders / n_baskets
+        minSupport=(min_orders - 0.5) / n_baskets,
         minConfidence=0.5,
     )
     model = fp.fit(baskets)

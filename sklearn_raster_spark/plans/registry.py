@@ -93,16 +93,20 @@ _WINDOW_ORDER = (
     # Round-6 policy (VERDICT r5 #1-#3): (1) changed/new queries lead —
     # the fixed q54 (the only broken r5 row, now bare-session-proof),
     # the two new queries (q157 portable IVF, q158 model-table
-    # scoring), and the three greens whose code this round touched
-    # (q156 refactored into fitted_model_table, q152's fingerprinted
-    # payload cache, q154 via the runner's pinned noDataMicroBatches
-    # conf); (2) then the stale-grade backlog, oldest first — all 28
-    # queries whose newest driver row is r02, then 16 of the 37 r03
-    # rows (the q85-q99 aggregate/source block + q104, the corpus
-    # anchor). The 50-query window closes there; the remaining 21
-    # r03 rows (q01-q20 relational core + q103) lead round 7's
-    # backlog block and are still value-checked every round by the
-    # session pre-flight sweep at sf0.01.
+    # scoring), q118 (support threshold made relative after the sf1
+    # protocol caught the absolute floor — both engine and oracle
+    # changed, results identical at every driver sf), and the three
+    # greens whose code this round touched (q156 refactored into
+    # fitted_model_table, q152's fingerprinted payload cache, q154 via
+    # the runner's pinned noDataMicroBatches conf); (2) then the
+    # stale-grade backlog, oldest first — all 28 queries whose newest
+    # driver row is r02, then 15 of the 37 r03 rows (the q85-q99
+    # aggregate/source block). The 50-query window closes there; the
+    # remaining 22 r03 rows (q104 the corpus anchor — displaced by
+    # q118's change, its r03 row is clean and its values re-checked at
+    # sf0.01 every suite run — plus q01-q20 relational core and q103)
+    # lead round 7's backlog block and are still value-checked every
+    # round by the full-registry oracle sweep (tests/test_oracle_sweep.py).
     # -- (1) changed or new in round 6
     "q54_kneighbors_lsh",
     "q157_ann_ivf_portable",
@@ -110,6 +114,7 @@ _WINDOW_ORDER = (
     "q156_grouped_model_fit",
     "q152_binaryfile_source",
     "q154_stream_outer_join",
+    "q118_frequent_itemsets",
     # -- (2a) newest driver row r02, oldest backlog
     "q31_asof_join",
     "q38_interval_join",
@@ -155,9 +160,9 @@ _WINDOW_ORDER = (
     "q97_regression_aggregates",
     "q98_bitwise_aggregates",
     "q99_checksum_source",
-    "q104_dedup_corpus",
     # ---- 50-query driver window closes here ----
     # -- (3) r03 remainder: round 7's backlog block
+    "q104_dedup_corpus",
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_top_revenue_orders",
@@ -238,7 +243,6 @@ _WINDOW_ORDER = (
     "q115_audio_window_energy",
     "q116_stream_inference",
     "q117_stream_interval_join",
-    "q118_frequent_itemsets",
     "q119_als_recommendations",
     "q120_pagerank",
     "q121_boilerplate_passages",
