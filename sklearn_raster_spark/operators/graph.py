@@ -434,3 +434,112 @@ def q120_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 10).alias("rank"))
+
+
+# --- portable PageRank (q159): the iterative family, hash-graded ------
+#
+# q120 is rows-only because float contribution sums are order-dependent
+# (Spark's groupBy adds partial sums in arbitrary order, DuckDB in scan
+# order — the same ranks differ in the last ulps). This twin runs the
+# IDENTICAL loop — same edge set, same degree weights, same damping,
+# same iteration count — in SCALED-INTEGER arithmetic (the q156
+# "integer sufficient statistics" device): ranks live as BIGINT
+# trillionths of probability mass, per-edge contributions are floor
+# divisions, and integer sums are exact and order-independent, so every
+# iteration replays bit-identically in DuckDB's unrolled-CTE oracle.
+# Floor rounding loses < 1 unit (1e-12 of mass) per division, bounded
+# by |V| + 8.5*|E| units per iteration — nanoscale against per-node
+# ranks of ~1e9 units, and pinned against float q120 by pytest.
+
+PAGERANK_SCALE = 10**12  # rank unit = 1e-12 probability mass
+
+
+def _pagerank_portable_oracle() -> str:
+    tele_num = 15 * PAGERANK_SCALE // 100  # (1 - 0.85) * SCALE, exact
+    # MATERIALIZED on the shared CTEs is load-bearing: `ed` and `nn`
+    # are referenced from every unrolled iteration, and without the
+    # hint DuckDB inlines them — re-running the lineitem self-join
+    # ~20x, which spilled tens of GB at derived sf1. Materialized, the
+    # 38k-edge table is computed once.
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED ({_ORACLE_PAIRS}),
+    edges AS MATERIALIZED (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb, pa FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+    ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.node = e.src),
+    r0 AS (SELECT node, {PAGERANK_SCALE} // (SELECT n FROM nn) AS r FROM deg)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+        SELECT ed.dst AS node,
+               (85 * SUM(r.r // ed.deg)) // 100
+                 + ({tele_num} // (SELECT n FROM nn)) AS r
+        FROM ed JOIN r{i - 1} r ON r.node = ed.src
+        GROUP BY ed.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS partkey, CAST(r AS BIGINT) AS rank_e12
+    FROM r{PAGERANK_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q159_pagerank_portable",
+    oracle=_pagerank_portable_oracle(),
+    doc=f"PageRank in PORTABLE scaled-integer arithmetic — makes the "
+        "iterative power-iteration family value-graded (joining "
+        "recursive-CTE-graded connected components, q84/q104): q120's "
+        f"exact loop ({PAGERANK_ITERS} iterations, damping 0.85, same "
+        "co-purchase edge set and degree weights) with ranks held as "
+        f"BIGINT units of 1e-12 mass (SCALE={PAGERANK_SCALE}). Every "
+        "step is integer-only — contribution = rank div degree (floor), "
+        "exact order-independent BIGINT sums, new rank = (85*sum) div "
+        "100 + teleport — so all 8 iterations replay bit-identically in "
+        "the DuckDB oracle's unrolled CTE chain; no float ever enters "
+        "the loop. Per-iteration floor loss < |V| + 0.85|E| rank units "
+        "(1e-12 mass each), pytest-pinned against float q120. The "
+        "production float form (q120) remains the at-scale surface; "
+        "this twin is its exact grading device. Scale shape is "
+        "unchanged: one contribution join + one sum aggregate per "
+        "iteration over a rank vector co-partitioned with the edges, "
+        "localCheckpoint lineage cuts.",
+)
+def q159_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = (
+        pairs.unionByName(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=True)  # feeds n_nodes count AND the edge join
+    n_nodes = deg.count()
+    init = PAGERANK_SCALE // n_nodes
+    tele = (15 * PAGERANK_SCALE // 100) // n_nodes
+    ranks = deg.select("node", F.lit(init).cast("long").alias("r"))
+    edges_deg = (
+        edges.join(deg, edges.pa == deg.node)
+        .select("pa", "pb", "deg")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PAGERANK_ITERS):
+        # symmetric graph: every node has >= 1 in-edge, so the inner
+        # join + groupBy covers all |V| nodes (the oracle relies on the
+        # same invariant)
+        ranks = (
+            edges_deg.join(ranks, edges_deg.pa == ranks.node)
+            .select(F.col("pb").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg((F.expr("(85 * sum(c)) div 100") + F.lit(tele)).alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("node").alias("partkey"), F.col("r").alias("rank_e12"))

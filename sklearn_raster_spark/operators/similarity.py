@@ -673,6 +673,25 @@ PQ_SUBSPACES = 8  # 64-dim -> 8 subvectors of 8 dims
 PQ_CODEBOOK = 16  # centroids per subspace -> 4-bit codes
 
 
+def _pq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sliced into PQ subvector columns (vec_id, sub0..subN) —
+    the shared input of the fitted (q135/q136) and portable (q160) PQ
+    paths. One narrow projection, persisted once."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    sub_d = dim // PQ_SUBSPACES
+    base = emb.select(
+        "vec_id",
+        *[
+            F.slice(F.col("embedding"), s * sub_d + 1, sub_d)
+            .cast("array<double>")
+            .alias(f"sub{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    return shared_lineage(base)
+
+
 def _pq_fit(spark: SparkSession, sf_dir: str):
     """Shared PQ trainer for q135/q136: slice the corpus into
     subvector columns (persisted once) and fit one KMeans codebook
@@ -686,19 +705,7 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    dim = embedding_dim(emb)
-    sub_d = dim // PQ_SUBSPACES
-    base = emb.select(
-        "vec_id",
-        *[
-            F.slice(F.col("embedding"), s * sub_d + 1, sub_d)
-            .cast("array<double>")
-            .alias(f"sub{s}")
-            for s in range(PQ_SUBSPACES)
-        ],
-    )
-    base = shared_lineage(base)
+    base = _pq_base(spark, sf_dir)
     train = base.filter(F.col("vec_id") % 5 == 0)
     train = shared_lineage(train)
 
@@ -1220,4 +1227,224 @@ def ivf_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_seq(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6
             ).alias("cosine"),
         )
+    )
+
+
+# --- portable PQ-ADC (q160): the compression family, hash-graded ------
+#
+# q135/q136 are rows-only because their codebooks are FIT (MLlib KMeans
+# per subspace). This twin swaps the learned codebooks for md5-derived
+# LITERAL codebooks and keeps q136's exact plan — encode -> ADC table
+# lookups -> candidate cut -> exact re-rank — so every stage (per-
+# subspace argmin code, the query distance LUTs, the lookup sum, both
+# ranked cuts) replays bit-identically in DuckDB: after q157 closed
+# IVF, this closes PQ, the last ANN/compression family without an exact
+# driver grade. All distances are sequential zip-folds of doubles
+# (identical operand order in both engines), codes are first-occurrence
+# argmin positions, and the LUTs are computed IN-ENGINE from the same
+# fold expressions (no driver-side float math at all — unlike q136's
+# collected LUTs, nothing here ever leaves the JVM).
+
+PQP_SPREAD = 0.25  # codebook component range: ~±2σ of unit-norm 64-d comps
+
+
+def _pq_portable_codebooks() -> list:
+    """PQ_SUBSPACES x PQ_CODEBOOK x sub_d fixed codebook literals
+    (md5-derived like _ivf_centroids): components uniform in
+    [-PQP_SPREAD, PQP_SPREAD) — the ±2-sigma band of unit-norm 64-dim
+    embedding components, so codes spread over the codebook instead of
+    collapsing to a nearest corner. repr() round-trips float64 exactly,
+    so the identical doubles appear in the Spark plan and the oracle."""
+    import hashlib
+
+    sub_d = _EMB_DIM // PQ_SUBSPACES
+
+    def comp(s: int, c: int, i: int) -> float:
+        u = (
+            int(hashlib.md5(f"pqcent{s}:{c}:{i}".encode()).hexdigest()[:15], 16)
+            / 2**59
+            - 1.0
+        )
+        return u * PQP_SPREAD
+
+    return [
+        [[comp(s, c, i) for i in range(sub_d)] for c in range(PQ_CODEBOOK)]
+        for s in range(PQ_SUBSPACES)
+    ]
+
+
+_PQP_CODEBOOKS = _pq_portable_codebooks()
+
+
+def _oracle_sqdist(expr: str, cent: list) -> str:
+    """DuckDB sequential-fold squared distance between a list column
+    slice and a centroid literal — operand-order twin of
+    _pq_code_terms' zip_with fold."""
+    lits = ", ".join(repr(float(v)) for v in cent)
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({expr}, [{lits}]), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (x,y) -> x + y)"
+    )
+
+
+def _pqp_oracle() -> str:
+    sub_d = _EMB_DIM // PQ_SUBSPACES
+    # stage 1: every (subspace, centroid) squared distance as a column
+    dist_cols = []
+    for s in range(PQ_SUBSPACES):
+        sl = f"embedding[{s * sub_d + 1}:{(s + 1) * sub_d}]"
+        for c in range(PQ_CODEBOOK):
+            dist_cols.append(
+                f"{_oracle_sqdist(sl, _PQP_CODEBOOKS[s][c])} AS d{s}_{c}"
+            )
+    dists_sql = ",\n               ".join(dist_cols)
+
+    def dlist(s: int) -> str:
+        return "[" + ", ".join(f"d{s}_{c}" for c in range(PQ_CODEBOOK)) + "]"
+
+    codes = ", ".join(
+        f"LIST_POSITION({dlist(s)}, LIST_AGGREGATE({dlist(s)}, 'min')) - 1"
+        for s in range(PQ_SUBSPACES)
+    )
+    luts = ", ".join(f"{dlist(s)} AS l{s}" for s in range(PQ_SUBSPACES))
+    adc = " + ".join(f"l{s}[codes[{s + 1}] + 1]" for s in range(PQ_SUBSPACES))
+    exact = (
+        "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qe.embedding, ne.embedding), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) "
+        "* (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))), (x,y) -> x + y)"
+    )
+    return f"""
+    WITH dists AS (
+        SELECT vec_id,
+               {dists_sql}
+        FROM embeddings
+    ),
+    coded AS (
+        SELECT vec_id, [{codes}] AS codes FROM dists
+    ),
+    qlut AS (
+        SELECT vec_id AS qid, {luts} FROM dists WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT q.qid, c.vec_id AS nid, ROUND({adc}, 6) AS adc_dist
+        FROM qlut q JOIN coded c ON c.vec_id != q.qid
+    ),
+    cand AS (
+        SELECT qid, nid, adc_dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY adc_dist, nid) AS arn
+            FROM adc
+        ) WHERE arn <= {PQ_ANN_TOP * PQ_RERANK_FACTOR}
+    )
+    SELECT qid, nid, adc_dist, exact_dist, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT cand.qid, cand.nid, cand.adc_dist,
+               ROUND({exact}, 6) AS exact_dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cand.qid
+                   ORDER BY ROUND({exact}, 6), cand.nid) AS rn
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.qid
+        JOIN embeddings ne ON ne.vec_id = cand.nid
+    ) WHERE rn <= {PQ_ANN_TOP}
+    """
+
+
+@query(
+    "q160_pq_adc_portable",
+    oracle=_pqp_oracle(),
+    doc=f"PQ asymmetric-distance ANN search with PORTABLE fixed "
+        "codebooks — closes the last ANN/compression family (after "
+        "q157 closed IVF): q136's exact encode -> ADC-lookup -> "
+        f"re-rank plan with {PQ_SUBSPACES}x{PQ_CODEBOOK} md5-derived "
+        "codebook LITERALS in place of the fitted per-subspace "
+        "k-means. Codes are first-occurrence argmin positions over "
+        "sequential-fold squared distances; the per-query distance "
+        "LUTs are computed IN-ENGINE from the same fold expressions "
+        "(no driver-side float math, unlike q136's collected LUTs); a "
+        f"corpus row's ADC score is {PQ_SUBSPACES} list lookups summed "
+        "left-to-right; candidates cut at "
+        f"{PQ_ANN_TOP * PQ_RERANK_FACTOR} by (adc, nid) and re-ranked "
+        f"by exact 6dp squared distance into top-{PQ_ANN_TOP}. Every "
+        "stage replays bit-identically in DuckDB, so the quantizer's "
+        "approximation error itself is graded. q135/q136 (fitted "
+        "codebooks) remain the learned path, recall/utilization "
+        "pytest-pinned. Scale shape unchanged from q136: encode is one "
+        "narrow projection, scoring a broadcast join against "
+        f"{N_QUERIES} query rows, exact math only on the candidate "
+        "cut. Reference analog: kneighbors (estimator.py:345-518).",
+)
+def q160_pq_adc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _pq_base(spark, sf_dir)
+    embedding_dim(read_table(spark, sf_dir, "embeddings"), expect=_EMB_DIM)
+    terms = _pq_code_terms(_PQP_CODEBOOKS)
+    coded = base.select(
+        F.col("vec_id").alias("nid"),
+        F.array(*[code for code, _ in terms]).alias("codes"),
+    )
+    # per-query LUTs from the SAME fold expressions the corpus encode
+    # uses — l{s}[c] = ||query_sub_s - codebook[s][c]||^2, in-engine
+
+    def lut_col(s: int):
+        cents = _PQP_CODEBOOKS[s]
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"sub{s}"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        ).alias(f"l{s}")
+
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        *[lut_col(s) for s in range(PQ_SUBSPACES)],
+    )
+    adc = None
+    for s in range(PQ_SUBSPACES):
+        term = F.element_at(
+            F.col(f"l{s}"), F.element_at(F.col("codes"), s + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        coded.crossJoin(F.broadcast(queries))
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(adc, 6).alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("qid").orderBy("adc_dist", "nid")
+    cands = (
+        scored.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= PQ_ANN_TOP * PQ_RERANK_FACTOR)
+        .select("qid", "nid", "adc_dist")
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("n_emb"))
+    exact_d = F.aggregate(
+        F.zip_with(
+            "q_emb", "n_emb",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    reranked = (
+        cands.join(F.broadcast(qe), "qid")
+        .join(ne, "nid")
+        .select("qid", "nid", "adc_dist", F.round(exact_d, 6).alias("exact_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("exact_dist", "nid")
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_ANN_TOP)
+        .select("qid", "nid", "adc_dist", "exact_dist", F.col("rn").cast("int").alias("rn"))
     )

@@ -98,19 +98,24 @@ _WINDOW_ORDER = (
     # changed, results identical at every driver sf), and the three
     # greens whose code this round touched (q156 refactored into
     # fitted_model_table, q152's fingerprinted payload cache, q154 via
-    # the runner's pinned noDataMicroBatches conf); (2) then the
+    # the runner's pinned noDataMicroBatches conf), and the session's
+    # second new-query batch (q159 scaled-integer PageRank, q160
+    # portable PQ-ADC — first grades are mandatory); (2) then the
     # stale-grade backlog, oldest first — all 28 queries whose newest
-    # driver row is r02, then 15 of the 37 r03 rows (the q85-q99
-    # aggregate/source block). The 50-query window closes there; the
-    # remaining 22 r03 rows (q104 the corpus anchor — displaced by
-    # q118's change, its r03 row is clean and its values re-checked at
-    # sf0.01 every suite run — plus q01-q20 relational core and q103)
-    # lead round 7's backlog block and are still value-checked every
-    # round by the full-registry oracle sweep (tests/test_oracle_sweep.py).
+    # driver row is r02, then 13 of the 37 r03 rows (the q85-q97
+    # aggregate block). The 50-query window closes there; the
+    # remaining r03 rows (q98/q99 — displaced by q159/q160 — q104 the
+    # corpus anchor — displaced by q118's change, its r03 row is clean
+    # and its values re-checked at sf0.01 every suite run — plus
+    # q01-q20 relational core and q103) lead round 7's backlog block
+    # and are still value-checked every round by the full-registry
+    # oracle sweep (tests/test_oracle_sweep.py).
     # -- (1) changed or new in round 6
     "q54_kneighbors_lsh",
     "q157_ann_ivf_portable",
     "q158_grouped_model_score",
+    "q159_pagerank_portable",
+    "q160_pq_adc_portable",
     "q156_grouped_model_fit",
     "q152_binaryfile_source",
     "q154_stream_outer_join",
@@ -158,10 +163,14 @@ _WINDOW_ORDER = (
     "q95_event_funnel",
     "q96_tfidf_top_terms",
     "q97_regression_aggregates",
+    # ---- 50-query driver window closes here ----
+    # -- (3) r03 remainder: round 7's backlog block. q98/q99 slid here
+    #    when q159/q160 (new queries must receive their first driver
+    #    row this round) took the last two window slots; both r03 rows
+    #    are clean and re-value-checked every suite run by the
+    #    full-registry oracle sweep.
     "q98_bitwise_aggregates",
     "q99_checksum_source",
-    # ---- 50-query driver window closes here ----
-    # -- (3) r03 remainder: round 7's backlog block
     "q104_dedup_corpus",
     "q01_pricing_summary",
     "q02_filter_project",

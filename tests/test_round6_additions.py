@@ -22,6 +22,10 @@ NEW_ORACLE_QUERIES = [
     # q152 payload cache fingerprinted) — must stay value-green
     "q156_grouped_model_fit",
     "q152_binaryfile_source",
+    # second batch: the scaled-integer PageRank twin and the portable
+    # PQ-ADC twin
+    "q159_pagerank_portable",
+    "q160_pq_adc_portable",
 ]
 
 
@@ -132,6 +136,101 @@ def test_grouped_score_covers_every_document(spark, sf_dir):
     qs = load_all_queries()
     n_docs = read_table(spark, sf_dir, "documents").count()
     assert qs["q158_grouped_model_score"].fn(spark, sf_dir).count() == n_docs
+
+
+def test_pagerank_portable_tracks_float_ranks(spark, sf_dir):
+    """The scaled-integer twin must be the SAME PageRank, not merely a
+    self-consistent integer recurrence: per node, |rank_e12/SCALE -
+    float rank| stays inside the accumulated floor-loss bound, and the
+    node sets coincide. Catches a damping/teleport/degree mix-up that
+    the oracle (which replays whatever the engine does) cannot see."""
+    from sklearn_raster_spark.operators.graph import PAGERANK_SCALE
+
+    qs = load_all_queries()
+    fl = {
+        r["node"]: r["rank"]
+        for r in qs["q120_pagerank"].fn(spark, sf_dir).collect()
+    }
+    sc = {
+        r["partkey"]: r["rank_e12"]
+        for r in qs["q159_pagerank_portable"].fn(spark, sf_dir).collect()
+    }
+    assert fl.keys() == sc.keys(), "node sets diverge"
+    worst = max(abs(sc[n] / PAGERANK_SCALE - fl[n]) for n in fl)
+    # floor losses are < 1e-12 mass per division; 8 iterations over this
+    # fixture accumulate orders of magnitude less than 1e-6
+    assert worst < 1e-6, f"integer twin diverges from float ranks by {worst}"
+
+
+def test_pagerank_portable_mass_conservation(spark, sf_dir):
+    """Integer mass accounting: floor division only ever LOSES rank
+    units, and the loss per iteration is < |E| (edge floors) + 2|V|
+    (damping + teleport floors). Total mass must sit inside
+    [SCALE - bound, SCALE]."""
+    from sklearn_raster_spark.operators.graph import (
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        _copurchase_pairs,
+    )
+
+    qs = load_all_queries()
+    ranks = qs["q159_pagerank_portable"].fn(spark, sf_dir).collect()
+    total = sum(r["rank_e12"] for r in ranks)
+    n_v = len(ranks)
+    n_e = 2 * _copurchase_pairs(spark, sf_dir).count()
+    bound = n_v + PAGERANK_ITERS * (n_e + 2 * n_v)  # init + per-iter floors
+    assert PAGERANK_SCALE - bound <= total <= PAGERANK_SCALE, (
+        total,
+        PAGERANK_SCALE,
+        bound,
+    )
+
+
+def test_pq_portable_codebook_utilization(spark, sf_dir):
+    """The literal codebooks must actually quantize: every subspace
+    uses a healthy spread of its 16 codes (md5-uniform centroids in the
+    ±2-sigma component band), or the ADC score would carry no signal
+    and the oracle would be grading a degenerate constant."""
+    from sklearn_raster_spark.operators import similarity as sim
+
+    coded = (
+        sim._pq_base(spark, sf_dir)
+        .select(
+            F.array(
+                *[code for code, _ in sim._pq_code_terms(sim._PQP_CODEBOOKS)]
+            ).alias("codes")
+        )
+        .collect()
+    )
+    assert coded
+    for s in range(sim.PQ_SUBSPACES):
+        used = {r["codes"][s] for r in coded}
+        assert len(used) >= 4, f"subspace {s} collapsed to {used}"
+        assert all(0 <= c < sim.PQ_CODEBOOK for c in used)
+
+
+def test_pq_portable_recall_vs_exact(spark, sf_dir):
+    """ADC + re-rank must behave like an ANN index: the exact-re-ranked
+    top-5 overlaps the true top-5 (unit-norm vectors: L2 order ==
+    cosine order, so q55's exact cosine top-k is the ground truth)."""
+    from sklearn_raster_spark.operators import similarity as sim
+
+    qs = load_all_queries()
+    approx = {
+        (r["qid"], r["nid"])
+        for r in qs["q160_pq_adc_portable"].fn(spark, sf_dir).collect()
+        if r["rn"] <= sim.TOP_K
+    }
+    exact = {
+        (r["qid"], r["nid"])
+        for r in qs["q55_knn_cosine_bruteforce"].fn(spark, sf_dir).collect()
+        if r["qid"] < sim.N_QUERIES
+    }
+    assert exact, "exact baseline empty — fixture drift"
+    recall = len(approx & exact) / len(exact)
+    # 100 ADC candidates re-ranked exactly: on these fixture sizes the
+    # candidate cut keeps most of the true neighborhood
+    assert recall >= 0.5, f"PQ-ADC recall {recall:.2f} below floor"
 
 
 def test_binaryfile_cache_invalidates_on_fingerprint_change(spark, sf_dir):
