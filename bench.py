@@ -11,12 +11,19 @@ Timing covers plan BUILD + materialization together: some builders
 eagerly persist shared lineages (q51 token table, q100 band keys, q101
 shingles), so timing only the sink would bench those queries cache-warm
 (round-3 ADVICE.md).
+
+``--median N`` (or SPARK_GRAFT_BENCH_MEDIAN=N) runs the full query loop
+N times in one session and reports the per-query MEDIAN — the committed
+idle artifact uses N=3 so driver-vs-idle comparisons are decidable
+without a re-measure round-trip (the q93/q119 episodes, VERDICT r6 #6).
+The driver's own per-round run stays single-pass (default N=1).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -82,52 +89,72 @@ def main() -> None:
 
     from sklearn_raster_spark.utils.cache import release_shared_caches
 
-    timings: dict[str, float] = {}
-    for qi, (name, spec) in enumerate(sorted(registry.items())):
-        try:
-            # Build + materialize INSIDE the timed closure: builders
-            # that eagerly persist shared lineage do real work at build
-            # time, and timing the sink alone would read warm cache.
-            # noop sink materializes every output column (a bare
-            # .count() would let Catalyst prune the projections we're
-            # measuring).
-            timings[name] = run_with_watchdog(
-                name,
-                lambda: spec.fn(spark, sf_dir)
-                .write.format("noop")
-                .mode("overwrite")
-                .save(),
-            )
-        except Exception as exc:  # keep benching; a broken query shows as -1
-            timings[name] = -1.0
-            print(f"# bench error {name}: {exc}", file=sys.stderr)
-        finally:
-            # Session hygiene between queries: round 2 measured a 1.5x
-            # whole-suite slowdown from one JVM accumulating per-query
-            # persists and broadcasts across ~100 queries. Drop cached
-            # plans eagerly and let ContextCleaner reap broadcasts whose
-            # Python references just died (it only acts on GC).
-            release_shared_caches()
-            spark.catalog.clearCache()
-            gc.collect()
-            # JVM full GC (lets ContextCleaner reap dead broadcasts,
-            # shuffle files and localCheckpoint blocks) is itself a
-            # multi-hundred-ms pause whose tail can bleed into the NEXT
-            # query's timing — amortize it over batches of 10 for cheap
-            # queries, but force it after any heavy query: at sf >= 1 a
-            # single dedup/graph query strands GBs of checkpoint blocks
-            # and shuffle files that the cleaner cannot reap until a GC
-            # proves the references dead, and that pressure inflated
-            # every later query 5-7x in the first sf1 run.
-            if qi % 10 == 9 or timings.get(name, 0.0) > 2.0:
-                try:
-                    spark.sparkContext._jvm.System.gc()
-                except Exception:
-                    pass
-            # settle: absorb GC pauses / scheduler tails from the
-            # PREVIOUS query outside any timed window (round-3 saw
-            # sub-2s queries regress 1.5-2.8x purely by bench position)
-            spark.range(16).repartition(4).count()
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for qi, (name, spec) in enumerate(sorted(registry.items())):
+            try:
+                # Build + materialize INSIDE the timed closure: builders
+                # that eagerly persist shared lineage do real work at build
+                # time, and timing the sink alone would read warm cache.
+                # noop sink materializes every output column (a bare
+                # .count() would let Catalyst prune the projections we're
+                # measuring).
+                timings[name] = run_with_watchdog(
+                    name,
+                    lambda: spec.fn(spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save(),
+                )
+            except Exception as exc:  # keep benching; a broken query shows as -1
+                timings[name] = -1.0
+                print(f"# bench error {name}: {exc}", file=sys.stderr)
+            finally:
+                # Session hygiene between queries: round 2 measured a 1.5x
+                # whole-suite slowdown from one JVM accumulating per-query
+                # persists and broadcasts across ~100 queries. Drop cached
+                # plans eagerly and let ContextCleaner reap broadcasts whose
+                # Python references just died (it only acts on GC).
+                release_shared_caches()
+                spark.catalog.clearCache()
+                gc.collect()
+                # JVM full GC (lets ContextCleaner reap dead broadcasts,
+                # shuffle files and localCheckpoint blocks) is itself a
+                # multi-hundred-ms pause whose tail can bleed into the NEXT
+                # query's timing — amortize it over batches of 10 for cheap
+                # queries, but force it after any heavy query: at sf >= 1 a
+                # single dedup/graph query strands GBs of checkpoint blocks
+                # and shuffle files that the cleaner cannot reap until a GC
+                # proves the references dead, and that pressure inflated
+                # every later query 5-7x in the first sf1 run.
+                if qi % 10 == 9 or timings.get(name, 0.0) > 2.0:
+                    try:
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:
+                        pass
+                # settle: absorb GC pauses / scheduler tails from the
+                # PREVIOUS query outside any timed window (round-3 saw
+                # sub-2s queries regress 1.5-2.8x purely by bench position)
+                spark.range(16).repartition(4).count()
+        return timings
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN", "1"))
+    if "--median" in sys.argv:
+        i = sys.argv.index("--median")
+        n_runs = int(sys.argv[i + 1]) if i + 1 < len(sys.argv) else 3
+    passes = []
+    for p in range(n_runs):
+        if n_runs > 1:
+            print(f"# bench pass {p + 1}/{n_runs}", file=sys.stderr)
+        passes.append(run_pass())
+
+    # Per-query median over the runs that SUCCEEDED; -1 only if every
+    # run of that query errored (an intermittent failure still reports
+    # a time, with the error visible in `runs`).
+    timings = {}
+    for name in passes[0]:
+        good = [t[name] for t in passes if t[name] >= 0]
+        timings[name] = round(statistics.median(good), 4) if good else -1.0
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     summary = {
@@ -137,8 +164,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(timings) - len(ok),
+        "n_runs": n_runs,
     }
     result = {**summary, "queries": timings}
+    if n_runs > 1:  # keep raw per-pass times for auditability
+        result["runs"] = {name: [t[name] for t in passes] for name in timings}
     # Persist the artifact BEFORE printing: a consumer that closes our
     # stdout early (e.g. `bench.py | head -1`) delivers SIGPIPE on the
     # second print, and the run's only record must not die with it.

@@ -1,0 +1,26 @@
+"""Grouped-agg pandas UDAFs used by q76 (operators/extras.py).
+
+Defined in a module WITHOUT ``from __future__ import annotations`` on
+purpose: that import stringifies the type hints, which breaks
+``pandas_udf``'s signature inference, and the old workaround — the
+``F.PandasUDFType.GROUPED_AGG`` enum — is deprecated. Here the real
+``pd.Series -> scalar`` hints let pandas_udf infer
+SQL_GROUPED_AGG_PANDAS_UDF with no deprecated API and no warnings.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+@F.pandas_udf("double")
+def median_chars_udaf(v: pd.Series) -> float:
+    """Exact median of an integer column (Arrow-batched per group)."""
+    return float(np.median(v.to_numpy(dtype=np.int64)))
+
+
+@F.pandas_udf("long")
+def count_udaf(v: pd.Series) -> int:
+    """Group size as a pandas UDAF (Spark disallows mixing pandas and
+    JVM aggregates in one ``agg``, so the count is a UDAF too)."""
+    return len(v)

@@ -37,16 +37,12 @@ from sklearn_raster_spark.sources import read_table, register_temp_views
         "— UDAF results are not approximations.",
 )
 def q76_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
+    # the UDAFs live in _pandas_udafs.py (no `from __future__ import
+    # annotations` there), so pandas_udf infers GROUPED_AGG from the
+    # real pd.Series hints instead of the deprecated PandasUDFType enum
+    from sklearn_raster_spark.operators._pandas_udafs import count_udaf, median_chars_udaf
 
-    # explicit functionType: `from __future__ import annotations`
-    # stringifies the hints, which breaks pandas_udf signature inference
-    def _median(v):
-        return float(np.median(v.to_numpy(dtype=np.int64)))
-
-    median_udaf = F.pandas_udf(_median, "double", F.PandasUDFType.GROUPED_AGG)
-    count_udaf = F.pandas_udf(lambda v: len(v), "long", F.PandasUDFType.GROUPED_AGG)
-
+    median_udaf = median_chars_udaf
     docs = read_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         median_udaf("n_chars").alias("median_chars"),

@@ -448,7 +448,9 @@ def q120_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # divisions, and integer sums are exact and order-independent, so every
 # iteration replays bit-identically in DuckDB's unrolled-CTE oracle.
 # Floor rounding loses < 1 unit (1e-12 of mass) per division, bounded
-# by |V| + 8.5*|E| units per iteration — nanoscale against per-node
+# by |E| + 2|V| units per iteration (one edge-contribution floor per
+# edge, plus the damping and teleport floors per node — the bound the
+# mass-conservation pytest enforces) — nanoscale against per-node
 # ranks of ~1e9 units, and pinned against float q120 by pytest.
 
 PAGERANK_SCALE = 10**12  # rank unit = 1e-12 probability mass
@@ -506,8 +508,9 @@ def _pagerank_portable_oracle() -> str:
         "exact order-independent BIGINT sums, new rank = (85*sum) div "
         "100 + teleport — so all 8 iterations replay bit-identically in "
         "the DuckDB oracle's unrolled CTE chain; no float ever enters "
-        "the loop. Per-iteration floor loss < |V| + 0.85|E| rank units "
-        "(1e-12 mass each), pytest-pinned against float q120. The "
+        "the loop. Per-iteration floor loss < |E| + 2|V| rank units "
+        "(1e-12 mass each; the mass-conservation pytest enforces this "
+        "exact bound), pytest-pinned against float q120. The "
         "production float form (q120) remains the at-scale surface; "
         "this twin is its exact grading device. Scale shape is "
         "unchanged: one contribution join + one sum aggregate per "

@@ -90,88 +90,25 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # Round-6 policy (VERDICT r5 #1-#3): (1) changed/new queries lead —
-    # the fixed q54 (the only broken r5 row, now bare-session-proof),
-    # the two new queries (q157 portable IVF, q158 model-table
-    # scoring), q118 (support threshold made relative after the sf1
-    # protocol caught the absolute floor — both engine and oracle
-    # changed, results identical at every driver sf), and the three
-    # greens whose code this round touched (q156 refactored into
-    # fitted_model_table, q152's fingerprinted payload cache, q154 via
-    # the runner's pinned noDataMicroBatches conf), and the session's
-    # second new-query batch (q159 scaled-integer PageRank, q160
-    # portable PQ-ADC — first grades are mandatory); (2) then the
-    # stale-grade backlog, oldest first — all 28 queries whose newest
-    # driver row is r02, then 13 of the 37 r03 rows (the q85-q97
-    # aggregate block). The 50-query window closes there; the
-    # remaining r03 rows (q98/q99 — displaced by q159/q160 — q104 the
-    # corpus anchor — displaced by q118's change, its r03 row is clean
-    # and its values re-checked at sf0.01 every suite run — plus
-    # q01-q20 relational core and q103) lead round 7's backlog block
-    # and are still value-checked every round by the full-registry
-    # oracle sweep (tests/test_oracle_sweep.py).
-    # -- (1) changed or new in round 6
-    "q54_kneighbors_lsh",
-    "q157_ann_ivf_portable",
-    "q158_grouped_model_score",
-    "q159_pagerank_portable",
-    "q160_pq_adc_portable",
-    "q156_grouped_model_fit",
-    "q152_binaryfile_source",
-    "q154_stream_outer_join",
-    "q118_frequent_itemsets",
-    # -- (2a) newest driver row r02, oldest backlog
-    "q31_asof_join",
-    "q38_interval_join",
-    "q40_linear_inference_nodata",
-    "q41_nb_classify_embeddings",
-    "q42_nb_proba_embeddings",
-    "q43_pca_transform_embeddings",
-    "q44_kneighbors_embeddings",
-    "q45_mllib_linear_regression",
-    "q46_mllib_kmeans",
-    "q47_mllib_logistic_proba",
-    "q48_compiled_linear_inference",
-    "q49_csv_source",
-    "q50_exact_dedup",
-    "q51_jaccard_pairs",
-    "q58_json_source",
-    "q66_wide_long_reshape",
-    "q67_inverse_transform_roundtrip",
-    "q68_raster_stack_source",
-    "q70_multimodal_features",
-    "q74_orc_source",
-    "q75_partitioned_sink_prune",
+    # Round-7 policy (VERDICT r6 #1, #5 — surface frozen at 160):
+    # (1) changed queries lead — q76, migrated off the deprecated
+    # PandasUDFType enum onto inferred-signature UDAFs
+    # (operators/_pandas_udafs.py); behavior identical, re-grade
+    # mandatory. (2) Then the stale-grade backlog, oldest first: ALL
+    # 24 queries whose newest driver row is r03 (the q01-q20 TPC-H
+    # relational core, q98/q99 bitwise/checksum, q103 chi-square,
+    # q104 corpus dedup) — after this round no registry query's newest
+    # hard row is older than r04. (3) The window's remaining 25 slots
+    # take the oldest r04-graded rows in ordinal order, deliberately
+    # including q119 ALS (its 18.3 s r06 driver bench row is the one
+    # unreconciled outlier — fresh driver timing wanted alongside the
+    # committed idle 3-run median, see SCALE.md). The 15 r04 rows that
+    # don't fit (q124...q147) lead round 8's backlog block and, like
+    # everything here, are value-checked every suite run by the
+    # full-registry oracle sweep (tests/test_oracle_sweep.py).
+    # -- (1) changed in round 7
     "q76_grouped_agg_pandas_udaf",
-    "q77_range_interval_window",
-    "q78_udtf_lateral_trigrams",
-    "q79_zorder_layout",
-    "q81_multimodal_frame_sample",
-    "q82_multimodal_resize",
-    "q83_full_outer_join",
-    # -- (2b) newest driver row r03 (16 of 37; rest lead round 7)
-    "q85_argmax_aggregates",
-    "q86_exact_percentiles",
-    "q87_price_histogram",
-    "q88_order_gaps_islands",
-    "q89_conditional_aggregates",
-    "q90_null_safe_join",
-    "q91_ordered_string_agg",
-    "q92_approx_percentiles",
-    "q93_salted_agg",
-    "q94_gap_fill_ffill",
-    "q95_event_funnel",
-    "q96_tfidf_top_terms",
-    "q97_regression_aggregates",
-    # ---- 50-query driver window closes here ----
-    # -- (3) r03 remainder: round 7's backlog block. q98/q99 slid here
-    #    when q159/q160 (new queries must receive their first driver
-    #    row this round) took the last two window slots; both r03 rows
-    #    are clean and re-value-checked every suite run by the
-    #    full-registry oracle sweep.
-    "q98_bitwise_aggregates",
-    "q99_checksum_source",
-    "q104_dedup_corpus",
+    # -- (2) newest driver row r03: all 24, oldest backlog
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_top_revenue_orders",
@@ -192,27 +129,54 @@ _WINDOW_ORDER = (
     "q18_set_ops",
     "q19_orders_above_customer_avg",
     "q20_price_band_join",
+    "q98_bitwise_aggregates",
+    "q99_checksum_source",
     "q103_chi_square_contingency",
-    # -- (4) r04/r05-graded greens, freshest rows, re-grade last
-    "q131_inverted_index",
-    "q135_product_quantization",
-    "q148_rolling_median_jvm",
-    "q149_pipeline_composition",
-    "q150_minhash_portable",
-    "q151_simhash_portable",
-    "q153_stream_semi_join",
-    "q155_ann_signlsh_portable",
-    "q142_rolling_median_udwf",
-    "q144_stream_session_window",
-    "q125_triangle_count",
-    "q127_fuzzy_name_join",
-    "q145_entity_resolution",
-    "q146_negative_sampling",
-    "q139_mode_aggregate",
-    "q100_bounded_neardup",
-    "q101_contamination_check",
-    "q102_sequence_packing",
-    "q105_fixed_size_sample",
+    "q104_dedup_corpus",
+    # -- (3) newest driver row r04: 25 of 40, ordinal order
+    "q32_approx_count_distinct",
+    "q35_union_type_promotion",
+    "q36_sort_merge_join",
+    "q37_ranking_functions",
+    "q39_stat_aggregates",
+    "q52_minhash_lsh_pairs",
+    "q53_simhash_neardup",
+    "q56_ann_lsh",
+    "q106_contamination_bloom",
+    "q107_stream_dedup",
+    "q108_priority_sample",
+    "q109_repetition_signals",
+    "q110_outlier_flags",
+    "q111_quantile_binning",
+    "q112_embedding_quantize",
+    "q113_scd2_intervals",
+    "q114_training_mix",
+    "q115_audio_window_energy",
+    "q116_stream_inference",
+    "q117_stream_interval_join",
+    "q119_als_recommendations",
+    "q120_pagerank",
+    "q121_boilerplate_passages",
+    "q122_incremental_dedup",
+    "q123_cms_heavy_hitters",
+    # ---- 50-query driver window closes here ----
+    # -- (4) r04 remainder (15): round 8's backlog block
+    "q124_khop_reachability",
+    "q126_grouped_split",
+    "q128_maxsim_late_interaction",
+    "q129_rolling_anomaly",
+    "q130_stream_tumbling_window",
+    "q132_bm25_retrieval",
+    "q133_skyline_parts",
+    "q134_data_quality_checks",
+    "q136_pq_ann_search",
+    "q137_stream_sliding_window",
+    "q138_bag_set_ops",
+    "q140_cumulative_distinct_users",
+    "q141_cohort_retention",
+    "q143_incremental_aggregate",
+    "q147_walk_forward_split",
+    # -- (5) newest driver row r05 (45), then r06 (49): freshest last
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_math_funcs",
@@ -240,46 +204,74 @@ _WINDOW_ORDER = (
     "q73_stratified_sample",
     "q80_dynamic_session_window",
     "q84_copurchase_components",
-    "q106_contamination_bloom",
-    "q107_stream_dedup",
-    "q108_priority_sample",
-    "q109_repetition_signals",
-    "q110_outlier_flags",
-    "q111_quantile_binning",
-    "q112_embedding_quantize",
-    "q113_scd2_intervals",
-    "q114_training_mix",
-    "q115_audio_window_energy",
-    "q116_stream_inference",
-    "q117_stream_interval_join",
-    "q119_als_recommendations",
-    "q120_pagerank",
-    "q121_boilerplate_passages",
-    "q122_incremental_dedup",
-    "q123_cms_heavy_hitters",
-    "q124_khop_reachability",
-    "q126_grouped_split",
-    "q128_maxsim_late_interaction",
-    "q129_rolling_anomaly",
-    "q130_stream_tumbling_window",
-    "q132_bm25_retrieval",
-    "q133_skyline_parts",
-    "q134_data_quality_checks",
-    "q136_pq_ann_search",
-    "q137_stream_sliding_window",
-    "q138_bag_set_ops",
-    "q140_cumulative_distinct_users",
-    "q141_cohort_retention",
-    "q143_incremental_aggregate",
-    "q147_walk_forward_split",
-    "q32_approx_count_distinct",
-    "q35_union_type_promotion",
-    "q36_sort_merge_join",
-    "q37_ranking_functions",
-    "q39_stat_aggregates",
-    "q52_minhash_lsh_pairs",
-    "q53_simhash_neardup",
-    "q56_ann_lsh",
+    "q100_bounded_neardup",
+    "q101_contamination_check",
+    "q102_sequence_packing",
+    "q105_fixed_size_sample",
+    "q125_triangle_count",
+    "q127_fuzzy_name_join",
+    "q131_inverted_index",
+    "q135_product_quantization",
+    "q139_mode_aggregate",
+    "q142_rolling_median_udwf",
+    "q144_stream_session_window",
+    "q145_entity_resolution",
+    "q146_negative_sampling",
+    "q148_rolling_median_jvm",
+    "q149_pipeline_composition",
+    "q150_minhash_portable",
+    "q151_simhash_portable",
+    "q153_stream_semi_join",
+    "q155_ann_signlsh_portable",
+    "q31_asof_join",
+    "q38_interval_join",
+    "q40_linear_inference_nodata",
+    "q41_nb_classify_embeddings",
+    "q42_nb_proba_embeddings",
+    "q43_pca_transform_embeddings",
+    "q44_kneighbors_embeddings",
+    "q45_mllib_linear_regression",
+    "q46_mllib_kmeans",
+    "q47_mllib_logistic_proba",
+    "q48_compiled_linear_inference",
+    "q49_csv_source",
+    "q50_exact_dedup",
+    "q51_jaccard_pairs",
+    "q54_kneighbors_lsh",
+    "q58_json_source",
+    "q66_wide_long_reshape",
+    "q67_inverse_transform_roundtrip",
+    "q68_raster_stack_source",
+    "q70_multimodal_features",
+    "q74_orc_source",
+    "q75_partitioned_sink_prune",
+    "q77_range_interval_window",
+    "q78_udtf_lateral_trigrams",
+    "q79_zorder_layout",
+    "q81_multimodal_frame_sample",
+    "q82_multimodal_resize",
+    "q83_full_outer_join",
+    "q85_argmax_aggregates",
+    "q86_exact_percentiles",
+    "q87_price_histogram",
+    "q88_order_gaps_islands",
+    "q89_conditional_aggregates",
+    "q90_null_safe_join",
+    "q91_ordered_string_agg",
+    "q92_approx_percentiles",
+    "q93_salted_agg",
+    "q94_gap_fill_ffill",
+    "q95_event_funnel",
+    "q96_tfidf_top_terms",
+    "q97_regression_aggregates",
+    "q118_frequent_itemsets",
+    "q152_binaryfile_source",
+    "q154_stream_outer_join",
+    "q156_grouped_model_fit",
+    "q157_ann_ivf_portable",
+    "q158_grouped_model_score",
+    "q159_pagerank_portable",
+    "q160_pq_adc_portable",
 )
 
 
