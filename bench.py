@@ -51,6 +51,40 @@ def main() -> None:
     # fork the Python UDF workers + Arrow serialization path once
     warm_udf = F.pandas_udf(lambda s: s, "long")
     spark.range(32 * 1000).repartition(32).select(warm_udf("id")).collect()
+    # Warm the MLlib estimators the registry uses (ALS, FPGrowth,
+    # LinearRegression, KMeans, LogisticRegression): the FIRST fit of
+    # each in a JVM pays a one-time class-load + JIT cost that is
+    # process startup, not plan time — measured +7-13 s on q119 ALS
+    # alone (idle-box first run 12.7 s vs 4.7-5.7 s every run after;
+    # SCALE.md round-7 note). Tiny synthetic fits, untimed.
+    try:
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.fpm import FPGrowth
+        from pyspark.ml.linalg import Vectors
+        from pyspark.ml.recommendation import ALS
+        from pyspark.ml.regression import LinearRegression
+
+        toy = spark.createDataFrame(
+            [(i % 4, i % 3, float(i % 5 + 1)) for i in range(24)],
+            "user int, item int, rating float",
+        )
+        ALS(rank=2, maxIter=1, seed=1, userCol="user", itemCol="item",
+            ratingCol="rating", implicitPrefs=True).fit(toy)
+        vecs = spark.createDataFrame(
+            [(float(i % 3), Vectors.dense([float(i), float(i % 7)])) for i in range(24)],
+            ["label", "features"],
+        )
+        LinearRegression(maxIter=1).fit(vecs)
+        KMeans(k=2, maxIter=1, seed=1).fit(vecs)
+        LogisticRegression(maxIter=1).fit(
+            vecs.selectExpr("CAST(label >= 1 AS DOUBLE) AS label", "features")
+        )
+        FPGrowth(minSupport=0.5, minConfidence=0.5).fit(
+            spark.createDataFrame([([1, 2],), ([1, 3],), ([1, 2],)], ["items"])
+        )
+    except Exception as exc:
+        print(f"# mllib warmup skipped: {exc}", file=sys.stderr)
     from sklearn_raster_spark.sources import TABLES, read_table
 
     for t in TABLES:
