@@ -33,6 +33,10 @@ EXECUTE = {
     "q44_kneighbors_embeddings",
     "q54_kneighbors_lsh",
     "q56_ann_lsh",
+    # grouped-agg pandas UDAFs defined at module import (round 7's
+    # _pandas_udafs.py) — execute so the Arrow grouped-agg path is
+    # proven under the bare session, not just plan resolution
+    "q76_grouped_agg_pandas_udaf",
     "q69_ann_ivf",
     "q135_product_quantization",
     "q136_pq_ann_search",
