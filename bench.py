@@ -176,6 +176,7 @@ def main() -> None:
     if "--median" in sys.argv:
         i = sys.argv.index("--median")
         n_runs = int(sys.argv[i + 1]) if i + 1 < len(sys.argv) else 3
+    n_runs = max(1, n_runs)
     passes = []
     for p in range(n_runs):
         if n_runs > 1:
