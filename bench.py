@@ -57,7 +57,7 @@ def main() -> None:
     # process startup, not plan time — measured +7-13 s on q119 ALS
     # alone (idle-box first run 12.7 s vs 4.7-5.7 s every run after;
     # SCALE.md round-7 note). Tiny synthetic fits, untimed.
-    try:
+    def _warm_mllib() -> None:
         from pyspark.ml.classification import LogisticRegression
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.fpm import FPGrowth
@@ -69,21 +69,32 @@ def main() -> None:
             [(i % 4, i % 3, float(i % 5 + 1)) for i in range(24)],
             "user int, item int, rating float",
         )
-        ALS(rank=2, maxIter=1, seed=1, userCol="user", itemCol="item",
-            ratingCol="rating", implicitPrefs=True).fit(toy)
         vecs = spark.createDataFrame(
             [(float(i % 3), Vectors.dense([float(i), float(i % 7)])) for i in range(24)],
             ["label", "features"],
         )
-        LinearRegression(maxIter=1).fit(vecs)
-        KMeans(k=2, maxIter=1, seed=1).fit(vecs)
-        LogisticRegression(maxIter=1).fit(
-            vecs.selectExpr("CAST(label >= 1 AS DOUBLE) AS label", "features")
-        )
-        FPGrowth(minSupport=0.5, minConfidence=0.5).fit(
-            spark.createDataFrame([([1, 2],), ([1, 3],), ([1, 2],)], ["items"])
-        )
-    except Exception as exc:
+        # one try per fit: a single estimator failing must not skip the
+        # others' warmups (that would silently reintroduce the first-fit
+        # JIT cost this exists to remove)
+        for label, fit in (
+            ("ALS", lambda: ALS(rank=2, maxIter=1, seed=1, userCol="user",
+                                itemCol="item", ratingCol="rating",
+                                implicitPrefs=True).fit(toy)),
+            ("LinearRegression", lambda: LinearRegression(maxIter=1).fit(vecs)),
+            ("KMeans", lambda: KMeans(k=2, maxIter=1, seed=1).fit(vecs)),
+            ("LogisticRegression", lambda: LogisticRegression(maxIter=1).fit(
+                vecs.selectExpr("CAST(label >= 1 AS DOUBLE) AS label", "features"))),
+            ("FPGrowth", lambda: FPGrowth(minSupport=0.5, minConfidence=0.5).fit(
+                spark.createDataFrame([([1, 2],), ([1, 3],), ([1, 2],)], ["items"]))),
+        ):
+            try:
+                fit()
+            except Exception as exc:
+                print(f"# mllib warmup skipped ({label}): {exc}", file=sys.stderr)
+
+    try:
+        _warm_mllib()
+    except Exception as exc:  # import failure: warm nothing, bench anyway
         print(f"# mllib warmup skipped: {exc}", file=sys.stderr)
     from sklearn_raster_spark.sources import TABLES, read_table
 
@@ -172,10 +183,18 @@ def main() -> None:
                 spark.range(16).repartition(4).count()
         return timings
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN", "1"))
+    def _int_or(v: str | None, default: int) -> int:
+        try:
+            return int(v)  # type: ignore[arg-type]
+        except (TypeError, ValueError):
+            return default
+
+    n_runs = _int_or(os.environ.get("SPARK_GRAFT_BENCH_MEDIAN"), 1)
     if "--median" in sys.argv:
         i = sys.argv.index("--median")
-        n_runs = int(sys.argv[i + 1]) if i + 1 < len(sys.argv) else 3
+        # a missing or non-numeric value falls back to the documented
+        # default of 3 rather than killing the run with a traceback
+        n_runs = _int_or(sys.argv[i + 1] if i + 1 < len(sys.argv) else None, 3)
     n_runs = max(1, n_runs)
     passes = []
     for p in range(n_runs):

@@ -11,15 +11,21 @@ SQL_GROUPED_AGG_PANDAS_UDF with no deprecated API and no warnings.
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+# returnType as DataType INSTANCES, not DDL strings: a string would be
+# parsed via _parse_datatype_string at decoration time, which needs a
+# live SparkContext — and this module must import session-free (it
+# defines at import; the bare-session parity sweep relies on that).
 
 
-@F.pandas_udf("double")
+@F.pandas_udf(DoubleType())
 def median_chars_udaf(v: pd.Series) -> float:
     """Exact median of an integer column (Arrow-batched per group)."""
     return float(np.median(v.to_numpy(dtype=np.int64)))
 
 
-@F.pandas_udf("long")
+@F.pandas_udf(LongType())
 def count_udaf(v: pd.Series) -> int:
     """Group size as a pandas UDAF (Spark disallows mixing pandas and
     JVM aggregates in one ``agg``, so the count is a UDAF too)."""

@@ -42,10 +42,9 @@ def q76_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real pd.Series hints instead of the deprecated PandasUDFType enum
     from sklearn_raster_spark.operators._pandas_udafs import count_udaf, median_chars_udaf
 
-    median_udaf = median_chars_udaf
     docs = read_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
-        median_udaf("n_chars").alias("median_chars"),
+        median_chars_udaf("n_chars").alias("median_chars"),
         count_udaf("n_chars").alias("n_docs"),
     )
 

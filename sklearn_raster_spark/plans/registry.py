@@ -176,7 +176,8 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q143_incremental_aggregate",
     "q147_walk_forward_split",
-    # -- (5) newest driver row r05 (45), then r06 (49): freshest last
+    # -- (5) newest driver row r05 (46), then r06 (49): freshest last
+    #    (1 + 24 + 25 + 15 + 46 + 49 = 160)
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_math_funcs",
