@@ -209,12 +209,23 @@ def minhash_pairs(
     (1-0.5)^3 ~ 12%, negligible for real near-dups), measured ~3x
     faster at sf0.1, and at 100 TB the shuffle carries pairs of longs
     instead of pairs of featurized rows."""
-    tokens = docs.select("doc_id", F.split("text", " ").alias("words"))
+    # filter BEFORE shingling (q150's guard): a sub-`shingle`-word doc
+    # would make element_at read past the array end — INVALID_ARRAY_INDEX
+    # under default ANSI mode. The old greatest(..., 1) floor forced at
+    # least one shingle index for exactly those docs; real crawl corpora
+    # contain 1-2 word documents even though the shipped testdata's
+    # 10-token minimum kept this latent. Sub-shingle docs have no
+    # k-shingles, so dropping them is the defined semantics (they can
+    # never band-collide), identical to the previous behavior on every
+    # doc the old code didn't crash on.
+    tokens = docs.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= shingle
+    )
     shingled = tokens.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                f"transform(sequence(1, greatest(size(words) - {shingle - 1}, 1)), "
+                f"transform(sequence(1, size(words) - {shingle - 1}), "
                 f"i -> xxhash64("
                 + ", ".join(f"element_at(words, i + {j})" for j in range(shingle))
                 + "))"

@@ -201,7 +201,7 @@ def q30_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                         PARTITION BY user_id ORDER BY ts_us
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     ) IS NULL
-                 OR ts_us >= MAX(ts_us + gap_us) OVER (
+                 OR ts_us > MAX(ts_us + gap_us) OVER (
                         PARTITION BY user_id ORDER BY ts_us
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     )
@@ -226,7 +226,11 @@ def q30_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap. Merge rule: windows [ts, ts+gap) union while they "
         "overlap, so session end = running max of per-event ends; the "
         "oracle reconstructs exactly that with a cumulative-max window "
-        "in microseconds (no float time arithmetic).",
+        "in microseconds (no float time arithmetic). Boundary rule: an "
+        "event landing EXACTLY at the previous session end MERGES "
+        "(Spark session_window semantics, verified empirically), so "
+        "the oracle's new-session test is strict '>', matching q28's "
+        "fixed-gap rule — pinned by a boundary-fixture pytest.",
 )
 def q80_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")

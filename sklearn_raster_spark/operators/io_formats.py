@@ -160,9 +160,22 @@ def materialize_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
+    from sklearn_raster_spark.sources import table_path
+    from sklearn_raster_spark.utils.cache import (
+        cache_is_current,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, "orders_by_month")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # source-fingerprinted marker (shared mechanism, utils/cache.py):
+    # Spark's own _SUCCESS is empty, so a separate marker records the
+    # source parquet's fingerprint — a regenerated fixture at the same
+    # sf_dir rebuilds instead of silently serving the stale layout
+    marker = os.path.join(path, "_SRC_FINGERPRINT")
+    fp = source_fingerprint(table_path(sf_dir, "orders"))
+    if not cache_is_current(marker, fp):
         orders = read_table(spark, sf_dir, "orders")
         (
             orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
@@ -171,6 +184,7 @@ def materialize_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("o_month")
             .parquet(path)
         )
+        write_cache_marker(marker, fp)
     return path
 
 
@@ -244,8 +258,6 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
     one `<doc_id>.bin` by the EXECUTORS (foreachPartition — payloads
     never route through the driver, the same layout a 100 TB lake
     stores media in: one object per asset, keyed by id)."""
-    import glob
-    import hashlib
     import os
     import shutil
     import tempfile
@@ -263,34 +275,23 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
             f"master={master!r} point the output at shared storage "
             "(s3://, hdfs://) instead"
         )
+    from sklearn_raster_spark.utils.cache import (
+        cache_is_current,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, "binfiles")
     marker = os.path.join(path, "_SUCCESS")
     # The marker carries a content fingerprint of the SOURCE parquet
-    # (size + mtime of every documents part-file): if the fixture at
-    # this sf_dir is ever regenerated, the fingerprint changes and the
-    # payload directory rebuilds instead of silently serving stale
-    # .bin files against a new documents table.
-    src = table_path(sf_dir, "documents")
-    parts = sorted(glob.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
-    if not parts or not all(os.path.exists(p) for p in parts):
-        # an empty part list would fingerprint as md5("") forever and
-        # permanently disable the staleness invalidation — fail fast
-        # (same posture as the shared-filesystem guard above)
-        raise FileNotFoundError(
-            f"no parquet part files found under {src!r}; cannot "
-            "fingerprint the documents source for the payload cache"
-        )
-    stamp = ";".join(
-        f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.path.getmtime(p):.0f}"
-        for p in parts
-    )
-    fingerprint = hashlib.md5(stamp.encode()).hexdigest()
-    current = None
-    if os.path.exists(marker):
-        with open(marker) as f:
-            current = f.read().strip()
-    if current != fingerprint:
+    # (size + mtime of every documents part-file; shared mechanism in
+    # utils/cache.py, applied to every /tmp materializer): if the
+    # fixture at this sf_dir is ever regenerated, the fingerprint
+    # changes and the payload directory rebuilds instead of silently
+    # serving stale .bin files against a new documents table.
+    fingerprint = source_fingerprint(table_path(sf_dir, "documents"))
+    if not cache_is_current(marker, fingerprint):
         if os.path.isdir(path):
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
@@ -306,8 +307,7 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
                 os.replace(tmp, os.path.join(path, f"{r.doc_id}.bin"))
 
         docs.select("doc_id", "text").foreachPartition(write_files)
-        with open(marker, "w") as f:
-            f.write(fingerprint)
+        write_cache_marker(marker, fingerprint)
     return path
 
 

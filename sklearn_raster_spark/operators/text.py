@@ -191,7 +191,16 @@ def q65_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the transform lambda re-evaluates the split per element (O(len^2)
     # per doc — measured 3.1s -> sub-second at sf0.1)
     words = docs.select(F.split("text", " ").alias("ws"))
-    bigrams = F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))")
+    # guard size(ws) >= 2: sequence(1, 0) counts DOWN to [1, 0] and the
+    # subscripts then throw INVALID_ARRAY_INDEX under default ANSI mode
+    # on any single-token or empty document (same pitfall guarded in
+    # fuzzy_qgram_candidates) — shipped testdata's 10-token minimum is
+    # the only reason this was latent
+    bigrams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i])) "
+        "ELSE array() END"
+    )
     return (
         words.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")

@@ -106,8 +106,14 @@ _WINDOW_ORDER = (
     # don't fit (q124...q147) lead round 8's backlog block and, like
     # everything here, are value-checked every suite run by the
     # full-registry oracle sweep (tests/test_oracle_sweep.py).
-    # -- (1) changed in round 7
+    # -- (1) changed in round 7: q76 (UDAF migration), then the
+    #    review-pass fixes — q65 (short-doc bigram guard), q80 (oracle
+    #    boundary rule aligned to Spark's merge-at-exact-gap; strict >),
+    #    q52 (sub-shingle pre-filter — already windowed in block 3).
+    #    All value-validated at sf0.01/0.1/sf1 this session.
     "q76_grouped_agg_pandas_udaf",
+    "q65_bigram_counts",
+    "q80_dynamic_session_window",
     # -- (2) newest driver row r03: all 24, oldest backlog
     "q01_pricing_summary",
     "q02_filter_project",
@@ -133,7 +139,7 @@ _WINDOW_ORDER = (
     "q99_checksum_source",
     "q103_chi_square_contingency",
     "q104_dedup_corpus",
-    # -- (3) newest driver row r04: 25 of 40, ordinal order
+    # -- (3) newest driver row r04: 23 of 40, ordinal order
     "q32_approx_count_distinct",
     "q35_union_type_promotion",
     "q36_sort_merge_join",
@@ -157,10 +163,11 @@ _WINDOW_ORDER = (
     "q119_als_recommendations",
     "q120_pagerank",
     "q121_boilerplate_passages",
+    # ---- 50-query driver window closes here ----
+    # -- (4) r04 remainder (17): round 8's backlog block (q122/q123
+    #    slid here when q65/q80 joined the changed-queries head)
     "q122_incremental_dedup",
     "q123_cms_heavy_hitters",
-    # ---- 50-query driver window closes here ----
-    # -- (4) r04 remainder (15): round 8's backlog block
     "q124_khop_reachability",
     "q126_grouped_split",
     "q128_maxsim_late_interaction",
@@ -176,8 +183,9 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q143_incremental_aggregate",
     "q147_walk_forward_split",
-    # -- (5) newest driver row r05 (46), then r06 (49): freshest last
-    #    (1 + 24 + 25 + 15 + 46 + 49 = 160)
+    # -- (5) newest driver row r05 (44; q65/q80 moved to the changed
+    #    head), then r06 (49): freshest last
+    #    (3 + 24 + 23 + 17 + 44 + 49 = 160)
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_math_funcs",
@@ -198,12 +206,10 @@ _WINDOW_ORDER = (
     "q62_fingerprint",
     "q63_regex_tokens",
     "q64_quality_filter",
-    "q65_bigram_counts",
     "q69_ann_ivf",
     "q71_merge_upsert",
     "q72_hash_split",
     "q73_stratified_sample",
-    "q80_dynamic_session_window",
     "q84_copurchase_components",
     "q100_bounded_neardup",
     "q101_contamination_check",

@@ -85,9 +85,20 @@ def materialize_table_as(spark: SparkSession, sf_dir: str, name: str, fmt: str) 
     ships as parquet."""
     import tempfile
 
+    from sklearn_raster_spark.utils.cache import (
+        cache_is_current,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, f"{name}.{fmt}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # fingerprinted marker (utils/cache.py): a regenerated fixture at
+    # the same sf_dir rebuilds the derived copy instead of serving a
+    # stale one against the fresh oracle
+    marker = os.path.join(path, "_SRC_FINGERPRINT")
+    fp = source_fingerprint(table_path(sf_dir, name))
+    if not cache_is_current(marker, fp):
         df = spark.read.parquet(table_path(sf_dir, name))
         writer = df.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
@@ -98,6 +109,7 @@ def materialize_table_as(spark: SparkSession, sf_dir: str, name: str, fmt: str) 
             writer.orc(path)
         else:
             raise KeyError(f"materialize supports csv/json/orc, not {fmt!r}")
+        write_cache_marker(marker, fp)
     return path
 
 

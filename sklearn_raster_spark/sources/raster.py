@@ -61,11 +61,24 @@ def materialize_raster_stack(
     """Write one ``.npy`` grid per band under /tmp (idempotent) and
     return the (band, path) file list. Band b is embedding dim b over
     vec_id order, reshaped to (n_vecs // GRID_WIDTH, GRID_WIDTH)."""
+    from sklearn_raster_spark.utils.cache import (
+        cache_is_current,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(tempfile.gettempdir(), "spark_graft_raster", sf_name)
     os.makedirs(root, exist_ok=True)
     paths = [(b, os.path.join(root, f"band_{b}.npy")) for b in range(n_bands)]
-    if not all(os.path.exists(p) for _, p in paths):
+    # fingerprinted marker (utils/cache.py): regenerated embeddings at
+    # the same sf_dir rebuild the band files instead of serving stale
+    # grids against the fresh oracle
+    marker = os.path.join(root, "_SRC_FINGERPRINT")
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not cache_is_current(marker, fp) or not all(
+        os.path.exists(p) for _, p in paths
+    ):
         emb = (
             spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
             .orderBy("vec_id")
@@ -78,6 +91,7 @@ def materialize_raster_stack(
             grid = mat[:n_rows, b].reshape(-1, GRID_WIDTH)
             np.save(p + ".tmp.npy", grid)
             os.replace(p + ".tmp.npy", p)
+        write_cache_marker(marker, fp)
     return paths
 
 

@@ -53,3 +53,62 @@ def release_shared_caches() -> None:
             df.unpersist()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------
+# Source-fingerprinted /tmp materializer caches.
+#
+# Several operators materialize a one-time derived copy of a testdata
+# table under /tmp (CSV/JSON/ORC twins, the partitioned-orders sink,
+# raster band files, binary payload files). A bare "_SUCCESS exists"
+# gate silently serves STALE derived files if the parquet at the same
+# sf_dir path is ever regenerated — the query then reads the old data
+# while its DuckDB oracle reads the new, turning every such grade into
+# a false mismatch. The fix applied to materialize_binary_files in
+# round 6 is shared here so ALL materializers get the same guard:
+# the cache marker stores a fingerprint (size+mtime of every source
+# part file) and any change rebuilds the cache.
+
+
+def source_fingerprint(src_path: str) -> str:
+    """Content fingerprint (size + mtime per part file) of a parquet
+    source — a file or a directory of part files. Fails fast on an
+    empty part list: md5("") would disable staleness detection
+    permanently."""
+    import glob
+    import hashlib
+    import os
+
+    parts = (
+        sorted(glob.glob(os.path.join(src_path, "*.parquet")))
+        if os.path.isdir(src_path)
+        else [src_path]
+    )
+    if not parts or not all(os.path.exists(p) for p in parts):
+        raise FileNotFoundError(
+            f"no parquet part files found under {src_path!r}; cannot "
+            "fingerprint the source for a materializer cache"
+        )
+    stamp = ";".join(
+        f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.path.getmtime(p):.0f}"
+        for p in parts
+    )
+    return hashlib.md5(stamp.encode()).hexdigest()
+
+
+def cache_is_current(marker_path: str, fingerprint: str) -> bool:
+    """True iff the marker exists and records exactly ``fingerprint``."""
+    import os
+
+    if not os.path.exists(marker_path):
+        return False
+    with open(marker_path) as f:
+        return f.read().strip() == fingerprint
+
+
+def write_cache_marker(marker_path: str, fingerprint: str) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(marker_path), exist_ok=True)
+    with open(marker_path, "w") as f:
+        f.write(fingerprint)

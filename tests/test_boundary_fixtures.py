@@ -1,0 +1,105 @@
+"""Boundary fixtures for the round-7 review findings.
+
+The shipped testdata masks three edge cases by luck (no exact
+session-gap boundaries; every document has >= 10 tokens). These tests
+build tiny fixture dirs that contain exactly those cases and pin:
+
+- q80: an event landing EXACTLY at the previous session end MERGES
+  (Spark session_window semantics) and the DuckDB oracle now agrees
+  (strict '>' new-session rule — it previously split at the boundary).
+- q65: single-token / empty documents no longer crash the bigram
+  transform (descending sequence(1, 0) + ANSI INVALID_ARRAY_INDEX).
+- q52: sub-shingle-length documents no longer crash element_at and are
+  dropped (a k-shingle needs k words), with longer docs unaffected.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from sklearn_raster_spark.plans.registry import load_all_queries
+from sklearn_raster_spark.sources import TABLES
+
+from tests.oracle_utils import compare_query
+
+BASE = "/root/testdata/sf0.001"
+
+
+def _fixture_dir(tmp_path, overrides: dict[str, str]) -> str:
+    """Symlink the sf0.001 tables into a tmp dir, overriding some with
+    fixture SQL (DuckDB relation written as parquet)."""
+    d = tmp_path / "sf_fixture"
+    d.mkdir()
+    con = duckdb.connect()
+    for t in TABLES:
+        if t in overrides:
+            con.execute(
+                f"COPY ({overrides[t]}) TO '{d / (t + '.parquet')}' (FORMAT PARQUET)"
+            )
+        else:
+            os.symlink(f"{BASE}/{t}.parquet", d / f"{t}.parquet")
+    con.close()
+    return str(d)
+
+
+def test_q80_exact_gap_boundary_merges(spark, tmp_path):
+    """30-min-gap views at 00:00 and 00:30 merge into ONE session;
+    purchase at 01:00 then a view at 02:00 (its exact 60-min end)
+    merges too; an event past the end starts a new session."""
+    events = """
+        SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-01 00:00:00', 7, 'view',     1.0, '{"k": 1}'),
+            (2, TIMESTAMP '2024-01-01 00:30:00', 7, 'view',     1.0, '{"k": 1}'),
+            (3, TIMESTAMP '2024-01-01 02:00:00', 7, 'purchase', 1.0, '{"k": 1}'),
+            (4, TIMESTAMP '2024-01-01 03:00:00', 7, 'view',     1.0, '{"k": 1}'),
+            (5, TIMESTAMP '2024-01-01 09:00:00', 7, 'view',     1.0, '{"k": 1}'),
+            (6, TIMESTAMP '2024-01-01 00:00:00', 8, 'view',     1.0, '{"k": 1}'),
+            (7, TIMESTAMP '2024-01-01 00:30:00', 8, 'click',    1.0, '{"k": 1}')
+        ) AS t(event_id, ts, user_id, event_type, value, props)
+    """
+    sf = _fixture_dir(tmp_path, {"events": events})
+    # value-level parity on the boundary fixture (would have
+    # hash-mismatched before the oracle's >= -> > fix)
+    compare_query(spark, sf, "q80_dynamic_session_window")
+    rows = sorted(
+        (r["user_id"], r["n_events"])
+        for r in load_all_queries()["q80_dynamic_session_window"]
+        .fn(spark, sf)
+        .collect()
+    )
+    # user 7: [e1+e2 merged at the exact 30-min boundary], then
+    # [purchase@02:00 whose 60-min end 03:00 absorbs e4 exactly at the
+    # boundary], then [e5 alone]; user 8: one boundary-merged session
+    assert rows == [(7, 1), (7, 2), (7, 2), (8, 2)]
+
+
+DOCS_SHORT = """
+    SELECT * FROM (VALUES
+        (1, '', 'en', 'web', 0),
+        (2, 'hello', 'en', 'web', 5),
+        (3, 'one two', 'en', 'web', 7),
+        (4, 'alpha beta gamma delta alpha beta gamma delta alpha beta gamma delta', 'en', 'web', 69),
+        (5, 'alpha beta gamma delta alpha beta gamma delta alpha beta gamma delta', 'en', 'web', 69)
+    ) AS t(doc_id, text, lang, source, n_chars)
+"""
+
+
+def test_q65_bigrams_survive_short_docs(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"documents": DOCS_SHORT})
+    # crashes with INVALID_ARRAY_INDEX before the size(ws) >= 2 guard;
+    # value-parity (threshold 10 never met here, so compare the
+    # unfiltered bigram counts via the registry query plus oracle)
+    compare_query(spark, sf, "q65_bigram_counts")
+
+
+def test_q52_minhash_survives_short_docs(spark, tmp_path):
+    sf = _fixture_dir(tmp_path, {"documents": DOCS_SHORT})
+    q52 = load_all_queries()["q52_minhash_lsh_pairs"]
+    # crashed with INVALID_ARRAY_INDEX_IN_ELEMENT_AT before the
+    # size(words) >= shingle pre-filter; docs 4/5 are identical
+    # 12-word texts, so the banding must still pair them
+    pairs = {(r["doc_a"], r["doc_b"]) for r in q52.fn(spark, sf).collect()}
+    assert (4, 5) in pairs
+    # sub-shingle docs carry no k-shingles: never in any pair
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
