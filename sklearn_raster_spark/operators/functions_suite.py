@@ -179,13 +179,17 @@ def q33_explode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_id,
         CAST(props->>'k' AS INTEGER) AS k_value,
-        1 AS n_keys,
-        'k' AS first_key
+        CAST(LEN(json_keys(props)) AS INTEGER) AS n_keys,
+        json_keys(props)[1] AS first_key
     FROM events
     WHERE event_type = 'purchase'
     """,
     doc="Map-typed columns: from_json into map<string,int>, then "
-        "element_at / map_keys / size.",
+        "element_at / map_keys / size. The oracle COMPUTES key count "
+        "and first key from the JSON (json_keys) rather than emitting "
+        "the fixture's single-key shape as constants — both sides use "
+        "document key order, so the grade checks the map functions, "
+        "not a data coupling.",
 )
 def q34_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")

@@ -114,6 +114,7 @@ _WINDOW_ORDER = (
     "q76_grouped_agg_pandas_udaf",
     "q65_bigram_counts",
     "q80_dynamic_session_window",
+    "q34_map_funcs",
     # -- (2) newest driver row r03: all 24, oldest backlog
     "q01_pricing_summary",
     "q02_filter_project",
@@ -139,7 +140,7 @@ _WINDOW_ORDER = (
     "q99_checksum_source",
     "q103_chi_square_contingency",
     "q104_dedup_corpus",
-    # -- (3) newest driver row r04: 23 of 40, ordinal order
+    # -- (3) newest driver row r04: 22 of 40, ordinal order
     "q32_approx_count_distinct",
     "q35_union_type_promotion",
     "q36_sort_merge_join",
@@ -162,10 +163,11 @@ _WINDOW_ORDER = (
     "q117_stream_interval_join",
     "q119_als_recommendations",
     "q120_pagerank",
-    "q121_boilerplate_passages",
     # ---- 50-query driver window closes here ----
-    # -- (4) r04 remainder (17): round 8's backlog block (q122/q123
-    #    slid here when q65/q80 joined the changed-queries head)
+    # -- (4) r04 remainder (18): round 8's backlog block (q121/q122/
+    #    q123 slid here when q65/q80/q34 joined the changed-queries
+    #    head)
+    "q121_boilerplate_passages",
     "q122_incremental_dedup",
     "q123_cms_heavy_hitters",
     "q124_khop_reachability",
@@ -183,9 +185,9 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q143_incremental_aggregate",
     "q147_walk_forward_split",
-    # -- (5) newest driver row r05 (44; q65/q80 moved to the changed
-    #    head), then r06 (49): freshest last
-    #    (3 + 24 + 23 + 17 + 44 + 49 = 160)
+    # -- (5) newest driver row r05 (43; q65/q80/q34 moved to the
+    #    changed head), then r06 (49): freshest last
+    #    (4 + 24 + 22 + 18 + 43 + 49 = 160)
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_math_funcs",
@@ -197,7 +199,6 @@ _WINDOW_ORDER = (
     "q29_dedup_keep_first",
     "q30_event_pivot",
     "q33_explode_ordinality",
-    "q34_map_funcs",
     "q55_knn_cosine_bruteforce",
     "q57_embedding_neardup",
     "q59_stateful_running_agg",

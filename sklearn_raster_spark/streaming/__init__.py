@@ -90,7 +90,26 @@ def session_counts_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: first event per (user_id, event_type)
     within the watermark (dropDuplicatesWithinWatermark; batch dual is
-    q29 keep-first, which differs only in being global)."""
+    q29 keep-first, which differs only in being global).
+
+    Grading precondition, asserted: the q107 oracle is a GLOBAL
+    DISTINCT, which equals watermarked dedup only when the whole table
+    arrives in ONE micro-batch — across batches the 2-hour watermark
+    purges key state, and a key recurring later than that re-emits
+    (correct streaming semantics, but a different answer than
+    DISTINCT). The fixture dir holds exactly one file so availableNow
+    delivers one batch; fail fast here rather than letting a future
+    multi-file fixture silently flip the grade."""
+    import glob as _glob
+
+    stream_files = _glob.glob(os.path.join(_stream_dir(sf_dir), "*.parquet"))
+    if len(stream_files) != 1:
+        raise AssertionError(
+            f"dedup_stream's DISTINCT oracle requires single-batch "
+            f"delivery (one stream file); found {len(stream_files)} in "
+            f"{_stream_dir(sf_dir)!r} — regrade q107 rows-only or "
+            "extend the oracle to watermark-aware semantics"
+        )
     ev = read_events_stream(spark, sf_dir)
     return (
         ev.withWatermark("ts", "2 hours")
