@@ -178,8 +178,6 @@ INC_JACCARD = 0.9  # near-dup gate vs the existing corpus
         "LIST_INTERSECT.",
 )
 def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = read_table(spark, sf_dir, "documents")
     # tokens hashed to longs up front (q51's trick: joins/sorts on
     # fixed-width longs; only set SIZES feed the Jaccard)
@@ -205,26 +203,18 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # near gate, PPJoin-pruned (a naive token equi-join degenerates to
     # a cross product when vocab is small — measured 13 s vs 4 s at
-    # sf0.1): rank each doc's tokens by GLOBAL ascending document
-    # frequency (df computed over batch+corpus so both sides agree on
-    # the order); a pair with J >= t must collide within the first
-    # |d| - ceil(t*|d|) + 1 tokens, so only prefixes join. Length and
-    # positional filters prune further; the exact Jaccard then runs
-    # via array_intersect on the candidate pairs only.
-    exploded = base.select(
-        "doc_id", "b", F.size("ts").alias("ntok"), F.explode("ts").alias("tok")
+    # sf0.1): the SHARED machinery from dedup.py (ppjoin_prefix_index +
+    # ppjoin_pair_pruning — q51's exact index and filters, so a pruning
+    # fix lands in both graded queries at once), applied asymmetrically:
+    # df is computed over batch+corpus so both sides agree on the global
+    # token order, then the index splits into batch/corpus sides and
+    # only batch x corpus joins — the corpus never self-joins.
+    from sklearn_raster_spark.operators.dedup import (
+        ppjoin_pair_pruning,
+        ppjoin_prefix_index,
     )
-    tok_df = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
-    prefix_len = (
-        F.col("ntok") - F.ceil(F.lit(INC_JACCARD) * F.col("ntok")) + 1
-    ).cast("int")
-    prefixed = (
-        exploded.join(F.broadcast(tok_df), "tok")
-        .withColumn("_rn", F.row_number().over(w_doc))
-        .filter(F.col("_rn") <= F.greatest(prefix_len, F.lit(1)))
-        .select("doc_id", "b", "ntok", "tok", "_rn")
-    )
+
+    prefixed = ppjoin_prefix_index(base.select("doc_id", "b", "ts"), INC_JACCARD, carry=("b",))
     # both sides derive from ``prefixed``: every column must be
     # renamed per side or the join predicate resolves both references
     # to the SAME attribute (a trivially-true tok == tok)
@@ -240,20 +230,11 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("c_tok"),
         F.col("_rn").alias("c_rn"),
     )
-    alpha = F.ceil(
-        F.lit(INC_JACCARD / (1.0 + INC_JACCARD)) * (F.col("i_n") + F.col("c_n"))
-    )
     candidates = (
         ip.join(
             cp,
             (ip.i_tok == cp.c_tok)
-            & (cp.c_n * INC_JACCARD <= ip.i_n)
-            & (ip.i_n * INC_JACCARD <= cp.c_n)
-            & (
-                F.lit(1)
-                + F.least(ip.i_n - ip.i_rn, cp.c_n - cp.c_rn)
-                >= alpha
-            ),
+            & ppjoin_pair_pruning(ip.i_n, ip.i_rn, cp.c_n, cp.c_rn, INC_JACCARD),
         )
         .select("i_id", "c_id")
         .distinct()

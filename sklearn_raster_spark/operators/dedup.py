@@ -60,6 +60,49 @@ def _distinct_tokens(col="text"):
     return F.array_distinct(F.split(F.col(col), " "))
 
 
+def ppjoin_prefix_index(toks: DataFrame, threshold: float, carry: tuple = ()) -> DataFrame:
+    """PPJoin prefix index, shared by q51 (self-join) and q122
+    (asymmetric batch x corpus — operators/corpus.py).
+
+    ``toks`` has (doc_id, ts, *carry) with ts = distinct token array.
+    Tokens are globally ordered by ascending document frequency (ties
+    by token); each doc indexes ONLY its first |d| - ceil(t*|d|) + 1
+    tokens in that order — any pair with Jaccard >= t must collide on
+    at least one prefix token. The df table is |vocab| rows (tiny at
+    any corpus size, Heaps' law) and broadcast; prefix selection runs
+    directly on the exploded tokens with a per-doc row_number, so the
+    ranked token arrays of the naive formulation never materialize.
+    Returns (doc_id, *carry, ntok, tok, _rn)."""
+    exploded = toks.select(
+        "doc_id", *carry, F.size("ts").alias("ntok"), F.explode("ts").alias("tok")
+    )
+    tok_df = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix_len = (F.col("ntok") - F.ceil(F.lit(threshold) * F.col("ntok")) + 1).cast("int")
+    return (
+        exploded.join(F.broadcast(tok_df), "tok")
+        .withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") <= F.greatest(prefix_len, F.lit(1)))
+        .select("doc_id", *carry, "ntok", "tok", "_rn")
+    )
+
+
+def ppjoin_pair_pruning(a_n, a_rn, b_n, b_rn, threshold: float):
+    """PPJoin length + positional candidate filters (shared with
+    q122): J >= t forces t*|x| <= |y| <= |x|/t, and a collision at
+    prefix positions (pa, pb) can contribute at most
+    1 + min(na-pa, nb-pb) overlap, which must reach
+    alpha = ceil(t/(1+t)*(na+nb)) — collisions deep in both prefixes
+    are pruned before they become candidate rows (measured: halves
+    raw candidate rows on the driver corpus)."""
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (a_n + b_n))
+    return (
+        (b_n * threshold <= a_n)
+        & (a_n * threshold <= b_n)
+        & (F.lit(1) + F.least(a_n - a_rn, b_n - b_rn) >= alpha)
+    )
+
+
 @query(
     "q51_jaccard_pairs",
     oracle="""
@@ -116,49 +159,23 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) 
     # tracked so repeated invocations don't leak cache entries
     toks = shared_lineage(toks)
 
-    # Global token order by ascending document frequency (ties by
-    # token). The df table is |vocab| rows — tiny at any corpus size
-    # (Heaps' law) — and broadcast. Prefix selection runs directly on
-    # the exploded tokens with a per-doc row_number over (df, tok):
-    # no collect_list/array_sort re-materialization of token arrays,
-    # and the exact-verify step below reuses the RAW token sets, so
-    # the expensive ranked arrays of the naive formulation never exist.
-    exploded = toks.select(
-        "doc_id", "source", F.size("ts").alias("ntok"), F.explode("ts").alias("tok")
-    )
-    tok_df = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
-    # PPJoin prefix: a pair with Jaccard >= t shares a token within the
-    # first |d| - ceil(t*|d|) + 1 tokens of the global order.
-    prefix_len = (F.col("ntok") - F.ceil(F.lit(threshold) * F.col("ntok")) + 1).cast("int")
-    prefixed = (
-        exploded.join(F.broadcast(tok_df), "tok")
-        .withColumn("_rn", F.row_number().over(w_doc))
-        .filter(F.col("_rn") <= F.greatest(prefix_len, F.lit(1)))
-        .select("doc_id", "source", "ntok", "tok", "_rn")
-    )
+    # shared PPJoin machinery (ppjoin_prefix_index / ppjoin_pair_pruning
+    # — the identical index and filters drive q122's asymmetric form,
+    # so a pruning fix lands in both graded queries at once); the
+    # exact-verify step below reuses the RAW token sets, so the ranked
+    # arrays of the naive formulation never exist.
+    prefixed = ppjoin_prefix_index(toks, threshold, carry=("source",))
     a, b = prefixed.alias("a"), prefixed.alias("b")
-    # positional filter (PPJoin): a collision at prefix positions
-    # (pa, pb) can contribute at most 1 + min(na-pa, nb-pb) overlap,
-    # which must reach alpha = ceil(t/(1+t)*(na+nb)) — collisions deep
-    # in both prefixes are pruned before they become candidate rows
-    # (measured: halves raw candidate rows on the driver corpus).
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("a.ntok") + F.col("b.ntok")))
     candidates = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: J >= t forces t*|x| <= |y| <= |x|/t
-            & (F.col("b.ntok") * threshold <= F.col("a.ntok"))
-            & (F.col("a.ntok") * threshold <= F.col("b.ntok"))
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("a.ntok") - F.col("a._rn"), F.col("b.ntok") - F.col("b._rn")
-                )
-                >= alpha
+            & ppjoin_pair_pruning(
+                F.col("a.ntok"), F.col("a._rn"),
+                F.col("b.ntok"), F.col("b._rn"),
+                threshold,
             ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

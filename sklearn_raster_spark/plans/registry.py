@@ -115,6 +115,8 @@ _WINDOW_ORDER = (
     "q65_bigram_counts",
     "q80_dynamic_session_window",
     "q34_map_funcs",
+    "q51_jaccard_pairs",
+    "q122_incremental_dedup",
     # -- (2) newest driver row r03: all 24, oldest backlog
     "q01_pricing_summary",
     "q02_filter_project",
@@ -140,7 +142,7 @@ _WINDOW_ORDER = (
     "q99_checksum_source",
     "q103_chi_square_contingency",
     "q104_dedup_corpus",
-    # -- (3) newest driver row r04: 22 of 40, ordinal order
+    # -- (3) newest driver row r04: 20 of 40, ordinal order
     "q32_approx_count_distinct",
     "q35_union_type_promotion",
     "q36_sort_merge_join",
@@ -161,14 +163,15 @@ _WINDOW_ORDER = (
     "q115_audio_window_energy",
     "q116_stream_inference",
     "q117_stream_interval_join",
+    # ---- 50-query driver window closes here ----
     "q119_als_recommendations",
     "q120_pagerank",
-    # ---- 50-query driver window closes here ----
-    # -- (4) r04 remainder (18): round 8's backlog block (q121/q122/
-    #    q123 slid here when q65/q80/q34 joined the changed-queries
-    #    head)
+    # -- (4) r04 remainder (19, led by q119/q120): round 8's backlog
+    #    block — q119/q120/q121/q123 slid here as the changed-queries
+    #    head grew to six (their values stay suite-checked every run;
+    #    q119's fresh driver TIMING comes from the bench, which runs
+    #    all 160 regardless of window position)
     "q121_boilerplate_passages",
-    "q122_incremental_dedup",
     "q123_cms_heavy_hitters",
     "q124_khop_reachability",
     "q126_grouped_split",
@@ -185,9 +188,9 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q143_incremental_aggregate",
     "q147_walk_forward_split",
-    # -- (5) newest driver row r05 (43; q65/q80/q34 moved to the
+    # -- (5) newest driver row r05 (42; q65/q80/q34/q51 moved to the
     #    changed head), then r06 (49): freshest last
-    #    (4 + 24 + 22 + 18 + 43 + 49 = 160)
+    #    (6 + 24 + 20 + 19 + 42 + 49 = 160)
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_math_funcs",
@@ -244,7 +247,6 @@ _WINDOW_ORDER = (
     "q48_compiled_linear_inference",
     "q49_csv_source",
     "q50_exact_dedup",
-    "q51_jaccard_pairs",
     "q54_kneighbors_lsh",
     "q58_json_source",
     "q66_wide_long_reshape",
