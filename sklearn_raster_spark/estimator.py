@@ -46,9 +46,12 @@ def out_nd_collidable(out: Output) -> bool:
 def warn_if_output_collisions(result: FeatureFrame) -> int:
     """Emit the reference's nodata-collision warning
     (ufunc/_base.py:453-466) if the predict kernel counted any valid
-    outputs equal to the NoData encoding. Call after an action has run
-    on the result (accumulators populate with job execution). Returns
-    the collision count."""
+    outputs equal to the NoData encoding. Call after EXACTLY ONE action
+    has run on the result: accumulators populate with job execution and
+    RE-ADD on every further action (and on task retries/speculation),
+    so the count is only exact for a single clean action — treat it as
+    "nonzero means collisions exist", not as an exact tally. Returns
+    the accumulated count."""
     acc = getattr(result, "_collision_acc", None)
     n = acc.value if acc is not None else 0
     if n:
@@ -157,6 +160,15 @@ class SparkEstimator:
         if isinstance(X, DataFrame):
             if feature_cols is None:
                 raise ValueError("feature_cols is required when fitting from a Spark DataFrame")
+            if y is not None and label_cols is None:
+                # a separately-supplied y cannot be row-aligned with a
+                # distributed X (toPandas order is not the caller's
+                # order) — silently dropping it would fit unsupervised
+                raise ValueError(
+                    "pass label_cols= instead of y when fitting from a "
+                    "Spark DataFrame; a driver-side y cannot be aligned "
+                    "with distributed rows"
+                )
             pdf = X.select(*feature_cols, *(label_cols or [])).toPandas()
             Xp = pdf[list(feature_cols)]
             y = pdf[list(label_cols)] if label_cols else None
@@ -246,11 +258,14 @@ class SparkEstimator:
             ff = FeatureFrame.from_dataframe(ff, features)
         self._check_feature_names(ff.features)
 
-        spark = ff.df.sparkSession
-        bc = spark.sparkContext.broadcast(self.estimator)
         m = method
 
         if call is None:
+            # broadcast only on the default path: callers passing their
+            # own `call` closure already hold their own broadcast
+            # (kneighbors ships the fit set once, not twice)
+            bc = ff.df.sparkSession.sparkContext.broadcast(self.estimator)
+
             def call(X):  # default: single-output method
                 return getattr(bc.value, m)(X)
         kernel = call
@@ -320,7 +335,14 @@ class SparkEstimator:
         result = FeatureFrame(
             df=out_df,
             features=tuple(names),
-            nodata_input={},
+            # register the just-written sentinels (NaN -> None), exactly
+            # like the UDF path (ufunc.py) — with {} the masked rows
+            # would read as VALID downstream and a chained op would
+            # consume the sentinel as a real value
+            nodata_input={
+                n: (None if isinstance(nd, float) and np.isnan(nd) else nd)
+                for n, nd in zip(names, nodatas)
+            },
             metadata=dict(ff.metadata),
         )
         result._append_history("predict:compiled")
@@ -372,7 +394,12 @@ class SparkEstimator:
         result = FeatureFrame(
             df=ff.df.select(*passthrough, *cols),
             features=tuple(names),
-            nodata_input={},
+            # same sentinel registration as the UDF path (see
+            # predict:compiled above)
+            nodata_input={
+                n: (None if isinstance(nd, float) and np.isnan(nd) else nd)
+                for n, nd in zip(names, nodatas)
+            },
             metadata=dict(ff.metadata),
         )
         result._append_history("transform:compiled")
@@ -470,6 +497,17 @@ class SparkEstimator:
         # on the driver embeddings (6 tables: 0.996 at ~2x the join
         # cost; the pytest floor is 0.9)
         num_hash_tables: int = 4,
+        # the standard ufunc kwargs the EXACT path accepts, so a
+        # method='auto' resolution flip (fit set crossing the broadcast
+        # bound) cannot turn a working call into a TypeError: LSH
+        # always skips NoData (the O4 filter below), so skip_nodata=
+        # False is the one combination with no LSH meaning and raises;
+        # ensure_min_samples mirrors the ufunc's O6 total-count check;
+        # inner_thread_limit is accepted and ignored (no Python kernel
+        # exists on this path).
+        skip_nodata: bool = True,
+        ensure_min_samples: int = 1,
+        inner_thread_limit: int | None = None,
     ) -> FeatureFrame:
         """Approximate kneighbors as an LSH bucket join (euclidean, same
         metric as the exact path): both sides are hashed with
@@ -493,9 +531,25 @@ class SparkEstimator:
         path — same candidates, same recall, a fraction of the overhead."""
         import pyspark.sql.functions as F
 
+        if skip_nodata is False:
+            raise NotImplementedError(
+                "kneighbors(method='lsh') always skips NoData rows (they "
+                "carry the nodata encodings via the left join); "
+                "skip_nodata=False has no LSH meaning"
+            )
+        del inner_thread_limit  # accepted for exact-path parity; no Python kernel here
         if isinstance(ff, DataFrame):
             ff = FeatureFrame.from_dataframe(ff, list(features or self.feature_names_in_))
         self._check_feature_names(ff.features)
+        if ensure_min_samples > 1:
+            # reference O6 (mirrors ufunc.py): a minimum above the TOTAL
+            # row count can never be satisfied by unmasking
+            total = ff.df.count()
+            if ensure_min_samples > total:
+                raise ValueError(
+                    f"Cannot ensure {ensure_min_samples} samples: the input "
+                    f"has only {total} rows in total."
+                )
         fit_X = np.asarray(getattr(self.estimator, "_X"), dtype=np.float64)
         spark = ff.df.sparkSession
 
@@ -550,7 +604,16 @@ class SparkEstimator:
             schema="_tbl long, _bucket long, fit_idx long",
         )
 
-        data = ff.df.withColumn("_rid", F.monotonically_increasing_id())
+        from sklearn_raster_spark.utils.cache import shared_lineage
+
+        # PIN the row ids: monotonically_increasing_id is partition-
+        # layout dependent, and `data` is evaluated twice (the vec/topk
+        # subtree and the scatter-back left join below) — without the
+        # persist, an upstream repartition/sample/task-retry could
+        # assign DIFFERENT ids per evaluation and join rows to the
+        # wrong top-k (the same self-join-input rule every dedup
+        # operator follows via shared_lineage).
+        data = shared_lineage(ff.df.withColumn("_rid", F.monotonically_increasing_id()))
         # NoData rows never enter the join (the skip-compaction filter,
         # O4); they fall out of the left join below with NULL candidates
         # and therefore carry the nodata encodings — scatter-back for free

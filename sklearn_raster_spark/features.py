@@ -135,9 +135,13 @@ class FeatureFrame:
         return self.df.filter(self.nodata_mask())
 
     def encode_nodata(self, nodata_output: Mapping[str, Any] | int | float, allow_cast: bool = False) -> "FeatureFrame":
-        """Replace NULLs with an encoded value at sink time
-        (``coalesce``; dtype-fit validated — reference O7,
-        ufunc/_base.py:424-451)."""
+        """Replace NULL **and NaN** cells with an encoded value at sink
+        time (dtype-fit validated — reference O7, ufunc/_base.py:424-451).
+        NaN must be rewritten too: float-typed masked cells commonly
+        carry NaN rather than NULL (the default predict nodata), and
+        leaving them would record a _FillValue the data doesn't use —
+        an external reader honoring the registered sentinel would see
+        NaN instead."""
         dtypes = dict(self.df.dtypes)
         if not isinstance(nodata_output, Mapping):
             nodata_output = {f: nodata_output for f in self.features}
@@ -147,7 +151,10 @@ class FeatureFrame:
             if name in nodata_output:
                 val = validate_nodata(nodata_output[name], dtypes[name], allow_cast=allow_cast)
                 encoded[name] = val
-                cols.append(F.coalesce(F.col(name), F.lit(val).cast(dtypes[name])).alias(name))
+                src = F.col(name)
+                if dtypes[name] in ("double", "float"):
+                    src = F.when(F.isnan(src), F.lit(None)).otherwise(src)
+                cols.append(F.coalesce(src, F.lit(val).cast(dtypes[name])).alias(name))
             else:
                 cols.append(F.col(name))
         # the encoded sentinel IS the new NoData registration: a reader

@@ -24,13 +24,24 @@ from sklearn_raster_spark.sources import table_path
 
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a DIRECTORY; the testdata is
-    one parquet file per table. Symlink it into a tmp dir once."""
+    one parquet file per table. Symlink it into a tmp dir once.
+
+    The dir is keyed by the sf_dir BASENAME, so two different parents
+    with the same basename would collide — re-validate the link target
+    every call (and replace broken links) rather than trusting bare
+    existence, the same staleness posture as the fingerprinted /tmp
+    materializer caches (utils/cache.py)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(tempfile.gettempdir(), "spark_graft_streams", sf_name, "events")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
+    target = table_path(sf_dir, "events")
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.remove(link)  # stale: same basename, different source dir
+    if os.path.islink(link) and not os.path.exists(link):
+        os.remove(link)  # broken: source was deleted/regenerated
     if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+        os.symlink(target, link)
     return d
 
 

@@ -63,9 +63,26 @@ def count_output_collisions(ff: FeatureFrame, nodata_output) -> int:
     """Reference O8 (ufunc/_base.py:453-466): count rows where a
     *valid* output legitimately equals the NoData encoding — the caller
     can warn that those rows will be indistinguishable after encoding.
-    Eager (one count job); call only when the check matters."""
+    Eager (one count job); call only when the check matters.
+
+    Must run BEFORE ``nodata_output`` is encoded into the frame: once a
+    feature's registered NoData equals the tested value, masked rows
+    and colliding valid rows are the same bit pattern and no post-hoc
+    count can separate them (that in-flight distinction is what the
+    kernel-side accumulator in FeaturewiseUfunc provides) — raise on
+    that ambiguous call instead of silently counting masked rows."""
     from pyspark.sql import functions as F  # local: keep module header lean
 
+    ambiguous = [
+        n for n in ff.features if ff.nodata_input.get(n) == nodata_output
+    ]
+    if ambiguous:
+        raise ValueError(
+            f"features {ambiguous} already register {nodata_output!r} as "
+            "their NoData encoding — masked rows are indistinguishable "
+            "from colliding valid rows here; use the kernel-side "
+            "collision accumulator (warn_if_output_collisions) instead"
+        )
     cond = None
     for name in ff.features:
         c = F.col(name) == F.lit(nodata_output)
