@@ -4,8 +4,10 @@
 Prints the full line with the per-query dict first, then the COMPACT
 summary JSON line {"metric", "value", "unit", "sf", "n_queries"} LAST —
 the driver records the stdout TAIL, so the final line is the one that
-survives truncation. Also writes the full result to BENCH_LOCAL.json
-next to this file.
+survives truncation. Also writes the full result next to this file:
+``--median N`` runs to BENCH_LOCAL.json (the committed idle-median
+anchor), single-pass runs (the driver's mode) to BENCH_LASTRUN.json so
+a driver pass can never clobber the median artifact.
 
 Timing covers plan BUILD + materialization together: some builders
 eagerly persist shared lineages (q51 token table, q100 band keys, q101
@@ -226,8 +228,14 @@ def main() -> None:
     # Persist the artifact BEFORE printing: a consumer that closes our
     # stdout early (e.g. `bench.py | head -1`) delivers SIGPIPE on the
     # second print, and the run's only record must not die with it.
+    # Single-pass runs (the driver's per-round invocation) land in
+    # BENCH_LASTRUN.json so they cannot clobber the committed 3-run
+    # idle-median anchor in BENCH_LOCAL.json (round-7 VERDICT: the r7
+    # driver pass overwrote the median artifact, destroying the
+    # driver-vs-idle comparison baseline).
+    artifact = "BENCH_LOCAL.json" if n_runs > 1 else "BENCH_LASTRUN.json"
     try:
-        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+        with open(os.path.join(REPO, artifact), "w") as f:
             json.dump(result, f, indent=1, sort_keys=True)
     except OSError:
         pass

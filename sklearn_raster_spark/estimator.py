@@ -503,11 +503,23 @@ class SparkEstimator:
         # always skips NoData (the O4 filter below), so skip_nodata=
         # False is the one combination with no LSH meaning and raises;
         # ensure_min_samples mirrors the ufunc's O6 total-count check;
+        # keep_features carries the input feature columns into the
+        # output like the exact path's keep_cols; nan_fill is accepted
+        # and ignored — it only ever acts under skip_nodata=False (with
+        # skip-compaction on, NaN cells ARE row-level NoData and never
+        # reach the kernel), and that regime raises on this path;
         # inner_thread_limit is accepted and ignored (no Python kernel
-        # exists on this path).
+        # exists on this path); collision_counter is accepted but never
+        # incremented — the LSH outputs cannot collide with their
+        # encodings (dist nodata is NaN, which never equals a valid
+        # float, and idx nodata is INT32_MIN while fit indices are
+        # 0..n_fit-1).
         skip_nodata: bool = True,
         ensure_min_samples: int = 1,
         inner_thread_limit: int | None = None,
+        nan_fill: float | None = 0.0,
+        keep_features: bool = False,
+        collision_counter=None,
     ) -> FeatureFrame:
         """Approximate kneighbors as an LSH bucket join (euclidean, same
         metric as the exact path): both sides are hashed with
@@ -538,6 +550,8 @@ class SparkEstimator:
                 "skip_nodata=False has no LSH meaning"
             )
         del inner_thread_limit  # accepted for exact-path parity; no Python kernel here
+        del collision_counter  # accepted for parity; LSH outputs cannot collide (see above)
+        del nan_fill  # accepted for parity; only meaningful under skip_nodata=False (raises here)
         if isinstance(ff, DataFrame):
             ff = FeatureFrame.from_dataframe(ff, list(features or self.feature_names_in_))
         self._check_feature_names(ff.features)
@@ -690,7 +704,12 @@ class SparkEstimator:
             for i in range(1, k + 1)
         ]
         out_cols = (dist_cols + idx_cols) if return_distance else idx_cols
-        passthrough = [c for c in data.columns if c not in ff.features and c != "_rid"]
+        # keep_features mirrors the exact path's keep_cols (ufunc.py:160)
+        passthrough = [
+            c
+            for c in data.columns
+            if c != "_rid" and (keep_features or c not in ff.features)
+        ]
         out_df = (
             data.join(topk, "_rid", "left")
             .select(*passthrough, *out_cols)

@@ -90,82 +90,25 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # Round-7 policy (VERDICT r6 #1, #5 — surface frozen at 160):
-    # (1) changed queries lead — q76, migrated off the deprecated
-    # PandasUDFType enum onto inferred-signature UDAFs
-    # (operators/_pandas_udafs.py); behavior identical, re-grade
-    # mandatory. (2) Then the stale-grade backlog, oldest first: ALL
-    # 24 queries whose newest driver row is r03 (the q01-q20 TPC-H
-    # relational core, q98/q99 bitwise/checksum, q103 chi-square,
-    # q104 corpus dedup) — after this round no registry query's newest
-    # hard row is older than r04. (3) The window's remaining 19 slots
-    # take the oldest r04-graded rows in ordinal order. The r04 rows
-    # that don't fit (led by q117/q119/q120) open round 8's backlog
-    # block and, like everything here, are value-checked every suite
-    # run by the full-registry oracle sweep (tests/test_oracle_sweep.py);
-    # q119's fresh driver TIMING comes from the bench, which runs all
-    # 160 regardless of window position.
-    # -- (1) changed in round 7: q76 (UDAF migration), then the
-    #    review-pass fixes — q65 (short-doc bigram guard), q80 (oracle
-    #    boundary rule aligned to Spark's merge-at-exact-gap; strict >),
-    #    q52 (sub-shingle pre-filter — already windowed in block 3).
-    #    All value-validated at sf0.01/0.1/sf1 this session.
-    "q76_grouped_agg_pandas_udaf",
-    "q65_bigram_counts",
-    "q80_dynamic_session_window",
-    "q34_map_funcs",
-    "q51_jaccard_pairs",
-    "q122_incremental_dedup",
+    # Round-8 policy (VERDICT r7 #1, #3): (1) changed queries lead —
+    # q54, whose LSH backend (estimator._kneighbors_lsh) gained the
+    # exact-path parity kwargs (nan_fill/keep_features/
+    # collision_counter, round-7 ADVICE); the default call path is
+    # value-identical (nan_fill only touches NaN cells that survived
+    # the nodata filter; the driver embeddings have none) but the
+    # touched plan re-grades. (2) Then the stale-grade backlog: ALL 20
+    # queries whose newest driver row is r04 (q117…q147, the block
+    # that slid out of the r7 window) — after this round no registry
+    # query's newest hard row is older than r05. (3) The remaining 29
+    # slots take the oldest r05-graded rows in ordinal order
+    # (q21…q125); the r05 remainder (q127…q155) opens round 9's
+    # backlog block. Everything stays value-checked every suite run by
+    # the full-registry oracle sweep (tests/test_oracle_sweep.py)
+    # regardless of window position, and per-query TIMING comes from
+    # the bench, which runs all 160 regardless.
+    # -- (1) changed in round 8: q54 (LSH kwargs parity)
     "q54_kneighbors_lsh",
-    # -- (2) newest driver row r03: all 24, oldest backlog
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_customers_per_region",
-    "q08_customers_with_orders",
-    "q09_customers_without_orders",
-    "q10_returned_item_revenue",
-    "q11_distinct_segments_per_nation",
-    "q12_rollup_order_status",
-    "q13_cube_returnflag_status",
-    "q14_grouping_sets",
-    "q15_top3_orders_per_customer",
-    "q16_running_totals",
-    "q17_topk_orders",
-    "q18_set_ops",
-    "q19_orders_above_customer_avg",
-    "q20_price_band_join",
-    "q98_bitwise_aggregates",
-    "q99_checksum_source",
-    "q103_chi_square_contingency",
-    "q104_dedup_corpus",
-    # -- (3) newest driver row r04: 19 of 40, ordinal order
-    "q32_approx_count_distinct",
-    "q35_union_type_promotion",
-    "q36_sort_merge_join",
-    "q37_ranking_functions",
-    "q39_stat_aggregates",
-    "q52_minhash_lsh_pairs",
-    "q53_simhash_neardup",
-    "q56_ann_lsh",
-    "q106_contamination_bloom",
-    "q107_stream_dedup",
-    "q108_priority_sample",
-    "q109_repetition_signals",
-    "q110_outlier_flags",
-    "q111_quantile_binning",
-    "q112_embedding_quantize",
-    "q113_scd2_intervals",
-    "q114_training_mix",
-    "q115_audio_window_energy",
-    "q116_stream_inference",
-    # ---- 50-query driver window closes here ----
-    # -- (4) r04 remainder (20, led by q117/q119/q120): round 8's
-    #    backlog block — these slid out as the changed-queries head
-    #    grew to seven
+    # -- (2) newest driver row r04: all 20, oldest backlog
     "q117_stream_interval_join",
     "q119_als_recommendations",
     "q120_pagerank",
@@ -186,9 +129,7 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q143_incremental_aggregate",
     "q147_walk_forward_split",
-    # -- (5) newest driver row r05 (42; q65/q80/q34/q51 moved to the
-    #    changed head), then r06 (48; q54 moved to the changed head):
-    #    freshest last (7 + 24 + 19 + 20 + 42 + 48 = 160)
+    # -- (3) newest driver row r05: 29 of 43, ordinal order
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_math_funcs",
@@ -218,6 +159,8 @@ _WINDOW_ORDER = (
     "q102_sequence_packing",
     "q105_fixed_size_sample",
     "q125_triangle_count",
+    # ---- 50-query driver window closes here ----
+    # -- (4) r05 remainder (14): round 9's backlog block
     "q127_fuzzy_name_join",
     "q131_inverted_index",
     "q135_product_quantization",
@@ -232,6 +175,9 @@ _WINDOW_ORDER = (
     "q151_simhash_portable",
     "q153_stream_semi_join",
     "q155_ann_signlsh_portable",
+    # -- (5) newest driver row r06 (47), then r07 (49; q54 moved to
+    #    the changed head): freshest last
+    #    (1 + 20 + 29 + 14 + 47 + 49 = 160)
     "q31_asof_join",
     "q38_interval_join",
     "q40_linear_inference_nodata",
@@ -279,6 +225,56 @@ _WINDOW_ORDER = (
     "q158_grouped_model_score",
     "q159_pagerank_portable",
     "q160_pq_adc_portable",
+    # -- newest driver row r07 (49): the r7 window minus q54
+    "q76_grouped_agg_pandas_udaf",
+    "q65_bigram_counts",
+    "q80_dynamic_session_window",
+    "q34_map_funcs",
+    "q51_jaccard_pairs",
+    "q122_incremental_dedup",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_customers_per_region",
+    "q08_customers_with_orders",
+    "q09_customers_without_orders",
+    "q10_returned_item_revenue",
+    "q11_distinct_segments_per_nation",
+    "q12_rollup_order_status",
+    "q13_cube_returnflag_status",
+    "q14_grouping_sets",
+    "q15_top3_orders_per_customer",
+    "q16_running_totals",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_orders_above_customer_avg",
+    "q20_price_band_join",
+    "q98_bitwise_aggregates",
+    "q99_checksum_source",
+    "q103_chi_square_contingency",
+    "q104_dedup_corpus",
+    "q32_approx_count_distinct",
+    "q35_union_type_promotion",
+    "q36_sort_merge_join",
+    "q37_ranking_functions",
+    "q39_stat_aggregates",
+    "q52_minhash_lsh_pairs",
+    "q53_simhash_neardup",
+    "q56_ann_lsh",
+    "q106_contamination_bloom",
+    "q107_stream_dedup",
+    "q108_priority_sample",
+    "q109_repetition_signals",
+    "q110_outlier_flags",
+    "q111_quantile_binning",
+    "q112_embedding_quantize",
+    "q113_scd2_intervals",
+    "q114_training_mix",
+    "q115_audio_window_energy",
+    "q116_stream_inference",
 )
 
 

@@ -96,46 +96,59 @@ def materialize_raster_stack(
 
 
 def _decode_grid(path: str) -> np.ndarray:
-    """Decode ONE band file to a 2-D float grid. `.npy` is the tested
-    default (numpy is always present); `.tif`/`.tiff` lights up
-    automatically when the environment gains rasterio — same contract
-    as the reference's rasterio read (datasets/_base.py:71-104), band 1
-    of the file. Runs on EXECUTORS inside mapInPandas."""
+    """Decode ONE band file to a 2-D float grid. `.npy` is the fixture
+    default; `.tif`/`.tiff` decodes via rasterio when the environment
+    provides it — same contract as the reference's rasterio read
+    (datasets/_base.py:71-104), band 1 of the file — and otherwise via
+    the builtin baseline-TIFF codec (sources/tiff.py), so the GeoTIFF
+    branch EXECUTES everywhere; only compressed/tiled exotics still
+    need rasterio. Runs on EXECUTORS inside mapInPandas."""
     if path.endswith((".tif", ".tiff")):
         import importlib.util
 
-        if importlib.util.find_spec("rasterio") is None:
-            raise NotImplementedError(
-                "GeoTIFF band decode needs rasterio, which this "
-                "environment does not provide; use .npy band files"
-            )
-        import rasterio
+        if importlib.util.find_spec("rasterio") is not None:
+            import rasterio
 
-        with rasterio.open(path) as src:
-            return src.read(1)
+            with rasterio.open(path) as src:
+                return src.read(1)
+        from sklearn_raster_spark.sources.tiff import read_gtiff
+
+        return read_gtiff(path)[0]
     return np.load(path)
 
 
 def read_band_tags(path: str) -> dict | None:
     """CF attrs carried by a real GeoTIFF's tags (long_name / units /
     nodata), or None for tagless containers (.npy — the sidecar
-    bands.json supplies attrs instead). Env-gated on rasterio."""
+    bands.json supplies attrs instead). Prefers rasterio when present
+    (exact reference path, datasets/_base.py:71-104); falls back to
+    the builtin baseline-TIFF tag parser (GDAL_METADATA/GDAL_NODATA,
+    sources/tiff.py) otherwise."""
     import importlib.util
 
     if not path.endswith((".tif", ".tiff")):
         return None
-    if importlib.util.find_spec("rasterio") is None:
-        return None
-    import rasterio
+    if importlib.util.find_spec("rasterio") is not None:
+        import rasterio
 
-    with rasterio.open(path) as src:
-        tags = src.tags(1)
-        out = {
-            "long_name": tags.get("long_name"),
-            "units": tags.get("units", "1"),
-            "_FillValue": src.nodata,
-        }
-    return out
+        with rasterio.open(path) as src:
+            tags = src.tags(1)
+            return {
+                "long_name": tags.get("long_name"),
+                "units": tags.get("units", "1"),
+                "_FillValue": src.nodata,
+            }
+    from sklearn_raster_spark.sources.tiff import read_gtiff
+
+    try:
+        _, info = read_gtiff(path)
+    except NotImplementedError:
+        return None  # compressed/tiled without rasterio: tagless fallback
+    return {
+        "long_name": info["tags"].get("long_name"),
+        "units": info["tags"].get("units", "1"),
+        "_FillValue": info["nodata"],
+    }
 
 
 def read_raster_stack(spark: SparkSession, files: list[tuple[int, str]]) -> DataFrame:

@@ -1,0 +1,255 @@
+"""Dependency-free baseline-TIFF codec for single-band grids.
+
+The reference ingests per-band GeoTIFFs via rasterio
+(reference ``datasets/_base.py:71-104``); this container ships no
+rasterio/GDAL, so the ``.tif`` branch of the raster source used to be
+an env-gated skip. This module removes the gate for the format subset
+the engine actually produces and consumes — single-band, uncompressed,
+strip-organized baseline TIFF 6.0 — implemented straight from the
+public Adobe TIFF 6.0 specification plus GDAL's two public metadata
+tags (GDAL_METADATA=42112, GDAL_NODATA=42113, the convention every
+GDAL-written GeoTIFF uses for band descriptions and fill values).
+
+Scope, deliberately narrow:
+
+- ``write_gtiff``: one 2-D numpy grid -> a valid little-endian
+  classic TIFF (single strip, chunky, uncompressed) that rasterio /
+  GDAL / Pillow can read, with optional band tags and nodata.
+- ``read_gtiff``: classic TIFF -> (grid, {"nodata", "tags"}).
+  Understands both byte orders, multi-strip files, and all integer /
+  float sample formats. Anything outside baseline (compression,
+  tiles, BigTIFF, multi-sample) raises ``NotImplementedError`` with a
+  pointer to rasterio — the raster source falls back to rasterio
+  automatically when the environment provides it.
+
+Decode runs on EXECUTORS inside the raster source's mapInPandas, so
+it allocates only the one grid it returns — no driver involvement.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from xml.sax.saxutils import escape, unescape
+
+import numpy as np
+
+# -- tag ids (TIFF 6.0 §8; GDAL tags are registered public extensions)
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_SAMPLE_FORMAT = 339
+_TAG_GDAL_METADATA = 42112
+_TAG_GDAL_NODATA = 42113
+
+# (bits, sample_format) -> numpy dtype char; sample_format per TIFF
+# §19: 1=unsigned, 2=signed, 3=IEEE float
+_DTYPE_OF = {
+    (8, 1): "u1",
+    (16, 1): "u2",
+    (32, 1): "u4",
+    (64, 1): "u8",
+    (8, 2): "i1",
+    (16, 2): "i2",
+    (32, 2): "i4",
+    (64, 2): "i8",
+    (32, 3): "f4",
+    (64, 3): "f8",
+}
+_SAMPLE_FORMAT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+_ITEM_RE = re.compile(r'<Item\s+name="([^"]*)"[^>]*>(.*?)</Item>', re.S)
+
+
+def write_gtiff(
+    path: str,
+    grid: np.ndarray,
+    *,
+    nodata: float | None = None,
+    tags: dict[str, str] | None = None,
+) -> None:
+    """Write one 2-D grid as a single-strip uncompressed little-endian
+    classic TIFF. ``tags`` land in GDAL_METADATA as band-1 items (the
+    exact XML shape GDAL writes for ``update_tags(1, ...)``); ``nodata``
+    lands in GDAL_NODATA."""
+    grid = np.ascontiguousarray(grid)
+    if grid.ndim != 2:
+        raise ValueError(f"expected a 2-D grid, got shape {grid.shape}")
+    key = (grid.dtype.itemsize * 8, _SAMPLE_FORMAT_OF_KIND.get(grid.dtype.kind))
+    if key not in _DTYPE_OF:
+        raise ValueError(f"unsupported grid dtype {grid.dtype}")
+    bits, fmt = key
+    h, w = grid.shape
+    data = grid.astype(np.dtype("<" + _DTYPE_OF[key]), copy=False).tobytes()
+
+    # (tag, type, count, inline-int-or-None) — ascii payloads resolved
+    # to offsets once the IFD size is known
+    fields: list[tuple[int, int, int, int | None]] = [
+        (_TAG_WIDTH, 4, 1, w),
+        (_TAG_HEIGHT, 4, 1, h),
+        (_TAG_BITS, 3, 1, bits),
+        (_TAG_COMPRESSION, 3, 1, 1),
+        (_TAG_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
+        (_TAG_STRIP_OFFSETS, 4, 1, None),  # patched below
+        (_TAG_SPP, 3, 1, 1),
+        (_TAG_ROWS_PER_STRIP, 4, 1, h),  # one strip
+        (_TAG_STRIP_COUNTS, 4, 1, len(data)),
+        (_TAG_PLANAR, 3, 1, 1),
+        (_TAG_SAMPLE_FORMAT, 3, 1, fmt),
+    ]
+    ascii_fields: list[tuple[int, bytes]] = []
+    if tags:
+        xml = (
+            "<GDALMetadata>\n"
+            + "".join(
+                f'  <Item name="{escape(str(k), {chr(34): "&quot;"})}"'
+                f' sample="0">{escape(str(v))}</Item>\n'
+                for k, v in sorted(tags.items())
+            )
+            + "</GDALMetadata>\n"
+        )
+        ascii_fields.append((_TAG_GDAL_METADATA, xml.encode() + b"\x00"))
+    if nodata is not None:
+        ascii_fields.append((_TAG_GDAL_NODATA, f"{float(nodata):.17g}".encode() + b"\x00"))
+
+    n_entries = len(fields) + len(ascii_fields)
+    ifd_offset = 8
+    payload_offset = ifd_offset + 2 + 12 * n_entries + 4
+    payloads = bytearray()
+    entries: list[tuple[int, bytes]] = []
+    for tag, typ, count, val in fields:
+        if tag == _TAG_STRIP_OFFSETS:
+            continue  # placeholder; appended after data_offset is known
+        packed = struct.pack("<H2x", val) if typ == 3 else struct.pack("<I", val)
+        entries.append((tag, struct.pack("<HHI", tag, typ, count) + packed))
+    for tag, raw in ascii_fields:
+        if len(raw) <= 4:
+            entries.append(
+                (tag, struct.pack("<HHI", tag, 2, len(raw)) + raw.ljust(4, b"\x00"))
+            )
+        else:
+            entries.append(
+                (
+                    tag,
+                    struct.pack(
+                        "<HHII", tag, 2, len(raw), payload_offset + len(payloads)
+                    ),
+                )
+            )
+            payloads += raw
+            if len(payloads) % 2:  # TIFF values start on word boundaries
+                payloads += b"\x00"
+    data_offset = payload_offset + len(payloads)
+    entries.append(
+        (
+            _TAG_STRIP_OFFSETS,
+            struct.pack("<HHII", _TAG_STRIP_OFFSETS, 4, 1, data_offset),
+        )
+    )
+    entries.sort()  # IFD entries must be in ascending tag order (§2)
+
+    with open(path + ".tmp.tif", "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, ifd_offset))
+        f.write(struct.pack("<H", n_entries))
+        for _, e in entries:
+            f.write(e)
+        f.write(struct.pack("<I", 0))  # no next IFD
+        f.write(payloads)
+        f.write(data)
+    import os
+
+    os.replace(path + ".tmp.tif", path)
+
+
+def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
+    """Decode a classic baseline TIFF to (grid, info) where info is
+    ``{"nodata": float | None, "tags": {name: value}}`` parsed from the
+    GDAL metadata tags. Raises ``NotImplementedError`` for compressed /
+    tiled / BigTIFF files (rasterio territory)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None:
+        raise ValueError(f"{path}: not a TIFF (bad byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", buf[2:4])
+    if magic == 43:
+        raise NotImplementedError(
+            f"{path}: BigTIFF needs rasterio; the builtin decoder reads classic TIFF"
+        )
+    if magic != 42:
+        raise ValueError(f"{path}: not a TIFF (magic {magic})")
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+
+    raw_tags: dict[int, object] = {}
+    for i in range(n_entries):
+        e = buf[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            raw = e[8 : 8 + size]
+        else:
+            (voff,) = struct.unpack(bo + "I", e[8:12])
+            raw = buf[voff : voff + size]
+        if typ == 2:
+            raw_tags[tag] = raw.split(b"\x00")[0].decode("utf-8", "replace")
+        elif typ in _TYPE_FMT:
+            raw_tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
+        # RATIONAL / UNDEFINED values are not needed for grid decode
+
+    def one(tag: int, default=None):
+        v = raw_tags.get(tag)
+        if v is None:
+            return default
+        return v[0] if isinstance(v, list) else v
+
+    if one(_TAG_COMPRESSION, 1) != 1:
+        raise NotImplementedError(
+            f"{path}: compressed TIFF needs rasterio; builtin decoder is baseline-only"
+        )
+    if 322 in raw_tags or 324 in raw_tags:  # TileWidth / TileOffsets
+        raise NotImplementedError(
+            f"{path}: tiled TIFF needs rasterio; builtin decoder is strip-only"
+        )
+    if one(_TAG_SPP, 1) != 1:
+        raise NotImplementedError(
+            f"{path}: multi-sample TIFF needs rasterio; builtin decoder is single-band"
+        )
+    w, h = one(_TAG_WIDTH), one(_TAG_HEIGHT)
+    bits, fmt = one(_TAG_BITS, 8), one(_TAG_SAMPLE_FORMAT, 1)
+    dt = _DTYPE_OF.get((bits, fmt))
+    if w is None or h is None or dt is None:
+        raise ValueError(f"{path}: unsupported sample layout (bits={bits}, fmt={fmt})")
+    offsets = raw_tags.get(_TAG_STRIP_OFFSETS)
+    counts = raw_tags.get(_TAG_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError(f"{path}: missing or inconsistent strip tables")
+    data = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    grid = (
+        np.frombuffer(data, dtype=np.dtype(bo + dt), count=h * w)
+        .reshape(h, w)
+        .astype(dt, copy=False)  # native byte order for downstream numpy
+    )
+
+    nodata = None
+    if _TAG_GDAL_NODATA in raw_tags:
+        try:
+            nodata = float(str(raw_tags[_TAG_GDAL_NODATA]).strip())
+        except ValueError:
+            nodata = None
+    tags: dict[str, str] = {}
+    xml = raw_tags.get(_TAG_GDAL_METADATA)
+    if isinstance(xml, str):
+        for name, value in _ITEM_RE.findall(xml):
+            tags[unescape(name)] = unescape(value.strip())
+    return grid, {"nodata": nodata, "tags": tags}

@@ -36,6 +36,14 @@ def _stream_dir(sf_dir: str) -> str:
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     target = table_path(sf_dir, "events")
+    if os.path.lexists(link) and not os.path.islink(link):
+        # a non-symlink occupying the link path (a prior run copied
+        # instead of symlinking, or a partial cleanup) has NO staleness
+        # check — islink is False, exists is True, and it would be
+        # served forever (round-7 ADVICE). Remove it and re-link.
+        import shutil
+
+        shutil.rmtree(link) if os.path.isdir(link) else os.remove(link)
     if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(target):
         os.remove(link)  # stale: same basename, different source dir
     if os.path.islink(link) and not os.path.exists(link):

@@ -90,7 +90,11 @@ def source_fingerprint(src_path: str) -> str:
             "fingerprint the source for a materializer cache"
         )
     stamp = ";".join(
-        f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.path.getmtime(p):.0f}"
+        # nanosecond mtime: whole-second truncation made a regenerated
+        # fixture with identical part sizes written within the same
+        # second fingerprint-identical — exactly the rapid-regeneration
+        # case the guard exists for (round-7 ADVICE)
+        f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
         for p in parts
     )
     return hashlib.md5(stamp.encode()).hexdigest()

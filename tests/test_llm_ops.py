@@ -160,3 +160,47 @@ def test_dedup_corpus_composition(spark, sf_dir):
     assert all(keeper_of[k] == k for k in keeper_of.values())  # keepers keep themselves
     assert all(k in kept for k in keeper_of.values())
     assert 0 < len(kept) < len(rows)  # non-degenerate: real clusters exist
+
+
+def test_q56_ann_lsh_recall(spark, sf_dir):
+    """Pin q56's recall DIRECTLY (VERDICT r7 #4): q54's hand-rolled LSH
+    backend has its own >=0.9 floor (test_round2.py), but q56 runs
+    MLlib's ``BucketedRandomProjectionLSH.approxSimilarityJoin`` with
+    threshold 1.2 and had no recall assertion of its own. Ground truth
+    is the EXACT euclidean-threshold join on unit vectors, computed in
+    numpy — approxSimilarityJoin only approximates CANDIDATE generation
+    (the distance filter is exact), so recall is the one number that
+    can silently degrade with bucketLength/numHashTables changes."""
+    from sklearn_raster_spark.operators.similarity import N_QUERIES, q56_ann_lsh
+
+    pdf = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q_rows = np.flatnonzero(ids < N_QUERIES)
+    d = np.sqrt(
+        np.maximum(0.0, ((U[q_rows][:, None, :] - U[None, :, :]) ** 2).sum(-1))
+    )
+    truth = {
+        (int(ids[qr]), int(ids[c]))
+        for a, qr in enumerate(q_rows)
+        for c in np.flatnonzero(d[a] < 1.2)
+        if ids[qr] != ids[c]
+    }
+    assert truth, "degenerate fixture: no true pairs under the threshold"
+
+    got = {(r.qid, r.nid) for r in q56_ann_lsh(spark, sf_dir).collect()}
+    # no false positives beyond float-boundary noise: the join's final
+    # filter is an exact distance comparison
+    dist_of = {
+        (int(ids[qr]), int(ids[c])): d[a, c]
+        for a, qr in enumerate(q_rows)
+        for c in range(len(ids))
+    }
+    assert all(dist_of[p] < 1.2 + 1e-9 for p in got)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"q56 recall {recall:.3f} < 0.9 over {len(truth)} true pairs"

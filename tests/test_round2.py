@@ -169,6 +169,57 @@ def test_kneighbors_lsh_recall(spark, sf_dir):
     assert hits / total >= 0.9, f"LSH recall {hits / total:.3f} < 0.9"
 
 
+def test_kneighbors_lsh_accepts_exact_path_kwargs(spark):
+    """Exact-path parity (round-7 ADVICE): a call that works under
+    method='exact' must not TypeError when a fit-set growth flips
+    method='auto' to the LSH path — including nan_fill, keep_features
+    and collision_counter. keep_features carries the inputs through;
+    nan_fill/collision_counter are accepted no-ops (NaN cells are
+    row-level NoData under skip-compaction and never reach the
+    distance math; LSH outputs cannot collide with their encodings) —
+    and the NaN row must carry the SAME nodata encodings both paths
+    produce."""
+    rng = np.random.default_rng(11)
+    est = SparkEstimator(KNeighborsRegressorNP(n_neighbors=2))
+    est.fit(
+        pd.DataFrame(rng.normal(size=(30, 3)), columns=["a", "b", "c"]),
+        pd.Series(rng.normal(size=30)),
+    )
+    pdf = pd.DataFrame(rng.normal(size=(12, 3)), columns=["a", "b", "c"])
+    pdf.loc[3, "b"] = np.nan  # un-registered NaN: nan_fill's job
+    df = spark.createDataFrame(pdf)
+    ff = FeatureFrame.from_dataframe(df, features=["a", "b", "c"])
+    acc = spark.sparkContext.accumulator(0)
+    out = est.kneighbors(
+        ff,
+        n_neighbors=2,
+        method="lsh",
+        nan_fill=0.0,
+        keep_features=True,
+        collision_counter=acc,
+        inner_thread_limit=1,
+        ensure_min_samples=1,
+    )
+    rows = out.df.collect()
+    assert len(rows) == 12
+    # keep_features: the input feature columns survive into the output
+    assert {"a", "b", "c"} <= set(out.df.columns)
+    # the NaN-carrying row is row-level NoData (reference semantics:
+    # any masked feature masks the sample) -> nodata encodings
+    nan_row = [r for r in rows if pd.isna(r["b"])]
+    assert len(nan_row) == 1
+    assert np.isnan(nan_row[0]["dist_1"]) and nan_row[0]["idx_1"] == -(2**31)
+    # and the exact path with the same kwargs agrees: same columns,
+    # same nodata treatment of the NaN row
+    out_exact = est.kneighbors(
+        ff, n_neighbors=2, method="exact", nan_fill=0.0, keep_features=True
+    )
+    assert {"a", "b", "c"} <= set(out_exact.df.columns)
+    nan_exact = [r for r in out_exact.df.collect() if pd.isna(r["b"])]
+    assert len(nan_exact) == 1
+    assert np.isnan(nan_exact[0]["dist_1"]) and nan_exact[0]["idx_1"] == -(2**31)
+
+
 def test_kneighbors_auto_selects_exact_for_small_fit(spark):
     rng = np.random.default_rng(5)
     est = SparkEstimator(KNeighborsRegressorNP(n_neighbors=2))

@@ -1,0 +1,142 @@
+"""Builtin baseline-TIFF codec (sources/tiff.py): round-trip laws,
+GDAL tag parsing, and the explicit rejection surface that routes
+exotic files to rasterio. This is the dependency-free stand-in for the
+reference's rasterio ingest (reference datasets/_base.py:71-104)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sklearn_raster_spark.sources.tiff import read_gtiff, write_gtiff
+
+
+@pytest.mark.parametrize(
+    "dtype",
+    [np.uint8, np.uint16, np.int16, np.int32, np.float32, np.float64],
+)
+def test_roundtrip_bitexact_per_dtype(tmp_path, dtype):
+    rng = np.random.default_rng(3)
+    if np.issubdtype(dtype, np.floating):
+        grid = rng.normal(size=(11, 7)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        grid = rng.integers(info.min, info.max, size=(11, 7), dtype=dtype)
+    p = str(tmp_path / "g.tif")
+    write_gtiff(p, grid, nodata=-9999.0, tags={"long_name": "b0", "units": "m"})
+    back, info_d = read_gtiff(p)
+    assert back.dtype == grid.dtype
+    assert np.array_equal(back, grid)
+    assert info_d["nodata"] == -9999.0
+    assert info_d["tags"] == {"long_name": "b0", "units": "m"}
+
+
+def test_tagless_file_and_xml_escaping(tmp_path):
+    p = str(tmp_path / "plain.tif")
+    write_gtiff(p, np.ones((2, 3), np.float64))
+    grid, info = read_gtiff(p)
+    assert grid.shape == (2, 3) and info == {"nodata": None, "tags": {}}
+
+    p2 = str(tmp_path / "esc.tif")
+    write_gtiff(p2, np.zeros((2, 2), np.float32), tags={"desc": 'a<b>&"c"'})
+    _, info2 = read_gtiff(p2)
+    assert info2["tags"]["desc"] == 'a<b>&"c"'
+
+
+def test_nan_nodata_and_non_contiguous_input(tmp_path):
+    p = str(tmp_path / "nan.tif")
+    wide = np.arange(40, dtype=np.float64).reshape(4, 10)
+    write_gtiff(p, wide[:, ::2], nodata=float("nan"))  # strided view
+    grid, info = read_gtiff(p)
+    assert np.array_equal(grid, wide[:, ::2])
+    assert np.isnan(info["nodata"])
+
+
+def test_rejects_non_tiff_bigtiff_and_compressed(tmp_path):
+    not_tiff = tmp_path / "x.tif"
+    not_tiff.write_bytes(b"PK\x03\x04 definitely a zip")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        read_gtiff(str(not_tiff))
+
+    bigtiff = tmp_path / "big.tif"
+    bigtiff.write_bytes(b"II" + struct.pack("<H", 43) + b"\x00" * 12)
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        read_gtiff(str(bigtiff))
+
+    # flip the Compression entry of a valid file to 5 (LZW) in place:
+    # the decoder must refuse rather than return garbage
+    p = tmp_path / "lzw.tif"
+    write_gtiff(str(p), np.ones((2, 2), np.float32))
+    buf = bytearray(p.read_bytes())
+    (n,) = struct.unpack("<H", buf[8:10])
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ = struct.unpack("<HH", buf[off : off + 4])
+        if tag == 259:
+            buf[off + 8 : off + 10] = struct.pack("<H", 5)
+    p.write_bytes(bytes(buf))
+    with pytest.raises(NotImplementedError, match="compressed"):
+        read_gtiff(str(p))
+
+
+def test_reads_big_endian_and_multistrip_files(tmp_path):
+    """Files the writer never produces but real GeoTIFFs do: MM byte
+    order and multiple strips. Hand-assembled per TIFF 6.0 §2/§3."""
+    h, w = 4, 3
+    grid = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    data = grid.astype(">f4").tobytes()
+    half = len(data) // 2
+
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack(">HHI", tag, typ, count) + value_bytes
+
+    n = 10
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    # out-of-line strip tables (2 strips of 2 rows each)
+    strip_offsets_off = after_ifd
+    strip_counts_off = after_ifd + 8
+    data_off = after_ifd + 16
+    entries = b"".join(
+        [
+            entry(256, 4, 1, struct.pack(">I", w)),
+            entry(257, 4, 1, struct.pack(">I", h)),
+            entry(258, 3, 1, struct.pack(">H2x", 32)),
+            entry(259, 3, 1, struct.pack(">H2x", 1)),
+            entry(262, 3, 1, struct.pack(">H2x", 1)),
+            entry(273, 4, 2, struct.pack(">I", strip_offsets_off)),
+            entry(277, 3, 1, struct.pack(">H2x", 1)),
+            entry(278, 4, 1, struct.pack(">I", 2)),
+            entry(279, 4, 2, struct.pack(">I", strip_counts_off)),
+            entry(339, 3, 1, struct.pack(">H2x", 3)),
+        ]
+    )
+    buf = (
+        b"MM"
+        + struct.pack(">HI", 42, ifd_off)
+        + struct.pack(">H", n)
+        + entries
+        + struct.pack(">I", 0)
+        + struct.pack(">II", data_off, data_off + half)
+        + struct.pack(">II", half, half)
+        + data
+    )
+    p = tmp_path / "mm.tif"
+    p.write_bytes(buf)
+    back, info = read_gtiff(str(p))
+    assert back.dtype == np.float32
+    assert np.array_equal(back, grid)
+    assert info == {"nodata": None, "tags": {}}
+
+
+def test_writer_output_is_rasterio_readable_when_available(tmp_path):
+    """Interop direction the other tests can't cover without GDAL:
+    our writer's bytes through rasterio's reader."""
+    rasterio = pytest.importorskip("rasterio")
+    p = str(tmp_path / "interop.tif")
+    grid = np.arange(12, dtype=np.float64).reshape(3, 4)
+    write_gtiff(p, grid, nodata=-9999.0, tags={"long_name": "b", "units": "m"})
+    with rasterio.open(p) as src:
+        assert np.array_equal(src.read(1), grid)
+        assert src.nodata == -9999.0
+        assert src.tags(1)["long_name"] == "b"
