@@ -129,6 +129,50 @@ def test_reads_big_endian_and_multistrip_files(tmp_path):
     assert info == {"nodata": None, "tags": {}}
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        grid=st.sampled_from(["u1", "i2", "i4", "f4", "f8"]).flatmap(
+            lambda dt: arrays(
+                dtype=np.dtype(dt),
+                shape=st.tuples(
+                    st.integers(1, 9), st.integers(1, 9)
+                ),
+                elements={"allow_nan": False}
+                if dt.startswith("f")
+                else None,
+            )
+        ),
+        tag_val=st.text(
+            # NUL terminates the ASCII tag payload and control chars are
+            # not valid in XML; real GDAL tags share both constraints
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            max_size=20,
+        ),
+    )
+    def test_roundtrip_property(grid, tag_val):
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "h.tif")
+            write_gtiff(p, grid, tags={"long_name": tag_val} if tag_val else None)
+            back, info = read_gtiff(p)
+            assert back.dtype == grid.dtype
+            assert np.array_equal(back, grid, equal_nan=True)
+            if tag_val:
+                # the reader strips whitespace edges (GDAL XML is
+                # pretty-printed), so edge whitespace is lossy by design
+                assert info["tags"]["long_name"] == tag_val.strip()
+
+except ImportError:  # hypothesis is baked in; guard mirrors the suite convention
+    pass
+
+
 def test_writer_output_is_rasterio_readable_when_available(tmp_path):
     """Interop direction the other tests can't cover without GDAL:
     our writer's bytes through rasterio's reader."""
