@@ -21,8 +21,14 @@ from pyspark.sql.types import DoubleType, LongType
 
 @F.pandas_udf(DoubleType())
 def median_chars_udaf(v: pd.Series) -> float:
-    """Exact median of an integer column (Arrow-batched per group)."""
-    return float(np.median(v.to_numpy(dtype=np.int64)))
+    """Exact median of an integer column (Arrow-batched per group).
+
+    NULLs are dropped first — SQL aggregates skip NULLs, and the old
+    ``to_numpy(dtype=int64)`` on a NaN-carrying series silently turned
+    each NaN into INT64_MIN, skewing the median (found by the
+    random-instance fuzz, tools/random_instance_fuzz.py)."""
+    arr = v.dropna().to_numpy(dtype=np.int64)
+    return float(np.median(arr)) if arr.size else None
 
 
 @F.pandas_udf(LongType())

@@ -468,7 +468,11 @@ def simhash_col(hashes_col: str = "tok_hashes", bits: int = 64) -> F.Column:
         "with hamming distance <= 6 via bit_count(xor). Rows-only.",
 )
 def q53_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # NULL-text docs have no tokens and therefore no fingerprint; an
+    # unfiltered split(NULL) folds to a constant fp that bands every
+    # NULL doc with every other (random-instance fuzz finding on q151,
+    # the same lineage)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fps = (
         docs.select("doc_id", F.split("text", " ").alias("words"))
         .select(
@@ -579,7 +583,12 @@ SIMHASH_PORT_HAMMING = 6
         "exists only to make the oracle exact.",
 )
 def q151_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # NULL-text docs: no tokens -> no fingerprint -> no bands, matching
+    # the oracle where UNNEST(STRING_SPLIT(NULL)) contributes no votes
+    # and the doc never reaches the fp CTE (random-instance fuzz: the
+    # unfiltered fold gave every NULL doc the SAME fp and banded all of
+    # them together)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_bands = SIMHASH_PORT_BITS // SIMHASH_PORT_BAND_BITS
     band_mask = (1 << SIMHASH_PORT_BAND_BITS) - 1
     fps = (

@@ -115,6 +115,11 @@ def q78_udtf_lateral_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, trigram: string", useArrow=True)
     class Trigrams:
         def eval(self, doc_id: int, text: str):
+            if text is None:
+                # NULL doc -> no trigrams, matching the oracle where
+                # STRING_SPLIT(NULL) makes RANGE(...) NULL and the
+                # lateral UNNEST emits zero rows (random-instance fuzz)
+                return
             ws = text.split(" ")
             for i in range(len(ws) - 2):
                 yield i + 1, " ".join(ws[i : i + 3])

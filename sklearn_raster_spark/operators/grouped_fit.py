@@ -110,6 +110,13 @@ def fitted_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_chars").alias("x"),
         F.size(F.split("text", " ")).alias("y"),
+    ).filter(
+        # a row with a NULL feature or target is unusable training
+        # data; dropping it here (and in the oracle's stats CTE) keeps
+        # the sufficient statistics consistent — SUM would skip the
+        # NULL while COUNT(*) counted it, and int(NaN) crashes the
+        # kernel (random-instance fuzz finding)
+        F.col("x").isNotNull() & F.col("y").isNotNull()
     )
     return rows.groupBy("source").applyInPandas(_ols_fit_kernel, FIT_SCHEMA)
 
@@ -126,19 +133,21 @@ def fitted_model_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(n_chars * n_chars) AS sx2,
                SUM(LEN(STRING_SPLIT(text, ' ')) * LEN(STRING_SPLIT(text, ' '))) AS sy2
         FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
         GROUP BY source
     )
     SELECT source, n,
+           -- + 0 normalizes IEEE negative zero (see q158)
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE), 0), 6) AS slope,
+                 / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE), 0), 6) + 0 AS slope,
            ROUND(CAST(sy AS DOUBLE) / n
                  - (CAST(n * sxy - sx * sy AS DOUBLE)
                     / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE), 0))
-                   * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
+                   * (CAST(sx AS DOUBLE) / n), 6) + 0 AS intercept,
            ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
                   * CAST(n * sxy - sx * sy AS DOUBLE))
                  / NULLIF(CAST(n * sx2 - sx * sx AS DOUBLE)
-                          * CAST(n * sy2 - sy * sy AS DOUBLE), 0), 6) AS r2
+                          * CAST(n * sy2 - sy * sy AS DOUBLE), 0), 6) + 0 AS r2
     FROM stats
     """,
     doc="Per-group model fitting (the 'many small models' pattern — "
@@ -164,9 +173,9 @@ def q156_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fitted.select(
         "source",
         "n",
-        F.round("slope", 6).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
-        F.round("r2", 6).alias("r2"),
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+        (F.round("r2", 6) + F.lit(0.0)).alias("r2"),
     )
 
 
@@ -181,6 +190,7 @@ def q156_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(n_chars * LEN(STRING_SPLIT(text, ' '))) AS sxy,
                SUM(n_chars * n_chars) AS sx2
         FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
         GROUP BY source
     ),
     slopes AS (
@@ -195,9 +205,12 @@ def q156_grouped_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM slopes
     )
     SELECT d.doc_id, d.source,
-           ROUND(m.intercept + m.slope * CAST(d.n_chars AS DOUBLE), 6) AS pred_tokens,
+           -- + 0 normalizes IEEE negative zero (a residual in
+           -- (-5e-7, 0) rounds to -0.0; engines disagree on the sign
+           -- bit they print/hash — random-instance fuzz finding)
+           ROUND(m.intercept + m.slope * CAST(d.n_chars AS DOUBLE), 6) + 0 AS pred_tokens,
            ROUND(CAST(LEN(STRING_SPLIT(d.text, ' ')) AS DOUBLE)
-                 - (m.intercept + m.slope * CAST(d.n_chars AS DOUBLE)), 6) AS residual
+                 - (m.intercept + m.slope * CAST(d.n_chars AS DOUBLE)), 6) + 0 AS residual
     FROM documents d
     JOIN models m ON d.source = m.source
     """,
@@ -231,9 +244,11 @@ def q158_grouped_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # y - (that), each rounded 6dp — bit-identical inputs make the
     # rounded outputs equal
     pred = F.col("intercept") + F.col("slope") * F.col("x")
+    # + 0.0 normalizes -0.0 -> 0.0 (IEEE: -0.0 + 0.0 == +0.0), mirroring
+    # the oracle's `+ 0` — see the oracle comment
     return scored.select(
         "doc_id",
         "source",
-        F.round(pred, 6).alias("pred_tokens"),
-        F.round(F.col("y") - pred, 6).alias("residual"),
+        (F.round(pred, 6) + F.lit(0.0)).alias("pred_tokens"),
+        (F.round(F.col("y") - pred, 6) + F.lit(0.0)).alias("residual"),
     )

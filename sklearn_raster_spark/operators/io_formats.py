@@ -295,8 +295,16 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
         if os.path.isdir(path):
             shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
+        # only non-empty payloads become asset files: a NULL text has no
+        # bytes to write, and Spark's binaryFile source SILENTLY SKIPS
+        # 0-byte files at scan time (verified on 4.1: an empty .bin
+        # never appears in the DataFrame), so writing one would make
+        # the round trip lossy — the oracle applies the same guard
+        # (random-instance fuzz finding)
         docs = read_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % BINFILE_MOD == 0
+            (F.col("doc_id") % BINFILE_MOD == 0)
+            & F.col("text").isNotNull()
+            & (F.length("text") > 0)
         )
 
         def write_files(rows):
@@ -319,6 +327,9 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
            MD5(text) AS payload_md5
     FROM documents
     WHERE doc_id % {BINFILE_MOD} = 0
+      -- only non-empty payloads are materialized as files: NULL has no
+      -- bytes, and Spark's binaryFile scan skips 0-byte files
+      AND text IS NOT NULL AND LENGTH(text) > 0
     """,
     doc="binaryFile source — the raw-asset ingestion path that feeds "
         "the multimodal surface (q70/q81/q82 fabricate payloads "

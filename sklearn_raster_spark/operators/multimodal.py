@@ -90,6 +90,12 @@ def extract_byte_features(df: DataFrame, payload_col: str = "payload") -> DataFr
             )
             feats = {k: [] for k in names}
             for payload in pdf[payload_col]:
+                if payload is None:
+                    # NULL payload -> NULL features, the SQL semantics
+                    # (LENGTH(NULL) is NULL); the row itself survives
+                    for k in names:
+                        feats[k].append(None)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 feats["n_bytes"].append(len(arr))
                 feats["n_spaces"].append(int((arr == 32).sum()))
@@ -99,7 +105,11 @@ def extract_byte_features(df: DataFrame, payload_col: str = "payload") -> DataFr
                 for i in range(4):
                     feats[f"hist_{i}"].append(int(hist[i]))
             for k, v in feats.items():
-                out[k] = pd.Series(v, index=pdf.index)
+                # pandas NULLABLE dtypes: a plain list with None would
+                # land as float64-with-NaN, and NaN->int Arrow casts are
+                # lossy/garbage (the q76 INT64_MIN class)
+                dtype = "Float64" if k == "mean_byte" else "Int32"
+                out[k] = pd.Series(v, index=pdf.index, dtype=dtype)
             yield out
 
     return df.mapInPandas(kernel, schema=schema)
@@ -147,6 +157,8 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_str": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue  # NULL payload: zero frames (oracle: RANGE(NULL))
                 data = bytes(payload)
                 n_frames = (len(data) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
@@ -173,14 +185,29 @@ def resize_payload(df: DataFrame, payload_col: str = "payload",
                 continue
             out = {"doc_id": [], "orig_len": [], "resized_len": [], "resized_str": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                if payload is None:
+                    # NULL payload -> NULL lengths/content, the SQL
+                    # semantics (LENGTH(NULL)/STRING_SPLIT(NULL) are
+                    # NULL); the row itself survives the 1:1 map
+                    out["orig_len"].append(None)
+                    out["resized_len"].append(None)
+                    out["resized_str"].append(None)
+                    continue
                 data = bytes(payload)
                 k = max(1, -(-len(data) // target_bytes))
                 resized = data[::k]
-                out["doc_id"].append(doc_id)
                 out["orig_len"].append(len(data))
                 out["resized_len"].append(len(resized))
                 out["resized_str"].append(resized.decode("utf-8"))
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "orig_len": pd.array(out["orig_len"], dtype="Int32"),
+                    "resized_len": pd.array(out["resized_len"], dtype="Int32"),
+                    "resized_str": out["resized_str"],
+                }
+            )
 
     return df.mapInPandas(
         kernel, schema="doc_id long, orig_len int, resized_len int, resized_str string"
@@ -195,7 +222,10 @@ def resize_payload(df: DataFrame, payload_col: str = "payload",
                CAST(i AS INTEGER) AS frame_idx,
                SUBSTR(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame_str
         FROM documents,
-             UNNEST(RANGE(0, (LENGTH(text) - 1) // {FRAME_BYTES} + 1)) AS t(i)
+             -- ceil(len/W) (not (len-1)//W+1, whose truncating-division
+             -- form yields one spurious empty frame for len=0): an
+             -- empty payload has ZERO frames, matching the kernel
+             UNNEST(RANGE(0, (LENGTH(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES})) AS t(i)
     )
     SELECT doc_id, frame_idx, frame_str
     FROM frames
@@ -259,6 +289,8 @@ def audio_window_energy(
             out = {"doc_id": [], "win_idx": [], "start": [], "n_samples": [],
                    "energy": [], "peak": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue  # NULL payload: zero windows (oracle: RANGE(NULL))
                 samples = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n = len(samples)
                 idx = 0
@@ -288,7 +320,8 @@ def audio_window_energy(
                CAST(i * {AUDIO_HOP} AS INTEGER) AS start,
                SUBSTR(text, i * {AUDIO_HOP} + 1, {AUDIO_WIN}) AS w
         FROM documents,
-             UNNEST(RANGE(0, (LENGTH(text) - 1) // {AUDIO_HOP} + 1)) AS t(i)
+             -- ceil(len/hop): zero windows for an empty payload (see q81)
+             UNNEST(RANGE(0, (LENGTH(text) + {AUDIO_HOP} - 1) // {AUDIO_HOP})) AS t(i)
     )
     SELECT doc_id, win_idx, start,
            CAST(LENGTH(w) AS INTEGER) AS n_samples,

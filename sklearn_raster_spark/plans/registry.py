@@ -93,21 +93,43 @@ _WINDOW_ORDER = (
     # Round-8 policy (VERDICT r7 #1, #3): (1) changed queries lead —
     # q54, whose LSH backend (estimator._kneighbors_lsh) gained the
     # exact-path parity kwargs (nan_fill/keep_features/
-    # collision_counter, round-7 ADVICE); the default call path is
-    # value-identical (nan_fill only touches NaN cells that survived
-    # the nodata filter; the driver embeddings have none) but the
-    # touched plan re-grades. (2) Then the stale-grade backlog: ALL 20
-    # queries whose newest driver row is r04 (q117…q147, the block
-    # that slid out of the r7 window) — after this round no registry
-    # query's newest hard row is older than r05. (3) The remaining 29
-    # slots take the oldest r05-graded rows in ordinal order
-    # (q21…q125); the r05 remainder (q127…q155) opens round 9's
-    # backlog block. Everything stays value-checked every suite run by
-    # the full-registry oracle sweep (tests/test_oracle_sweep.py)
-    # regardless of window position, and per-query TIMING comes from
-    # the bench, which runs all 160 regardless.
-    # -- (1) changed in round 8: q54 (LSH kwargs parity)
+    # collision_counter, round-7 ADVICE), and the eleven queries
+    # touched by the random-instance-fuzz NULL/empty-text hardening
+    # (tools/random_instance_fuzz.py; ROUND8_NOTES.md): q53/q151
+    # (NULL docs no longer band on a constant fingerprint), q70/q81/
+    # q82/q115 (NULL-payload kernels follow SQL NULL semantics; q81/
+    # q115 oracle frame bounds fixed to ceil so '' payloads have zero
+    # frames), q76 (UDAF drops NULLs instead of NaN->INT64_MIN),
+    # q78 (UDTF skips NULL text), q152 (only non-empty payloads become
+    # asset files — Spark's binaryFile scan skips 0-byte files),
+    # q156/q158 (NULL training rows filtered on both sides; -0.0
+    # normalized). All twelve are value-identical on the driver
+    # fixtures (re-verified vs oracle at sf0.001/sf0.01 this round —
+    # the fixtures contain no NULL/empty docs) but the touched plans
+    # re-grade. (2) Then the stale-grade backlog: ALL 20 queries whose
+    # newest driver row is r04 (q117…q147, the block that slid out of
+    # the r7 window) — after this round no registry query's newest
+    # hard row is older than r05. (3) The remaining 18 slots take the
+    # oldest r05-graded rows in ordinal order (q21…q63); the r05
+    # remainder opens round 9's backlog block. Everything stays
+    # value-checked every suite run by the full-registry oracle sweep
+    # (tests/test_oracle_sweep.py) regardless of window position, and
+    # per-query TIMING comes from the bench, which runs all 160
+    # regardless.
+    # -- (1) changed in round 8: q54 (LSH kwargs parity) + the eleven
+    #    NULL/empty-text hardening queries
     "q54_kneighbors_lsh",
+    "q53_simhash_neardup",
+    "q70_multimodal_features",
+    "q76_grouped_agg_pandas_udaf",
+    "q78_udtf_lateral_trigrams",
+    "q81_multimodal_frame_sample",
+    "q82_multimodal_resize",
+    "q115_audio_window_energy",
+    "q151_simhash_portable",
+    "q152_binaryfile_source",
+    "q156_grouped_model_fit",
+    "q158_grouped_model_score",
     # -- (2) newest driver row r04: all 20, oldest backlog
     "q117_stream_interval_join",
     "q119_als_recommendations",
@@ -129,7 +151,7 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q143_incremental_aggregate",
     "q147_walk_forward_split",
-    # -- (3) newest driver row r05: 29 of 43, ordinal order
+    # -- (3) newest driver row r05: 18 of 43, ordinal order
     "q21_string_funcs",
     "q22_date_funcs",
     "q23_math_funcs",
@@ -148,6 +170,9 @@ _WINDOW_ORDER = (
     "q61_language_id",
     "q62_fingerprint",
     "q63_regex_tokens",
+    # ---- 50-query driver window closes here ----
+    # -- (4) r05 remainder (24): round 9's backlog block (q64…q125
+    #    slid out as the changed-queries head grew to twelve)
     "q64_quality_filter",
     "q69_ann_ivf",
     "q71_merge_upsert",
@@ -159,8 +184,6 @@ _WINDOW_ORDER = (
     "q102_sequence_packing",
     "q105_fixed_size_sample",
     "q125_triangle_count",
-    # ---- 50-query driver window closes here ----
-    # -- (4) r05 remainder (14): round 9's backlog block
     "q127_fuzzy_name_join",
     "q131_inverted_index",
     "q135_product_quantization",
@@ -172,7 +195,6 @@ _WINDOW_ORDER = (
     "q148_rolling_median_jvm",
     "q149_pipeline_composition",
     "q150_minhash_portable",
-    "q151_simhash_portable",
     "q153_stream_semi_join",
     "q155_ann_signlsh_portable",
     # -- (5) newest driver row r06 (47), then r07 (49; q54 moved to
@@ -195,14 +217,10 @@ _WINDOW_ORDER = (
     "q66_wide_long_reshape",
     "q67_inverse_transform_roundtrip",
     "q68_raster_stack_source",
-    "q70_multimodal_features",
     "q74_orc_source",
     "q75_partitioned_sink_prune",
     "q77_range_interval_window",
-    "q78_udtf_lateral_trigrams",
     "q79_zorder_layout",
-    "q81_multimodal_frame_sample",
-    "q82_multimodal_resize",
     "q83_full_outer_join",
     "q85_argmax_aggregates",
     "q86_exact_percentiles",
@@ -218,15 +236,11 @@ _WINDOW_ORDER = (
     "q96_tfidf_top_terms",
     "q97_regression_aggregates",
     "q118_frequent_itemsets",
-    "q152_binaryfile_source",
     "q154_stream_outer_join",
-    "q156_grouped_model_fit",
     "q157_ann_ivf_portable",
-    "q158_grouped_model_score",
     "q159_pagerank_portable",
     "q160_pq_adc_portable",
     # -- newest driver row r07 (49): the r7 window minus q54
-    "q76_grouped_agg_pandas_udaf",
     "q65_bigram_counts",
     "q80_dynamic_session_window",
     "q34_map_funcs",
@@ -262,7 +276,6 @@ _WINDOW_ORDER = (
     "q37_ranking_functions",
     "q39_stat_aggregates",
     "q52_minhash_lsh_pairs",
-    "q53_simhash_neardup",
     "q56_ann_lsh",
     "q106_contamination_bloom",
     "q107_stream_dedup",
@@ -273,7 +286,6 @@ _WINDOW_ORDER = (
     "q112_embedding_quantize",
     "q113_scd2_intervals",
     "q114_training_mix",
-    "q115_audio_window_energy",
     "q116_stream_inference",
 )
 

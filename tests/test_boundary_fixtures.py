@@ -93,6 +93,61 @@ def test_q65_bigrams_survive_short_docs(spark, tmp_path):
     compare_query(spark, sf, "q65_bigram_counts")
 
 
+DOCS_NULL = """
+    SELECT * FROM (VALUES
+        (1, NULL,                                 'en', 'web',  NULL),
+        (2, NULL,                                 'de', 'web',  NULL),
+        (3, '',                                   'en', 'web',  0),
+        (4, 'alpha beta gamma delta epsilon zeta','en', 'web',  35),
+        (5, 'alpha beta gamma delta epsilon zeta','en', 'web',  35),
+        (6, 'zeta epsilon delta gamma beta alpha','de', 'feed', 35),
+        (7, 'one two three four five six seven',  'en', 'feed', 33)
+    ) AS t(doc_id, text, lang, source, n_chars)
+"""
+
+NULL_TEXT_ORACLE_QUERIES = (
+    "q70_multimodal_features",
+    "q76_grouped_agg_pandas_udaf",
+    "q78_udtf_lateral_trigrams",
+    "q81_multimodal_frame_sample",
+    "q82_multimodal_resize",
+    "q115_audio_window_energy",
+    "q151_simhash_portable",
+    "q152_binaryfile_source",
+    "q156_grouped_model_fit",
+    "q158_grouped_model_score",
+)
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_ORACLE_QUERIES)
+def test_null_and_empty_text_value_parity(spark, tmp_path, name):
+    """Round-8 random-instance-fuzz class: NULL-text and empty-string
+    documents (inevitable in a real crawl corpus) must neither crash a
+    kernel (bytes(None), int(NaN), text.split on None) nor silently
+    diverge from SQL NULL semantics (NaN->int64 garbage in the q76
+    UDAF, the constant simhash fingerprint banding all NULL docs in
+    q151, the spurious empty frame/window for '' payloads in
+    q81/q115's old truncating-division oracle bound). Each query is
+    value-compared against its DuckDB oracle on a fixture that is
+    mostly NULL/'' docs."""
+    sf = _fixture_dir(tmp_path, {"documents": DOCS_NULL})
+    compare_query(spark, sf, name)
+
+
+def test_null_text_simhash_rows_only_backend(spark, tmp_path):
+    """q53 (the xxhash64 simhash, rows-only) shares q151's fix: NULL
+    docs carry no fingerprint, so the only near-dup pair left is the
+    exact-duplicate (4, 5) — before the filter, docs 1 and 2 banded
+    together on the constant fold value."""
+    sf = _fixture_dir(tmp_path, {"documents": DOCS_NULL})
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in load_all_queries()["q53_simhash_neardup"].fn(spark, sf).collect()
+    }
+    assert (4, 5) in pairs
+    assert all(a not in (1, 2) and b not in (1, 2) for a, b in pairs)
+
+
 def test_q52_minhash_survives_short_docs(spark, tmp_path):
     sf = _fixture_dir(tmp_path, {"documents": DOCS_SHORT})
     q52 = load_all_queries()["q52_minhash_lsh_pairs"]
