@@ -692,7 +692,11 @@ def q142_rolling_median_udwf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def median_udwf(v: pd.Series) -> float:
-        return float(np.median(v.to_numpy(dtype=np.int64)))
+        # dropna first: SQL MEDIAN skips NULLs, and to_numpy(int64) on
+        # a NaN-carrying slice silently yields INT64_MIN (the q76
+        # class — random-instance fuzz with NULL event values)
+        arr = v.dropna().to_numpy(dtype=np.int64)
+        return float(np.median(arr)) if arr.size else None
     cents = read_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -752,11 +756,18 @@ def q148_rolling_median_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v"),
         )
     )
-    n = F.least(F.row_number().over(w), F.lit(ROLLING_MEDIAN_FRAME))
-    lower = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    # n = NON-NULL values in the trailing frame (count(col) skips
+    # NULLs): with NULL event values in the frame, row_number-based
+    # counting indexed into the NULLs array_sort parks at the end
+    # (random-instance fuzz finding); all-NULL frames yield NULL like
+    # the oracle's MEDIAN
+    n = F.count("v").over(
+        w.rowsBetween(-(ROLLING_MEDIAN_FRAME - 1), Window.currentRow)
+    )
+    lower = F.element_at(frame, F.greatest(((n + 1) / 2).cast("int"), F.lit(1)))
     upper = F.element_at(frame, (n / 2 + 1).cast("int"))
     return cents.select(
         "event_id",
         "user_id",
-        ((lower + upper) / F.lit(2.0)).alias("rolling_median"),
+        F.when(n > 0, (lower + upper) / F.lit(2.0)).alias("rolling_median"),
     )

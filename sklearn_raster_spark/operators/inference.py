@@ -134,6 +134,10 @@ def _collect_embeddings(spark: SparkSession, sf_dir: str, cap: int = FIT_SAMPLE_
     if key not in _FIT_CACHE:
         pdf = (
             read_table(spark, sf_dir, "embeddings")
+            # a usable training row needs both a vector and a label; a
+            # NULL embedding also breaks the dense matrix build below
+            # (random-instance fuzz finding)
+            .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
             .orderBy("vec_id")
             .limit(cap)
             .toPandas()  # Arrow batch transfer, not row pickling
@@ -200,7 +204,7 @@ def q44_kneighbors_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q67_inverse_transform_roundtrip",
-    oracle="SELECT vec_id, TRUE AS ok FROM embeddings",
+    oracle="SELECT vec_id, TRUE AS ok FROM embeddings WHERE embedding IS NOT NULL",
     doc="transform -> inverse_transform round-trip (reference E6/E7, "
         "estimator.py:520-737), both legs through the COMPILED affine "
         "path (pure Catalyst expressions, zero Python). The query "
@@ -217,7 +221,12 @@ def q67_inverse_transform_roundtrip(spark: SparkSession, sf_dir: str, dims: int 
     est = SparkEstimator(StandardScalerNP())
     est.fit(pd.DataFrame(X[:, :dims], columns=feats))
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL vectors have no round-trip to check (the oracle applies the
+    # same filter); the reconstruction-error invariant is only defined
+    # on real inputs
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     # the original rides along as the single `embedding` array column
     # (passthrough), not one exploded copy per dim; the query checks a
     # 16-dim slice — Catalyst ANALYSIS of the chained compiled selects

@@ -85,6 +85,9 @@ def q58_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
                COUNT(*) OVER () AS total
         FROM embeddings
+        -- NULL vectors contribute no grid row (the materializer cuts
+        -- the band grids from the vec_id-ordered NON-NULL vectors)
+        WHERE embedding IS NOT NULL
     ), cells AS (
         SELECT rn, embedding FROM g WHERE rn < (total // 50) * 50
     )

@@ -48,9 +48,14 @@ def embedding_dim(emb: DataFrame, expect: int | None = None) -> int:
     would otherwise surface as an opaque NoneType TypeError) and, when
     `expect` is given, on dimension drift — zip_with/LIST_ZIP would
     null-pad and silently degenerate every downstream dot/band key."""
-    row = emb.select("embedding").first()
+    # probe the first NON-NULL vector: with NULL embeddings in the
+    # table, first() can land on a hole and misreport "empty"
+    # (random-instance fuzz, seed 5)
+    row = emb.filter(F.col("embedding").isNotNull()).select("embedding").first()
     if row is None or row[0] is None:
-        raise ValueError("embeddings table is empty — cannot probe dimension")
+        raise ValueError(
+            "embeddings table has no non-NULL vectors — cannot probe dimension"
+        )
     dim = len(row[0])
     if expect is not None and dim != expect:
         raise ValueError(f"embeddings dim {dim} != expected {expect}")
@@ -60,7 +65,8 @@ def embedding_dim(emb: DataFrame, expect: int | None = None) -> int:
 @query(
     "q55_knn_cosine_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    WITH nn AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM nn WHERE vec_id < {N_QUERIES}),
     sims AS (
         SELECT
             q.qid,
@@ -71,7 +77,7 @@ def embedding_dim(emb: DataFrame, expect: int | None = None) -> int:
                 / (SQRT(LIST_REDUCE(LIST_TRANSFORM(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b))
                  * SQRT(LIST_REDUCE(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)))
             , 6) AS cosine
-        FROM q, embeddings e
+        FROM q, nn e
         WHERE e.vec_id != q.qid
     )
     SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
@@ -85,7 +91,11 @@ def embedding_dim(emb: DataFrame, expect: int | None = None) -> int:
         "by id) so cross-engine float summation cannot flip ranks.",
 )
 def q55_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL vectors have no cosine; their NULL scores would also rank
+    # differently across engines (Spark sorts NULL first, DuckDB last)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -128,7 +138,10 @@ def q56_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL vectors cannot be normalized or hashed
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     # norm projected FIRST: referencing l2_norm(embedding) inside the
     # transform lambda re-evaluates the whole norm fold per element
     # (O(d^2) per row)
@@ -196,7 +209,13 @@ def q54_kneighbors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q57_embedding_neardup",
     oracle="""
-    WITH sims AS (
+    WITH nn AS (
+        -- NULL embeddings (failed embedding jobs) cannot participate
+        -- in similarity; without this filter LIST_REDUCE errors on
+        -- the empty zip (random-instance fuzz)
+        SELECT * FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sims AS (
         SELECT
             a.vec_id AS id_a,
             b.vec_id AS id_b,
@@ -206,8 +225,8 @@ def q54_kneighbors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (SQRT(LIST_REDUCE(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y))
                  * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y)))
             , 6) AS cosine
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+        FROM nn a
+        JOIN nn b ON a.vec_id < b.vec_id AND a.label = b.label
     )
     SELECT id_a, id_b, cosine FROM sims WHERE cosine >= 0.35
     """,
@@ -217,7 +236,10 @@ def q54_kneighbors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same pattern at scale, with hash buckets instead of labels).",
 )
 def q57_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL embeddings drop at the scan (see oracle comment)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     # precompute each row's norm ONCE before the join — otherwise the
     # norm fold runs per candidate pair (3 folds/pair instead of 1)
     with_norm = emb.select(
@@ -283,6 +305,10 @@ def ivf_topk(
 
     spark = emb.sparkSession
     ensure_workers_can_import(spark)
+
+    # NULL vectors can neither train the quantizer nor take a cell
+    # assignment (the dense matrix builds below require a rectangle)
+    emb = emb.filter(F.col("embedding").isNotNull())
 
     fit_pdf = (
         emb.orderBy("vec_id").limit(fit_cap).select("embedding").toPandas()
@@ -430,6 +456,7 @@ def _q100_oracle() -> str:
         SELECT vec_id, label, embedding,
                {keyed}
         FROM embeddings
+        WHERE embedding IS NOT NULL  -- NULL vectors carry no band key
     ),
     cand AS (
 {cand}
@@ -499,7 +526,11 @@ def banded_candidate_pairs(emb: DataFrame) -> DataFrame:
         "pytest-pinned >= 0.85.",
 )
 def q100_bounded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL embeddings drop at the scan (they have no band key and no
+    # cosine; the oracle's wb CTE applies the same filter)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     with_norm = emb.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
@@ -525,6 +556,7 @@ def q100_bounded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (
         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
+        WHERE embedding IS NOT NULL  -- a missing vector quantizes to nothing
     ), sc AS (
         SELECT i, 127.0 / NULLIF(MAX(ABS(x)), 0) AS scale FROM ex GROUP BY i
     ), q AS (
@@ -554,7 +586,11 @@ def q100_bounded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "groupBy vec_id — no window, no Python.",
 )
 def q112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # posexplode already skips NULL arrays; the explicit filter states
+    # the contract (and matches the oracle's WHERE)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     ex = shared_lineage(
         emb.select(
             "vec_id",
@@ -589,12 +625,14 @@ MAXSIM_QUERY_CAP = 5_000
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS qnrm
         FROM embeddings
         WHERE vec_id % {MAXSIM_QUERY_MOD} = 0 AND vec_id < {MAXSIM_QUERY_CAP}
+          AND embedding IS NOT NULL
     ),
     c AS (
         SELECT vec_id AS cid, label AS clabel, embedding AS ce,
                SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS cnrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     sims AS (
         SELECT q.qid, q.qlabel, c.clabel,
@@ -632,7 +670,11 @@ MAXSIM_QUERY_CAP = 5_000
         "the candidate set per query.",
 )
 def q128_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL token vectors contribute no similarity (oracle CTEs filter
+    # identically)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     qv = emb.filter(
         (F.col("vec_id") % MAXSIM_QUERY_MOD == 0)
         & (F.col("vec_id") < MAXSIM_QUERY_CAP)
@@ -677,7 +719,12 @@ def _pq_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus sliced into PQ subvector columns (vec_id, sub0..subN) —
     the shared input of the fitted (q135/q136) and portable (q160) PQ
     paths. One narrow projection, persisted once."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL vectors have no PQ code (the portable oracle's dists CTE
+    # applies the same filter; without it their NULL adc_dist sorts
+    # FIRST in Spark and LAST in DuckDB, diverging the candidate cut)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     dim = embedding_dim(emb)
     sub_d = dim // PQ_SUBSPACES
     base = emb.select(
@@ -938,6 +985,7 @@ def _sign_lsh_oracle() -> str:
         SELECT vec_id, embedding,
                {keys_sql}
         FROM embeddings
+        WHERE embedding IS NOT NULL  -- NULL vectors carry no band key
     ),
     banded AS (
 {union_bands}
@@ -988,7 +1036,10 @@ def _sign_lsh_oracle() -> str:
 )
 def q155_ann_signlsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = SIGN_LSH_BANDS
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL vectors carry no sign-band key (oracle keyed CTE matches)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     # fail fast on a dimension mismatch: zip_with/LIST_ZIP would
     # null-pad, collapsing every vector into band key '0000...' and
     # degenerating the band join into an all-pairs cross
@@ -1113,6 +1164,7 @@ def _ivf_oracle() -> str:
         SELECT vec_id, embedding,
                {dots}
         FROM embeddings
+        WHERE embedding IS NOT NULL  -- NULL vectors have no cell
     ),
     assigned AS (
         SELECT vec_id, embedding,
@@ -1179,7 +1231,10 @@ def ivf_portable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed cells admit. Exposed so the candidate-bound scale
     contract (|candidates per query| == sum of probed-cell populations,
     minus self) is testable against an independent recomputation."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    # NULL vectors have no cell assignment (oracle dotted CTE matches)
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     # fail fast on dimension drift: zip_with would null-pad and every
     # dot (hence every cell) would silently degenerate
     embedding_dim(emb, expect=_EMB_DIM)
@@ -1319,6 +1374,7 @@ def _pqp_oracle() -> str:
         SELECT vec_id,
                {dists_sql}
         FROM embeddings
+        WHERE embedding IS NOT NULL  -- NULL vectors have no PQ code
     ),
     coded AS (
         SELECT vec_id, [{codes}] AS codes FROM dists

@@ -93,31 +93,40 @@ _WINDOW_ORDER = (
     # Round-8 policy (VERDICT r7 #1, #3): (1) changed queries lead —
     # q54, whose LSH backend (estimator._kneighbors_lsh) gained the
     # exact-path parity kwargs (nan_fill/keep_features/
-    # collision_counter, round-7 ADVICE), and the eleven queries
-    # touched by the random-instance-fuzz NULL/empty-text hardening
-    # (tools/random_instance_fuzz.py; ROUND8_NOTES.md): q53/q151
-    # (NULL docs no longer band on a constant fingerprint), q70/q81/
-    # q82/q115 (NULL-payload kernels follow SQL NULL semantics; q81/
-    # q115 oracle frame bounds fixed to ceil so '' payloads have zero
-    # frames), q76 (UDAF drops NULLs instead of NaN->INT64_MIN),
-    # q78 (UDTF skips NULL text), q152 (only non-empty payloads become
-    # asset files — Spark's binaryFile scan skips 0-byte files),
-    # q156/q158 (NULL training rows filtered on both sides; -0.0
-    # normalized). All twelve are value-identical on the driver
-    # fixtures (re-verified vs oracle at sf0.001/sf0.01 this round —
-    # the fixtures contain no NULL/empty docs) but the touched plans
-    # re-grade. (2) Then the stale-grade backlog: ALL 20 queries whose
-    # newest driver row is r04 (q117…q147, the block that slid out of
-    # the r7 window) — after this round no registry query's newest
-    # hard row is older than r05. (3) The remaining 18 slots take the
-    # oldest r05-graded rows in ordinal order (q21…q63); the r05
-    # remainder opens round 9's backlog block. Everything stays
-    # value-checked every suite run by the full-registry oracle sweep
-    # (tests/test_oracle_sweep.py) regardless of window position, and
-    # per-query TIMING comes from the bench, which runs all 160
-    # regardless.
-    # -- (1) changed in round 8: q54 (LSH kwargs parity) + the eleven
-    #    NULL/empty-text hardening queries
+    # collision_counter, round-7 ADVICE), and the TWENTY-FIVE queries
+    # touched by the random-instance-fuzz dirty-data hardening
+    # (tools/random_instance_fuzz.py; ROUND8_NOTES.md), two classes:
+    # NULL/empty TEXT — q53/q151 (NULL docs no longer band on a
+    # constant fingerprint), q70/q81/q82/q115 (NULL-payload kernels
+    # follow SQL NULL semantics; q81/q115 oracle frame bounds fixed to
+    # ceil so '' payloads have zero frames), q76 (UDAF drops NULLs
+    # instead of NaN->INT64_MIN), q78 (UDTF skips NULL text), q152
+    # (only non-empty payloads become asset files — Spark's binaryFile
+    # scan skips 0-byte files), q156/q158 (NULL training rows filtered
+    # both sides; -0.0 normalized) — and NULL EMBEDDINGS / EVENT
+    # VALUES — q55/q56/q57/q67/q68/q69/q100/q112/q128/q155/q157/q160
+    # (NULL vectors drop at the scan on both sides: they crash DuckDB
+    # list folds, break dense matrix builds, and their NULL scores
+    # sort FIRST in Spark but LAST in DuckDB, diverging top-k cuts),
+    # q142/q148 (rolling median: NULLs skipped like SQL MEDIAN — the
+    # UDWF dropped NaN->INT64_MIN garbage, the JVM twin indexed by row
+    # count instead of non-NULL count). All are value-identical on the
+    # driver fixtures (re-verified vs oracle at sf0.001/sf0.01 this
+    # round — the fixtures contain no NULLs) but the touched plans
+    # re-grade. The shared-helper rows-only consumers (q41-q44 via
+    # _collect_embeddings, q135/q136 via _pq_base) changed plans too
+    # but keep their block positions — same driver values, weak-grade
+    # class. (2) Then the stale-grade backlog: the r04-graded block
+    # (q117…q147; q128/q136 of that block are handled above/below) —
+    # after this round no registry query's newest hard row is older
+    # than r05. (3) The remaining slots take the oldest r05-graded
+    # rows in ordinal order; the r05 remainder opens round 9's backlog
+    # block. Everything stays value-checked every suite run by the
+    # full-registry oracle sweep (tests/test_oracle_sweep.py)
+    # regardless of window position, and per-query TIMING comes from
+    # the bench, which runs all 160 regardless.
+    # -- (1) changed in round 8: q54 (LSH kwargs parity) + the 25
+    #    dirty-data hardening queries
     "q54_kneighbors_lsh",
     "q53_simhash_neardup",
     "q70_multimodal_features",
@@ -130,6 +139,20 @@ _WINDOW_ORDER = (
     "q152_binaryfile_source",
     "q156_grouped_model_fit",
     "q158_grouped_model_score",
+    "q55_knn_cosine_bruteforce",
+    "q56_ann_lsh",
+    "q57_embedding_neardup",
+    "q67_inverse_transform_roundtrip",
+    "q68_raster_stack_source",
+    "q69_ann_ivf",
+    "q100_bounded_neardup",
+    "q112_embedding_quantize",
+    "q128_maxsim_late_interaction",
+    "q142_rolling_median_udwf",
+    "q148_rolling_median_jvm",
+    "q155_ann_signlsh_portable",
+    "q157_ann_ivf_portable",
+    "q160_pq_adc_portable",
     # -- (2) newest driver row r04: all 20, oldest backlog
     "q117_stream_interval_join",
     "q119_als_recommendations",
@@ -138,7 +161,6 @@ _WINDOW_ORDER = (
     "q123_cms_heavy_hitters",
     "q124_khop_reachability",
     "q126_grouped_split",
-    "q128_maxsim_late_interaction",
     "q129_rolling_anomaly",
     "q130_stream_tumbling_window",
     "q132_bm25_retrieval",
@@ -157,29 +179,25 @@ _WINDOW_ORDER = (
     "q23_math_funcs",
     "q24_array_funcs",
     "q25_json_funcs",
+    # ---- 50-query driver window closes here ----
+    # -- (4) r05 remainder (35): round 9's backlog block (q26…q125
+    #    slid out as the changed-queries head grew to twenty-six)
     "q26_tumbling_window",
     "q27_sliding_window",
     "q28_session_window",
     "q29_dedup_keep_first",
     "q30_event_pivot",
     "q33_explode_ordinality",
-    "q55_knn_cosine_bruteforce",
-    "q57_embedding_neardup",
     "q59_stateful_running_agg",
     "q60_text_stats",
     "q61_language_id",
     "q62_fingerprint",
     "q63_regex_tokens",
-    # ---- 50-query driver window closes here ----
-    # -- (4) r05 remainder (24): round 9's backlog block (q64…q125
-    #    slid out as the changed-queries head grew to twelve)
     "q64_quality_filter",
-    "q69_ann_ivf",
     "q71_merge_upsert",
     "q72_hash_split",
     "q73_stratified_sample",
     "q84_copurchase_components",
-    "q100_bounded_neardup",
     "q101_contamination_check",
     "q102_sequence_packing",
     "q105_fixed_size_sample",
@@ -188,15 +206,12 @@ _WINDOW_ORDER = (
     "q131_inverted_index",
     "q135_product_quantization",
     "q139_mode_aggregate",
-    "q142_rolling_median_udwf",
     "q144_stream_session_window",
     "q145_entity_resolution",
     "q146_negative_sampling",
-    "q148_rolling_median_jvm",
     "q149_pipeline_composition",
     "q150_minhash_portable",
     "q153_stream_semi_join",
-    "q155_ann_signlsh_portable",
     # -- (5) newest driver row r06 (47), then r07 (49; q54 moved to
     #    the changed head): freshest last
     #    (1 + 20 + 29 + 14 + 47 + 49 = 160)
@@ -215,8 +230,6 @@ _WINDOW_ORDER = (
     "q50_exact_dedup",
     "q58_json_source",
     "q66_wide_long_reshape",
-    "q67_inverse_transform_roundtrip",
-    "q68_raster_stack_source",
     "q74_orc_source",
     "q75_partitioned_sink_prune",
     "q77_range_interval_window",
@@ -237,9 +250,7 @@ _WINDOW_ORDER = (
     "q97_regression_aggregates",
     "q118_frequent_itemsets",
     "q154_stream_outer_join",
-    "q157_ann_ivf_portable",
     "q159_pagerank_portable",
-    "q160_pq_adc_portable",
     # -- newest driver row r07 (49): the r7 window minus q54
     "q65_bigram_counts",
     "q80_dynamic_session_window",
@@ -276,14 +287,12 @@ _WINDOW_ORDER = (
     "q37_ranking_functions",
     "q39_stat_aggregates",
     "q52_minhash_lsh_pairs",
-    "q56_ann_lsh",
     "q106_contamination_bloom",
     "q107_stream_dedup",
     "q108_priority_sample",
     "q109_repetition_signals",
     "q110_outlier_flags",
     "q111_quantile_binning",
-    "q112_embedding_quantize",
     "q113_scd2_intervals",
     "q114_training_mix",
     "q116_stream_inference",

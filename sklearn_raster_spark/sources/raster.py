@@ -81,6 +81,10 @@ def materialize_raster_stack(
     ):
         emb = (
             spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            # a NULL vector contributes no grid row: the band cut is
+            # positional over the vec_id-ordered NON-NULL vectors
+            # (q68's oracle filters identically before ROW_NUMBER)
+            .filter(F.col("embedding").isNotNull())
             .orderBy("vec_id")
             .select("embedding")
             .toPandas()

@@ -134,6 +134,69 @@ def test_null_and_empty_text_value_parity(spark, tmp_path, name):
     compare_query(spark, sf, name)
 
 
+EMB_NULL = """
+    SELECT CAST(x AS BIGINT) AS vec_id,
+           CASE WHEN x % 7 = 3 THEN NULL
+                ELSE LIST_TRANSFORM(RANGE(64),
+                     i -> CAST(ROUND(SIN(x * 64 + i) , 3) AS FLOAT))
+           END AS embedding,
+           CASE WHEN x % 11 = 5 THEN NULL
+                ELSE CAST(x % 10 AS INTEGER) END AS label
+    FROM range(120) t(x)
+"""
+
+EVENTS_NULL_VALUE = """
+    SELECT CAST(x AS BIGINT) AS event_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (x * 7 % 1000) MINUTE AS ts,
+           CAST(x % 5 AS BIGINT) AS user_id,
+           ['view', 'click', 'purchase', 'signup', 'error'][1 + x % 5] AS event_type,
+           CASE WHEN x % 6 = 2 THEN NULL
+                ELSE ROUND(CAST(x * 37 % 10000 AS DOUBLE) / 100.0, 2) END AS value,
+           '{"k": ' || CAST(x % 100 AS VARCHAR) || '}' AS props
+    FROM range(400) t(x)
+"""
+
+NULL_EMBEDDING_ORACLE_QUERIES = (
+    "q55_knn_cosine_bruteforce",
+    "q57_embedding_neardup",
+    "q67_inverse_transform_roundtrip",
+    "q68_raster_stack_source",
+    "q100_bounded_neardup",
+    "q112_embedding_quantize",
+    "q128_maxsim_late_interaction",
+    "q155_ann_signlsh_portable",
+    "q157_ann_ivf_portable",
+    "q160_pq_adc_portable",
+)
+
+
+@pytest.mark.parametrize("name", NULL_EMBEDDING_ORACLE_QUERIES)
+def test_null_embedding_value_parity(spark, tmp_path, name):
+    """Round-8 fuzz class two: NULL embeddings (failed embedding jobs
+    leave holes in any real vector table). Every similarity / ANN /
+    quantize / raster consumer must drop them at the scan on BOTH
+    sides — an unfiltered NULL either crashes a DuckDB list fold
+    (LIST_ZIP(NULL, NULL) -> empty-list reduce), crashes the driver's
+    dense matrix build, or — subtlest — produces NULL scores that sort
+    FIRST in Spark and LAST in DuckDB, silently diverging every top-k
+    cut."""
+    sf = _fixture_dir(tmp_path, {"embeddings": EMB_NULL})
+    compare_query(spark, sf, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["q142_rolling_median_udwf", "q148_rolling_median_jvm"]
+)
+def test_null_event_value_rolling_median_parity(spark, tmp_path, name):
+    """Round-8 fuzz class three: NULL event values inside a rolling
+    ROWS frame. SQL MEDIAN skips NULLs; the pandas UDWF used to turn
+    NaN into INT64_MIN via to_numpy(int64), and the JVM twin indexed
+    the sorted frame by ROW count instead of non-NULL count."""
+    sf = _fixture_dir(tmp_path, {"events": EVENTS_NULL_VALUE})
+    compare_query(spark, sf, name)
+
+
 def test_null_text_simhash_rows_only_backend(spark, tmp_path):
     """q53 (the xxhash64 simhash, rows-only) shares q151's fix: NULL
     docs carry no fingerprint, so the only near-dup pair left is the

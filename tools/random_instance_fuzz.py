@@ -143,8 +143,14 @@ def make_instance(seed: int, out_dir: str) -> None:
                  ELSE hash(x + {s + 23}) % 15 END AS BIGINT) AS user_id,
             ['view', 'click', 'purchase', 'signup', 'error']
                 [1 + CAST(hash(x + {s + 24}) % 5 AS INTEGER)] AS event_type,
-            ROUND(CAST(hash(x + {s + 25}) % 10000 AS DOUBLE) / 100.0, 2) AS value,
-            '{{"k": ' || CAST(hash(x + {s + 26}) % 100 AS VARCHAR) || '}}' AS props
+            -- ~5% NULL value / props: malformed or dropped event
+            -- payloads are routine in a real stream
+            CASE WHEN hash(x + {s + 27}) % 20 = 0 THEN NULL
+                 ELSE ROUND(CAST(hash(x + {s + 25}) % 10000 AS DOUBLE) / 100.0, 2)
+            END AS value,
+            CASE WHEN hash(x + {s + 28}) % 20 = 0 THEN NULL
+                 ELSE '{{"k": ' || CAST(hash(x + {s + 26}) % 100 AS VARCHAR) || '}}'
+            END AS props
         FROM range({n_events}) t(x)
         """,
         "events",
@@ -195,11 +201,16 @@ def make_instance(seed: int, out_dir: str) -> None:
     copy(
         f"""
         SELECT CAST(x AS BIGINT) AS vec_id,
-               list_transform(
-                   range(64),
-                   i -> CAST(ROUND(CAST(hash(x * 67 + i + {s + 40}) % 2000 AS DOUBLE) / 1000.0 - 1.0, 3) AS FLOAT)
-               ) AS embedding,
-               CAST(hash(x + {s + 41}) % 10 AS INTEGER) AS label
+               -- ~4% NULL embedding: failed embedding jobs leave holes
+               CASE WHEN hash(x + {s + 42}) % 25 = 0 THEN NULL
+                    ELSE list_transform(
+                        range(64),
+                        i -> CAST(ROUND(CAST(hash(x * 67 + i + {s + 40}) % 2000 AS DOUBLE) / 1000.0 - 1.0, 3) AS FLOAT)
+                    )
+               END AS embedding,
+               CASE WHEN hash(x + {s + 43}) % 25 = 0 THEN NULL
+                    ELSE CAST(hash(x + {s + 41}) % 10 AS INTEGER)
+               END AS label
         FROM range({n_vecs}) t(x)
         """,
         "embeddings",
