@@ -502,15 +502,20 @@ def q103_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
         SELECT event_type,
                COUNT(value) AS n,
-               SUM(CAST(value AS DECIMAL(28, 10))) AS s1,
-               SUM(CAST(value AS DECIMAL(28, 10)) * CAST(value AS DECIMAL(28, 10))) AS s2
+               -- DECIMAL(18,2): the square stays inside the 38-digit
+               -- cap, exact in both engines (see engine comment)
+               SUM(CAST(value AS DECIMAL(18, 2))) AS s1,
+               SUM(CAST(value AS DECIMAL(18, 2)) * CAST(value AS DECIMAL(18, 2))) AS s2
         FROM events
         WHERE value IS NOT NULL
         GROUP BY event_type
     ), z AS (
         SELECT e.event_id, e.event_type, e.value,
+               -- double-first variance arithmetic (see engine comment)
                (e.value - CAST(s.s1 AS DOUBLE) / s.n)
-                   / NULLIF(SQRT((CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) / (CAST(s.n AS DOUBLE) * s.n)), 0)
+                   / NULLIF(SQRT((CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+                                  - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                                 / (CAST(s.n AS DOUBLE) * s.n)), 0)
                    AS zscore
         FROM events e JOIN stats s ON e.event_type = s.event_type
         WHERE e.value IS NOT NULL
@@ -533,15 +538,31 @@ def q103_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q110_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    vdec = F.col("value").cast("decimal(28,10)")
+    # DECIMAL(18,2): v*v is then DECIMAL(37,4) — WITHIN the 38-digit
+    # cap, so every squared term is exact in both engines. The old
+    # (28,10) square needed precision 57 and each engine rounded the
+    # overflowing product at a different scale, leaking a
+    # data-dependent 1-ulp zscore divergence (random-instance fuzz);
+    # event values are 2dp by contract, so (18,2) is lossless.
+    vdec = F.col("value").cast("decimal(18,2)")
     stats = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
         F.sum(vdec).alias("s1"),
         F.sum(vdec * vdec).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
+    # cast the EXACT decimal sums to double BEFORE the variance
+    # arithmetic: n*s2 and s1*s1 overflow DECIMAL(38) precision, and
+    # the two engines round the overflowing product at different
+    # scales — a data-dependent 1-ulp zscore divergence (random-
+    # instance fuzz). Double-first makes every op an identical IEEE
+    # primitive on identical inputs; the oracle casts in the same
+    # order.
     std = F.sqrt(
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        (
+            F.col("n").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
         / (F.col("n").cast("double") * F.col("n"))
     )
     z = (F.col("value") - mean) / F.nullif(std, F.lit(0.0))

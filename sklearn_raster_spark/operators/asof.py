@@ -63,6 +63,15 @@ def asof_join(
             right.select(r_struct.alias("_rv")).schema["_rv"].dataType
         ).alias("_rv"),
     )
+    # Right rows with a NULL key or NULL time can never match under
+    # SQL semantics (equality and <= both reject NULL), but the
+    # union-sort would group NULL keys into their own partition and
+    # Spark's NULLS FIRST ordering would carry a NULL-time right row
+    # into EVERY later left row (random-instance fuzz, NULL user_id
+    # axis — DuckDB's native ASOF JOIN excludes both). Left rows keep
+    # left-join semantics: a NULL-key left row's partition then holds
+    # no right rows, so its carry is NULL.
+    right = right.filter(F.col(on).isNotNull() & F.col(right_time).isNotNull())
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),

@@ -396,7 +396,12 @@ def q95_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), runs AS (
         SELECT user_id, event_type, ts, event_id,
-               SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+               -- IS DISTINCT FROM: null-safe run boundary (see engine
+               -- comment). Quirk shared by BOTH engines: a stream that
+               -- STARTS with NULL-type rows numbers that first run 0
+               -- (absent lag is indistinguishable from a NULL type) —
+               -- deterministic and identical on both sides
+               SUM(CASE WHEN prev_type IS DISTINCT FROM event_type
                         THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
@@ -432,9 +437,14 @@ def q113_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # null-safe change detection (eqNullSafe / IS DISTINCT FROM): with
+    # plain <>, a NULL event_type row produced a NULL flag that SUM
+    # skipped, silently absorbing the row into the neighboring run —
+    # and two (user, run_id) interval rows then tied in the lead
+    # window (random-instance fuzz, NULL event_type axis). NULL runs
+    # are real runs: consecutive NULLs form one interval.
     changed = (
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type"))
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
     ).cast("int")
     runs = ev.select(
         "user_id", "event_type", "ts", "event_id",

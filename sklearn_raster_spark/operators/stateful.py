@@ -55,6 +55,12 @@ def _running_stats(
     key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
+    # NULL keys form ONE state group, exactly like the oracle's
+    # PARTITION BY user_id window treats its NULL partition (the old
+    # int(key) crashed the executor — random-instance fuzz). NOTE the
+    # NULL key arrives as float NaN through the Arrow key transfer,
+    # not None, so notna is the only safe probe.
+    uid = int(user_id) if pd.notna(user_id) else None
     if state.exists:
         n, vmax = state.get
     else:
@@ -72,7 +78,7 @@ def _running_stats(
         yield pd.DataFrame(
             {
                 "event_id": pd.array(ids, dtype="Int64"),
-                "user_id": pd.array([int(user_id)] * len(ids), dtype="Int64"),
+                "user_id": pd.array([uid] * len(ids), dtype="Int64"),
                 "running_n": pd.array(ns, dtype="Int64"),
                 "running_max": pd.array(maxes, dtype="Float64"),
             }
@@ -153,6 +159,7 @@ class RunningStatsProcessor(StatefulProcessor):
         existing = self._state.get()
         n, vmax = existing if existing is not None else (0, None)
         (user_id,) = key
+        uid = int(user_id) if pd.notna(user_id) else None  # NULL key group (NaN via Arrow)
         for pdf in rows:
             pdf = pdf.sort_values(["ts", "event_id"])
             ids, ns, maxes = [], [], []
@@ -166,7 +173,7 @@ class RunningStatsProcessor(StatefulProcessor):
             yield pd.DataFrame(
                 {
                     "event_id": pd.array(ids, dtype="Int64"),
-                    "user_id": pd.array([int(user_id)] * len(ids), dtype="Int64"),
+                    "user_id": pd.array([uid] * len(ids), dtype="Int64"),
                     "running_n": pd.array(ns, dtype="Int64"),
                     "running_max": pd.array(maxes, dtype="Float64"),
                 }

@@ -110,7 +110,13 @@ _WINDOW_ORDER = (
     # sort FIRST in Spark but LAST in DuckDB, diverging top-k cuts),
     # q142/q148 (rolling median: NULLs skipped like SQL MEDIAN — the
     # UDWF dropped NaN->INT64_MIN garbage, the JVM twin indexed by row
-    # count instead of non-NULL count). All are value-identical on the
+    # count instead of non-NULL count) — and NULL EVENT KEYS (user_id/
+    # event_type) — q31 (the as-of union-sort matched NULL keys where
+    # SQL equality never does; NULL-key/time right rows now drop), q59
+    # (stateful kernel crashed on int(NaN) for the NULL key group),
+    # q110 (variance math hit engine-specific DECIMAL-overflow
+    # rounding; now double-first both sides), q113 (run boundary needed
+    # null-safe IS DISTINCT FROM). All are value-identical on the
     # driver fixtures (re-verified vs oracle at sf0.001/sf0.01 this
     # round — the fixtures contain no NULLs) but the touched plans
     # re-grade. The shared-helper rows-only consumers (q41-q44 via
@@ -125,7 +131,7 @@ _WINDOW_ORDER = (
     # full-registry oracle sweep (tests/test_oracle_sweep.py)
     # regardless of window position, and per-query TIMING comes from
     # the bench, which runs all 160 regardless.
-    # -- (1) changed in round 8: q54 (LSH kwargs parity) + the 25
+    # -- (1) changed in round 8: q54 (LSH kwargs parity) + the 29
     #    dirty-data hardening queries
     "q54_kneighbors_lsh",
     "q53_simhash_neardup",
@@ -153,6 +159,10 @@ _WINDOW_ORDER = (
     "q155_ann_signlsh_portable",
     "q157_ann_ivf_portable",
     "q160_pq_adc_portable",
+    "q31_asof_join",
+    "q59_stateful_running_agg",
+    "q110_outlier_flags",
+    "q113_scd2_intervals",
     # -- (2) newest driver row r04: all 20, oldest backlog
     "q117_stream_interval_join",
     "q119_als_recommendations",
@@ -173,22 +183,22 @@ _WINDOW_ORDER = (
     "q141_cohort_retention",
     "q143_incremental_aggregate",
     "q147_walk_forward_split",
-    # -- (3) newest driver row r05: 18 of 43, ordinal order
+    # -- (3) newest driver row r05: 1 of 43, ordinal order (the head's
+    #    growth to thirty left a single regular slot)
     "q21_string_funcs",
+    # ---- 50-query driver window closes here ----
+    # -- (4) r05 remainder (42): round 9's backlog block (q22…q125
+    #    slid out as the changed-queries head grew to thirty)
     "q22_date_funcs",
     "q23_math_funcs",
     "q24_array_funcs",
     "q25_json_funcs",
-    # ---- 50-query driver window closes here ----
-    # -- (4) r05 remainder (35): round 9's backlog block (q26…q125
-    #    slid out as the changed-queries head grew to twenty-six)
     "q26_tumbling_window",
     "q27_sliding_window",
     "q28_session_window",
     "q29_dedup_keep_first",
     "q30_event_pivot",
     "q33_explode_ordinality",
-    "q59_stateful_running_agg",
     "q60_text_stats",
     "q61_language_id",
     "q62_fingerprint",
@@ -215,7 +225,6 @@ _WINDOW_ORDER = (
     # -- (5) newest driver row r06 (47), then r07 (49; q54 moved to
     #    the changed head): freshest last
     #    (1 + 20 + 29 + 14 + 47 + 49 = 160)
-    "q31_asof_join",
     "q38_interval_join",
     "q40_linear_inference_nodata",
     "q41_nb_classify_embeddings",
@@ -291,9 +300,7 @@ _WINDOW_ORDER = (
     "q107_stream_dedup",
     "q108_priority_sample",
     "q109_repetition_signals",
-    "q110_outlier_flags",
     "q111_quantile_binning",
-    "q113_scd2_intervals",
     "q114_training_mix",
     "q116_stream_inference",
 )

@@ -185,6 +185,43 @@ def test_null_embedding_value_parity(spark, tmp_path, name):
     compare_query(spark, sf, name)
 
 
+EVENTS_NULL_KEYS = """
+    SELECT CAST(x AS BIGINT) AS event_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (x * 13 % 2000) MINUTE AS ts,
+           CASE WHEN x % 9 = 4 THEN NULL ELSE CAST(x % 5 AS BIGINT) END AS user_id,
+           CASE WHEN x % 11 = 7 THEN NULL
+                ELSE ['view', 'click', 'purchase', 'signup', 'error'][1 + x % 5]
+           END AS event_type,
+           CASE WHEN x % 6 = 2 THEN NULL
+                ELSE ROUND(CAST(x * 37 % 10000 AS DOUBLE) / 100.0, 2) END AS value,
+           '{"k": ' || CAST(x % 100 AS VARCHAR) || '}' AS props
+    FROM range(400) t(x)
+"""
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q31_asof_join",
+        "q59_stateful_running_agg",
+        "q110_outlier_flags",
+        "q113_scd2_intervals",
+    ],
+)
+def test_null_event_keys_value_parity(spark, tmp_path, name):
+    """Round-8 fuzz class four: NULL user_id / event_type (unattributed
+    or malformed events). The as-of union-sort used to MATCH NULL keys
+    (SQL equality never does — right rows with NULL key/time now drop);
+    the SCD2 run-boundary flag needed null-safe inequality (a plain <>
+    yielded NULL, absorbing NULL-type rows into neighboring runs and
+    tying (user, run_id)); the stateful kernel crashed on int(NaN) for
+    the NULL key group; and q110's variance math hit engine-specific
+    DECIMAL-overflow rounding (now double-first on both sides)."""
+    sf = _fixture_dir(tmp_path, {"events": EVENTS_NULL_KEYS})
+    compare_query(spark, sf, name)
+
+
 @pytest.mark.parametrize(
     "name", ["q142_rolling_median_udwf", "q148_rolling_median_jvm"]
 )

@@ -138,11 +138,17 @@ def make_instance(seed: int, out_dir: str) -> None:
             CAST(x AS BIGINT) AS event_id,
             TIMESTAMP '2024-01-01 00:00:00'
                 + INTERVAL (CAST(hash(x + {s + 20}) % 40000 AS INTEGER)) MINUTE AS ts,
-            CAST(CASE WHEN hash(x + {s + 21}) % 10 < 4
-                 THEN hash(x + {s + 22}) % 3
-                 ELSE hash(x + {s + 23}) % 15 END AS BIGINT) AS user_id,
-            ['view', 'click', 'purchase', 'signup', 'error']
-                [1 + CAST(hash(x + {s + 24}) % 5 AS INTEGER)] AS event_type,
+            -- ~4% NULL user_id / event_type: unattributed or
+            -- malformed events are routine in a real stream
+            CASE WHEN hash(x + {s + 29}) % 25 = 0 THEN NULL
+                 ELSE CAST(CASE WHEN hash(x + {s + 21}) % 10 < 4
+                      THEN hash(x + {s + 22}) % 3
+                      ELSE hash(x + {s + 23}) % 15 END AS BIGINT)
+            END AS user_id,
+            CASE WHEN hash(x + {s + 37}) % 25 = 0 THEN NULL
+                 ELSE ['view', 'click', 'purchase', 'signup', 'error']
+                     [1 + CAST(hash(x + {s + 24}) % 5 AS INTEGER)]
+            END AS event_type,
             -- ~5% NULL value / props: malformed or dropped event
             -- payloads are routine in a real stream
             CASE WHEN hash(x + {s + 27}) % 20 = 0 THEN NULL
