@@ -512,9 +512,14 @@ def q103_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), z AS (
         SELECT e.event_id, e.event_type, e.value,
                -- double-first variance arithmetic (see engine comment)
+               -- GREATEST(.., 0): double-first n*s2 - s1*s1 can go
+               -- slightly negative for zero-variance / single-row
+               -- groups; DuckDB's SQRT hard-errors on negatives while
+               -- Spark returns NaN. Clamp so degenerate groups fall
+               -- back to exactly 0 and NULLIF restores the NULL zscore.
                (e.value - CAST(s.s1 AS DOUBLE) / s.n)
-                   / NULLIF(SQRT((CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
-                                  - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                   / NULLIF(SQRT(GREATEST(CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+                                  - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE), 0)
                                  / (CAST(s.n AS DOUBLE) * s.n)), 0)
                    AS zscore
         FROM events e JOIN stats s ON e.event_type = s.event_type
@@ -558,10 +563,18 @@ def q110_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instance fuzz). Double-first makes every op an identical IEEE
     # primitive on identical inputs; the oracle casts in the same
     # order.
+    # greatest(.., 0): the double-first n*s2 - s1*s1 can round to a
+    # tiny NEGATIVE for zero-variance / single-row groups (exact-
+    # decimal subtraction gave exactly 0). Without the clamp Spark's
+    # sqrt returns NaN (and NaN > 3 is TRUE in Spark, flagging every
+    # row) while DuckDB's SQRT hard-errors Out of Range. Clamping to 0
+    # restores the documented degenerate-group contract: std == 0 ->
+    # NULLIF -> NULL zscore, is_outlier NULL.
     std = F.sqrt(
-        (
+        F.greatest(
             F.col("n").cast("double") * F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double"),
+            F.lit(0.0),
         )
         / (F.col("n").cast("double") * F.col("n"))
     )

@@ -704,19 +704,21 @@ def q142_rolling_median_udwf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def median_udwf(v: pd.Series) -> float:
         # SQL MEDIAN skips NULLs, and to_numpy(int64) on a NaN-carrying
         # slice silently yields INT64_MIN (the q76 class — random-
-        # instance fuzz with NULL event values). float64 is exact here
-        # (integer cents << 2^53; the even-count midpoint halves an
-        # integer sum). This UDF runs once per ROW'S frame, so the NaN
-        # handling must be overhead-free on clean frames: a cheap any()
-        # probe guards the rare masked path (pandas dropna per frame
-        # measured 5.3s -> 9.5s at sf0.1; np.nanmedian was no better —
-        # its masking setup dominates on tiny arrays).
-        arr = v.to_numpy(dtype=np.float64)
-        mask = np.isnan(arr)
-        if mask.any():
-            arr = arr[~mask]
-            if arr.size == 0:
-                return None
+        # instance fuzz with NULL event values). This UDF runs once per
+        # ROW'S frame, so NULL handling must be overhead-free on clean
+        # frames: the Arrow slice materializes as int64 when the frame
+        # has no NULLs and float64 only when it does, so an O(1) dtype
+        # probe routes clean frames straight to np.median with zero
+        # copies or scans (the forced to_numpy(float64)+isnan version
+        # measured 5.7s -> 9.5s at sf0.1). float64 is exact on the
+        # masked path (integer cents << 2^53; the even-count midpoint
+        # halves an integer sum).
+        arr = v.to_numpy()
+        if arr.dtype.kind == "i":
+            return float(np.median(arr))
+        arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return None
         return float(np.median(arr))
     cents = read_table(spark, sf_dir, "events").select(
         "event_id",

@@ -250,6 +250,10 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
     tags: dict[str, str] = {}
     xml = raw_tags.get(_TAG_GDAL_METADATA)
     if isinstance(xml, str):
+        # saxutils.unescape only decodes &amp;/&lt;/&gt; by default;
+        # write_gtiff escapes quotes too, so decode them symmetrically
+        # or a quote in a tag name reads back as literal entity text.
+        _quotes = {"&quot;": '"', "&apos;": "'"}
         for name, value in _ITEM_RE.findall(xml):
-            tags[unescape(name)] = unescape(value.strip())
+            tags[unescape(name, _quotes)] = unescape(value.strip(), _quotes)
     return grid, {"nodata": nodata, "tags": tags}

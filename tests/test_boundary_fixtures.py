@@ -258,3 +258,42 @@ def test_q52_minhash_survives_short_docs(spark, tmp_path):
     assert (4, 5) in pairs
     # sub-shingle docs carry no k-shingles: never in any pair
     assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+
+
+EVENTS_ZERO_VARIANCE = """
+    SELECT CAST(x AS BIGINT) AS event_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (x * 7 % 1000) MINUTE AS ts,
+           CAST(x % 5 AS BIGINT) AS user_id,
+           CASE WHEN x = 0 THEN 'singleton'
+                WHEN x % 3 = 0 THEN 'constant'
+                ELSE ['view', 'click', 'purchase'][1 + x % 3] END AS event_type,
+           CASE WHEN x = 0 THEN 12.34
+                WHEN x % 3 = 0 THEN 41.99
+                ELSE ROUND(CAST(x * 37 % 10000 AS DOUBLE) / 100.0, 2) END AS value,
+           '{"k": 1}' AS props
+    FROM range(300) t(x)
+"""
+
+
+def test_q110_zero_variance_groups_yield_null_zscore(spark, tmp_path):
+    """Round-9 ADVICE (high): the double-first variance n*s2 - s1*s1
+    rounds to a tiny NEGATIVE for zero-variance and single-row groups.
+    Un-clamped, DuckDB's SQRT hard-errors (Out of Range) while Spark
+    returns NaN and flags EVERY row of the group is_outlier=true (NaN
+    > 3 is true in Spark). GREATEST(.., 0) on both sides restores the
+    documented degenerate-group contract: std == 0 -> NULLIF -> NULL
+    zscore. The fixture has a 100-row constant-value group and a
+    single-row group; value-compared against the DuckDB oracle, plus a
+    direct NULL-zscore assertion so the contract is pinned even if the
+    oracle text drifts."""
+    sf = _fixture_dir(tmp_path, {"events": EVENTS_ZERO_VARIANCE})
+    compare_query(spark, sf, "q110_outlier_flags")
+    rows = (
+        load_all_queries()["q110_outlier_flags"]
+        .fn(spark, sf)
+        .filter("event_type IN ('constant', 'singleton')")
+        .collect()
+    )
+    assert len(rows) > 50
+    assert all(r["zscore"] is None and r["is_outlier"] is None for r in rows)

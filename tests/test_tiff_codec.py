@@ -42,6 +42,20 @@ def test_tagless_file_and_xml_escaping(tmp_path):
     _, info2 = read_gtiff(p2)
     assert info2["tags"]["desc"] == 'a<b>&"c"'
 
+    # quotes in tag NAMES sit inside the name="..." attribute, so they
+    # escape as &quot; — the reader must decode them back (round-9
+    # ADVICE: saxutils' default entity map skips &quot;/&apos;). A
+    # literal '&quot;' in a VALUE must survive via &amp;quot;.
+    p3 = str(tmp_path / "escname.tif")
+    write_gtiff(
+        p3,
+        np.zeros((2, 2), np.float32),
+        tags={'say "hi" & \'bye\'': "v1", "lit": "&quot;raw&apos;"},
+    )
+    _, info3 = read_gtiff(p3)
+    assert info3["tags"]['say "hi" & \'bye\''] == "v1"
+    assert info3["tags"]["lit"] == "&quot;raw&apos;"
+
 
 def test_nan_nodata_and_non_contiguous_input(tmp_path):
     p = str(tmp_path / "nan.tif")
