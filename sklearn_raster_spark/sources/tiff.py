@@ -16,11 +16,13 @@ Scope, deliberately narrow:
   classic TIFF (single strip, chunky, uncompressed) that rasterio /
   GDAL / Pillow can read, with optional band tags and nodata.
 - ``read_gtiff``: classic TIFF -> (grid, {"nodata", "tags"}).
-  Understands both byte orders, multi-strip files, and all integer /
-  float sample formats. Anything outside baseline (compression,
-  tiles, BigTIFF, multi-sample) raises ``NotImplementedError`` with a
-  pointer to rasterio — the raster source falls back to rasterio
-  automatically when the environment provides it.
+  Understands both byte orders, multi-strip files, all integer /
+  float sample formats, and Deflate-compressed strips (compression 8
+  and legacy 32946 — plain zlib per strip, stdlib). Anything beyond
+  (LZW/PackBits/JPEG compression, tiles, BigTIFF, multi-sample)
+  raises ``NotImplementedError`` with a pointer to rasterio — the
+  raster source falls back to rasterio automatically when the
+  environment provides it.
 
 Decode runs on EXECUTORS inside the raster source's mapInPandas, so
 it allocates only the one grid it returns — no driver involvement.
@@ -77,20 +79,29 @@ def write_gtiff(
     *,
     nodata: float | None = None,
     tags: dict[str, str] | None = None,
+    compress: str | None = None,
 ) -> None:
-    """Write one 2-D grid as a single-strip uncompressed little-endian
-    classic TIFF. ``tags`` land in GDAL_METADATA as band-1 items (the
-    exact XML shape GDAL writes for ``update_tags(1, ...)``); ``nodata``
-    lands in GDAL_NODATA."""
+    """Write one 2-D grid as a single-strip little-endian classic TIFF.
+    ``tags`` land in GDAL_METADATA as band-1 items (the exact XML shape
+    GDAL writes for ``update_tags(1, ...)``); ``nodata`` lands in
+    GDAL_NODATA. ``compress="deflate"`` zlib-compresses the strip
+    (TIFF compression 8, Adobe Deflate — zlib is stdlib so it costs no
+    dependency; GDAL/rasterio read it as COMPRESS=DEFLATE)."""
     grid = np.ascontiguousarray(grid)
     if grid.ndim != 2:
         raise ValueError(f"expected a 2-D grid, got shape {grid.shape}")
     key = (grid.dtype.itemsize * 8, _SAMPLE_FORMAT_OF_KIND.get(grid.dtype.kind))
     if key not in _DTYPE_OF:
         raise ValueError(f"unsupported grid dtype {grid.dtype}")
+    if compress not in (None, "deflate"):
+        raise ValueError(f"unsupported compress={compress!r} (builtin: deflate)")
     bits, fmt = key
     h, w = grid.shape
     data = grid.astype(np.dtype("<" + _DTYPE_OF[key]), copy=False).tobytes()
+    if compress == "deflate":
+        import zlib
+
+        data = zlib.compress(data, 6)
 
     # (tag, type, count, inline-int-or-None) — ascii payloads resolved
     # to offsets once the IFD size is known
@@ -98,7 +109,7 @@ def write_gtiff(
         (_TAG_WIDTH, 4, 1, w),
         (_TAG_HEIGHT, 4, 1, h),
         (_TAG_BITS, 3, 1, bits),
-        (_TAG_COMPRESSION, 3, 1, 1),
+        (_TAG_COMPRESSION, 3, 1, 8 if compress == "deflate" else 1),
         (_TAG_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
         (_TAG_STRIP_OFFSETS, 4, 1, None),  # patched below
         (_TAG_SPP, 3, 1, 1),
@@ -172,10 +183,10 @@ def write_gtiff(
 
 
 def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
-    """Decode a classic baseline TIFF to (grid, info) where info is
-    ``{"nodata": float | None, "tags": {name: value}}`` parsed from the
-    GDAL metadata tags. Raises ``NotImplementedError`` for compressed /
-    tiled / BigTIFF files (rasterio territory)."""
+    """Decode a classic baseline/Deflate TIFF to (grid, info) where
+    info is ``{"nodata": float | None, "tags": {name: value}}`` parsed
+    from the GDAL metadata tags. Raises ``NotImplementedError`` for
+    LZW/tiled/BigTIFF files (rasterio territory)."""
     with open(path, "rb") as f:
         buf = f.read()
     bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
@@ -213,9 +224,13 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             return default
         return v[0] if isinstance(v, list) else v
 
-    if one(_TAG_COMPRESSION, 1) != 1:
+    compression = one(_TAG_COMPRESSION, 1)
+    if compression not in (1, 8, 32946):
+        # 8 = Adobe Deflate, 32946 = legacy Deflate — both plain zlib
+        # streams per strip; LZW/PackBits/JPEG stay rasterio-only
         raise NotImplementedError(
-            f"{path}: compressed TIFF needs rasterio; builtin decoder is baseline-only"
+            f"{path}: compression {compression} needs rasterio; builtin "
+            "decoder reads uncompressed and Deflate strips"
         )
     if 322 in raw_tags or 324 in raw_tags:  # TileWidth / TileOffsets
         raise NotImplementedError(
@@ -234,7 +249,14 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
     counts = raw_tags.get(_TAG_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError(f"{path}: missing or inconsistent strip tables")
-    data = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    if compression == 1:
+        data = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    else:
+        import zlib
+
+        data = b"".join(
+            zlib.decompress(buf[o : o + c]) for o, c in zip(offsets, counts)
+        )
     grid = (
         np.frombuffer(data, dtype=np.dtype(bo + dt), count=h * w)
         .reshape(h, w)

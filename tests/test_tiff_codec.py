@@ -198,3 +198,114 @@ def test_writer_output_is_rasterio_readable_when_available(tmp_path):
         assert np.array_equal(src.read(1), grid)
         assert src.nodata == -9999.0
         assert src.tags(1)["long_name"] == "b"
+
+
+@pytest.mark.parametrize(
+    "dtype",
+    [np.uint8, np.uint16, np.int16, np.int32, np.float32, np.float64],
+)
+def test_deflate_roundtrip_bitexact_per_dtype(tmp_path, dtype):
+    """compress='deflate' (TIFF compression 8, zlib strips) must be
+    bit-exact through the builtin read path, like the baseline writer."""
+    rng = np.random.default_rng(9)
+    if np.issubdtype(dtype, np.floating):
+        grid = rng.normal(size=(13, 5)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        grid = rng.integers(info.min, info.max, size=(13, 5), dtype=dtype)
+    p = str(tmp_path / "z.tif")
+    write_gtiff(p, grid, nodata=-1.0, tags={"long_name": "z"}, compress="deflate")
+    back, meta = read_gtiff(p)
+    assert back.dtype == grid.dtype and np.array_equal(back, grid)
+    assert meta == {"nodata": -1.0, "tags": {"long_name": "z"}}
+
+
+def test_deflate_actually_compresses_and_legacy_code_reads(tmp_path):
+    import zlib
+
+    grid = np.zeros((64, 64), np.float64)  # maximally compressible
+    p_raw, p_z = tmp_path / "raw.tif", tmp_path / "z.tif"
+    write_gtiff(str(p_raw), grid)
+    write_gtiff(str(p_z), grid, compress="deflate")
+    assert p_z.stat().st_size < p_raw.stat().st_size / 4
+
+    # legacy code 32946 (old-style Deflate, same zlib stream): flip the
+    # Compression entry in place — the reader must treat it identically
+    buf = bytearray(p_z.read_bytes())
+    (n,) = struct.unpack("<H", buf[8:10])
+    for i in range(n):
+        off = 10 + 12 * i
+        (tag,) = struct.unpack("<H", buf[off : off + 2])
+        if tag == 259:
+            buf[off + 4 : off + 8] = struct.pack("<I", 1)  # count stays 1
+            buf[off + 8 : off + 12] = struct.pack("<HH", 32946, 0)
+    p_legacy = tmp_path / "legacy.tif"
+    p_legacy.write_bytes(bytes(buf))
+    back, _ = read_gtiff(str(p_legacy))
+    assert np.array_equal(back, grid)
+
+    # a corrupt zlib stream must raise, not return garbage
+    p_bad = tmp_path / "bad.tif"
+    bad = bytearray(p_z.read_bytes())
+    bad[-8:] = b"\x00" * 8
+    p_bad.write_bytes(bytes(bad))
+    with pytest.raises(zlib.error):
+        read_gtiff(str(p_bad))
+
+
+def test_deflate_multistrip_big_endian(tmp_path):
+    """Hand-assembled MM-order file with two independently deflated
+    strips — the layout GDAL writes for large compressed rasters."""
+    import zlib
+
+    h, w = 4, 3
+    grid = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    raw = grid.astype(">f4").tobytes()
+    s1, s2 = zlib.compress(raw[: len(raw) // 2]), zlib.compress(raw[len(raw) // 2 :])
+
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack(">HHI", tag, typ, count) + value_bytes
+
+    n = 10
+    after_ifd = 8 + 2 + 12 * n + 4
+    strip_offsets_off = after_ifd
+    strip_counts_off = after_ifd + 8
+    data_off = after_ifd + 16
+    entries = b"".join(
+        [
+            entry(256, 4, 1, struct.pack(">I", w)),
+            entry(257, 4, 1, struct.pack(">I", h)),
+            entry(258, 3, 1, struct.pack(">H2x", 32)),
+            entry(259, 3, 1, struct.pack(">H2x", 8)),  # Adobe Deflate
+            entry(262, 3, 1, struct.pack(">H2x", 1)),
+            entry(273, 4, 2, struct.pack(">I", strip_offsets_off)),
+            entry(277, 3, 1, struct.pack(">H2x", 1)),
+            entry(278, 4, 1, struct.pack(">I", 2)),
+            entry(279, 4, 2, struct.pack(">I", strip_counts_off)),
+            entry(339, 3, 1, struct.pack(">H2x", 3)),
+        ]
+    )
+    buf = (
+        b"MM"
+        + struct.pack(">HI", 42, 8)
+        + struct.pack(">H", n)
+        + entries
+        + struct.pack(">I", 0)
+        + struct.pack(">II", data_off, data_off + len(s1))
+        + struct.pack(">II", len(s1), len(s2))
+        + s1
+        + s2
+    )
+    p = tmp_path / "mmz.tif"
+    p.write_bytes(buf)
+    back, _ = read_gtiff(str(p))
+    assert back.dtype == np.float32 and np.array_equal(back, grid)
+
+
+def test_deflate_rasterio_interop(tmp_path):
+    rasterio = pytest.importorskip("rasterio")
+    grid = np.arange(35, dtype=np.int32).reshape(5, 7)
+    p = str(tmp_path / "z.tif")
+    write_gtiff(p, grid, compress="deflate")
+    with rasterio.open(p) as src:
+        assert np.array_equal(src.read(1), grid)
