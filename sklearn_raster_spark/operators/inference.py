@@ -25,6 +25,7 @@ from sklearn_raster_spark.estimators import (
 from sklearn_raster_spark.features import FeatureFrame
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
+from sklearn_raster_spark.utils.vectors import finite_embedding
 
 EMB_DIM = 64
 
@@ -135,9 +136,11 @@ def _collect_embeddings(spark: SparkSession, sf_dir: str, cap: int = FIT_SAMPLE_
         pdf = (
             read_table(spark, sf_dir, "embeddings")
             # a usable training row needs both a vector and a label; a
-            # NULL embedding also breaks the dense matrix build below
-            # (random-instance fuzz finding)
-            .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+            # NULL embedding breaks the dense matrix build below, and a
+            # non-finite element would silently absorb into every
+            # learned statistic (random-instance fuzz findings r8/r9;
+            # utils/vectors.py contract)
+            .filter(finite_embedding() & F.col("label").isNotNull())
             .orderBy("vec_id")
             .limit(cap)
             .toPandas()  # Arrow batch transfer, not row pickling
@@ -204,7 +207,8 @@ def q44_kneighbors_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q67_inverse_transform_roundtrip",
-    oracle="SELECT vec_id, TRUE AS ok FROM embeddings WHERE embedding IS NOT NULL",
+    oracle="SELECT vec_id, TRUE AS ok FROM embeddings WHERE embedding IS NOT NULL "
+           "AND LEN(LIST_FILTER(embedding, x -> NOT ISFINITE(x))) = 0",
     doc="transform -> inverse_transform round-trip (reference E6/E7, "
         "estimator.py:520-737), both legs through the COMPILED affine "
         "path (pure Catalyst expressions, zero Python). The query "
@@ -221,12 +225,12 @@ def q67_inverse_transform_roundtrip(spark: SparkSession, sf_dir: str, dims: int 
     est = SparkEstimator(StandardScalerNP())
     est.fit(pd.DataFrame(X[:, :dims], columns=feats))
 
-    # NULL vectors have no round-trip to check (the oracle applies the
-    # same filter); the reconstruction-error invariant is only defined
-    # on real inputs
-    emb = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    # NULL or non-finite vectors have no round-trip to check (the
+    # oracle applies the same filter): the reconstruction-error
+    # invariant is only defined on real inputs, and a NaN element
+    # makes |x - x| NaN, flagging ok=false on an untestable row
+    # (utils/vectors.py contract)
+    emb = read_table(spark, sf_dir, "embeddings").filter(finite_embedding())
     # the original rides along as the single `embedding` array column
     # (passthrough), not one exploded copy per dim; the query checks a
     # 16-dim slice — Catalyst ANALYSIS of the chained compiled selects

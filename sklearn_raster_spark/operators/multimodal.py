@@ -130,14 +130,19 @@ def extract_byte_features(df: DataFrame, payload_col: str = "payload") -> DataFr
     oracle="""
     SELECT
         doc_id,
-        CAST(LENGTH(text) AS INTEGER) AS n_bytes,
-        CAST(LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_nonspace
+        -- OCTET_LENGTH(ENCODE(..)): the payload is the utf-8 BYTES of
+        -- the text, so multibyte characters count per byte (round-9
+        -- unicode fuzz axis); LENGTH would count chars
+        CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+        CAST(OCTET_LENGTH(ENCODE(REPLACE(text, ' ', ''))) AS INTEGER) AS n_nonspace
     FROM documents
     """,
     doc="Multimodal plumbing, oracle-checkable slice: binary payload "
         "attach -> mapInPandas byte features; n_bytes must equal the "
-        "SQL text length (ascii payload), n_nonspace cross-checks the "
-        "histogram path deterministically.",
+        "SQL OCTET_LENGTH of the utf-8 text (byte semantics, exact "
+        "for unicode corpora), n_nonspace cross-checks the histogram "
+        "path deterministically (the space byte 0x20 never occurs "
+        "inside a utf-8 multibyte sequence).",
 )
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -159,23 +164,28 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                  frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame-sampling kernel (the video path of the multimodal surface):
     slice each payload into fixed-size frames and keep every
-    ``stride``-th one — one input row fans out to ceil(n/(bytes*stride))
-    frame rows, all executor-side via mapInPandas. With a real codec
-    the slicing becomes keyframe extraction; the partitioning, fan-out
-    and Arrow batch shape are identical."""
+    ``stride``-th one — one input row fans out to ceil(n/(units*stride))
+    frame rows, all executor-side via mapInPandas. Frames are sliced in
+    DECODED units (characters of the utf-8 payload — a real codec
+    slices decoded samples, never the compressed byte stream): slicing
+    raw bytes would split multibyte characters across frame boundaries
+    (decode crash, round-9 unicode fuzz axis) and diverge from SQL
+    SUBSTR, which counts characters. With a real video codec the
+    slicing becomes keyframe extraction; the partitioning, fan-out and
+    Arrow batch shape are identical."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_str": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 if payload is None:
                     continue  # NULL payload: zero frames (oracle: RANGE(NULL))
-                data = bytes(payload)
+                data = bytes(payload).decode("utf-8")
                 n_frames = (len(data) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
                     rows["frame_str"].append(
-                        data[i * frame_bytes : (i + 1) * frame_bytes].decode("utf-8")
+                        data[i * frame_bytes : (i + 1) * frame_bytes]
                     )
             if rows["doc_id"]:
                 yield pd.DataFrame(rows)
@@ -186,9 +196,12 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
 def resize_payload(df: DataFrame, payload_col: str = "payload",
                    target_bytes: int = RESIZE_TARGET) -> DataFrame:
     """Resize/decimate kernel (the image path): stride-sample each
-    payload down to at most ``target_bytes`` bytes (k = ceil(n/target),
-    keep every k-th byte). Deterministic stand-in for a real
-    interpolating resize; 1:1 row mapping, bounded output size."""
+    payload down to at most ``target_bytes`` decoded units
+    (k = ceil(n/target), keep every k-th CHARACTER of the utf-8
+    payload — byte striding would split multibyte characters, round-9
+    unicode fuzz axis, and diverge from the char-indexed SQL oracle).
+    Deterministic stand-in for a real interpolating resize; 1:1 row
+    mapping, bounded output size."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -204,12 +217,12 @@ def resize_payload(df: DataFrame, payload_col: str = "payload",
                     out["resized_len"].append(None)
                     out["resized_str"].append(None)
                     continue
-                data = bytes(payload)
+                data = bytes(payload).decode("utf-8")
                 k = max(1, -(-len(data) // target_bytes))
                 resized = data[::k]
                 out["orig_len"].append(len(data))
                 out["resized_len"].append(len(resized))
-                out["resized_str"].append(resized.decode("utf-8"))
+                out["resized_str"].append(resized)
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],
@@ -228,6 +241,8 @@ def resize_payload(df: DataFrame, payload_col: str = "payload",
     "q81_multimodal_frame_sample",
     oracle=f"""
     WITH frames AS (
+        -- SUBSTR/LENGTH count CHARACTERS, exactly like the kernel's
+        -- decoded-unit slicing (round-9 unicode fuzz axis)
         SELECT doc_id,
                CAST(i AS INTEGER) AS frame_idx,
                SUBSTR(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame_str
@@ -290,9 +305,13 @@ def audio_window_energy(
     """Overlapping-window analysis over binary payloads (the STFT
     frame shape: window ``win`` samples, hop ``hop``): per window emit
     start offset, sample count, integer energy (sum of squared sample
-    values) and peak amplitude. mapInPandas fan-out — one payload row
-    yields ~len/hop window rows executor-side, payload bytes never
-    visit the driver; numpy does the per-batch vector math."""
+    values) and peak amplitude. Samples are the CODEPOINTS of the
+    decoded utf-8 payload — the decoded-unit sequence, exactly what
+    SQL UNICODE() sees per character, so the oracle stays exact for
+    unicode corpora (raw bytes diverged and split multibyte chars,
+    round-9 fuzz axis). mapInPandas fan-out — one payload row yields
+    ~len/hop window rows executor-side, payload bytes never visit the
+    driver; numpy does the per-batch vector math."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -301,7 +320,10 @@ def audio_window_energy(
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 if payload is None:
                     continue  # NULL payload: zero windows (oracle: RANGE(NULL))
-                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                samples = np.array(
+                    [ord(c) for c in bytes(payload).decode("utf-8")],
+                    dtype=np.int64,
+                )
                 n = len(samples)
                 idx = 0
                 for start in range(0, n, hop):
@@ -335,7 +357,10 @@ def audio_window_energy(
     )
     SELECT doc_id, win_idx, start,
            CAST(LENGTH(w) AS INTEGER) AS n_samples,
-           CAST(LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(w, ''), c -> UNICODE(c) * UNICODE(c)),
+           -- BIGINT BEFORE the square: emoji codepoints (~1.1e5)
+           -- overflow INT32 when squared (round-9 unicode fuzz axis)
+           CAST(LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(w, ''),
+                                           c -> CAST(UNICODE(c) AS BIGINT) * UNICODE(c)),
                             (a, b) -> a + b) AS BIGINT) AS energy,
            CAST(LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(w, ''), c -> UNICODE(c))) AS INTEGER) AS peak
     FROM wins
@@ -391,16 +416,24 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io", sf_name, "media")
     marker = os.path.join(path, "_SUCCESS")
-    fingerprint = source_fingerprint(table_path(sf_dir, "documents"))
+    # the selection-logic version rides in the fingerprint so a code
+    # change invalidates cached asset dirs, not just data changes
+    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v2-ascii"
     if not cache_is_current(marker, fingerprint):
         if os.path.isdir(path):
             shutil.rmtree(path)
         os.makedirs(os.path.join(path, "img"), exist_ok=True)
         os.makedirs(os.path.join(path, "wav"), exist_ok=True)
+        # ASCII-only payloads (bytes == chars): a pixel grid / PCM
+        # stream holds one 0-255 unit per sample, so only byte==char
+        # docs have a faithful text<->media encoding — the SQL oracles
+        # apply the identical OCTET_LENGTH(ENCODE(..)) = LENGTH(..)
+        # predicate (round-9 unicode fuzz axis)
         docs = read_table(spark, sf_dir, "documents").filter(
             (F.col("doc_id") % MEDIA_MOD == 0)
             & F.col("text").isNotNull()
             & (F.length("text") > 0)
+            & (F.octet_length(F.encode("text", "utf-8")) == F.length("text"))
         )
 
         def write_assets(rows):
@@ -437,6 +470,8 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
                 AS INTEGER) AS px_max
     FROM documents
     WHERE doc_id % {MEDIA_MOD} = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+      -- ASCII-only assets (see materialize_media_files)
+      AND OCTET_LENGTH(ENCODE(text)) = LENGTH(text)
     """,
     doc="END-TO-END image decode (closes the round-8 stub, VERDICT r8 "
         "#3): executors PNG-encode each sampled doc's bytes as a real "
@@ -503,6 +538,8 @@ def q161_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS INTEGER) AS peak
     FROM documents
     WHERE doc_id % {MEDIA_MOD} = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+      -- ASCII-only assets (see materialize_media_files)
+      AND OCTET_LENGTH(ENCODE(text)) = LENGTH(text)
     """,
     doc="END-TO-END audio decode (closes the round-8 stub, VERDICT r8 "
         "#4): executors WAV-encode each sampled doc's bytes as int16 "

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
 from sklearn_raster_spark.utils.cache import shared_lineage
+from sklearn_raster_spark.utils.vectors import finite_embedding
 
 N_QUERIES = 5
 TOP_K = 5
@@ -556,7 +557,12 @@ def q100_bounded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (
         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS i)
-        WHERE embedding IS NOT NULL  -- a missing vector quantizes to nothing
+        -- a missing vector quantizes to nothing, and a non-finite
+        -- element poisons the per-dim scale (NaN*scale crashes the INT
+        -- cast here while Spark yields NULL) — invalid vectors drop at
+        -- the scan (utils/vectors.py contract)
+        WHERE embedding IS NOT NULL
+          AND LEN(LIST_FILTER(embedding, x -> NOT ISFINITE(x))) = 0
     ), sc AS (
         SELECT i, 127.0 / NULLIF(MAX(ABS(x)), 0) AS scale FROM ex GROUP BY i
     ), q AS (
@@ -586,11 +592,9 @@ def q100_bounded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "groupBy vec_id — no window, no Python.",
 )
 def q112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # posexplode already skips NULL arrays; the explicit filter states
-    # the contract (and matches the oracle's WHERE)
-    emb = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    # NULL or non-finite vectors quantize to nothing (oracle applies
+    # the identical predicate; utils/vectors.py contract)
+    emb = read_table(spark, sf_dir, "embeddings").filter(finite_embedding())
     ex = shared_lineage(
         emb.select(
             "vec_id",
@@ -626,13 +630,17 @@ MAXSIM_QUERY_CAP = 5_000
         FROM embeddings
         WHERE vec_id % {MAXSIM_QUERY_MOD} = 0 AND vec_id < {MAXSIM_QUERY_CAP}
           AND embedding IS NOT NULL
+          AND LEN(LIST_FILTER(embedding, x -> NOT ISFINITE(x))) = 0
     ),
     c AS (
         SELECT vec_id AS cid, label AS clabel, embedding AS ce,
                SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS cnrm
         FROM embeddings
+        -- non-finite elements poison qnrm/cnrm and the dot products;
+        -- invalid vectors drop at the scan (utils/vectors.py contract)
         WHERE embedding IS NOT NULL
+          AND LEN(LIST_FILTER(embedding, x -> NOT ISFINITE(x))) = 0
     ),
     sims AS (
         SELECT q.qid, q.qlabel, c.clabel,
@@ -670,11 +678,9 @@ MAXSIM_QUERY_CAP = 5_000
         "the candidate set per query.",
 )
 def q128_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL token vectors contribute no similarity (oracle CTEs filter
-    # identically)
-    emb = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    # NULL or non-finite token vectors contribute no similarity
+    # (oracle CTEs filter identically; utils/vectors.py contract)
+    emb = read_table(spark, sf_dir, "embeddings").filter(finite_embedding())
     qv = emb.filter(
         (F.col("vec_id") % MAXSIM_QUERY_MOD == 0)
         & (F.col("vec_id") < MAXSIM_QUERY_CAP)

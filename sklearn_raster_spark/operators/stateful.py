@@ -338,9 +338,15 @@ def q153_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q154_stream_outer_join",
     oracle="""
     WITH cutoff AS (
+        -- the purchase max EXCLUDES NULL-key purchases: they can never
+        -- match (SQL equality) and the engine drops them before its
+        -- watermark node, so a NULL-key purchase carrying the stream
+        -- max must not extend the emitted-prefix contract (round-9
+        -- fuzz finding — see streaming/outer_join_stream)
         SELECT LEAST(
             MAX(ts) FILTER (WHERE event_type = 'click'),
-            MAX(ts) FILTER (WHERE event_type = 'purchase')
+            MAX(ts) FILTER (WHERE event_type = 'purchase'
+                            AND user_id IS NOT NULL)
         ) - INTERVAL 4 HOUR AS m
         FROM events
     ),
@@ -349,8 +355,10 @@ def q153_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events, cutoff WHERE event_type = 'click' AND ts <= cutoff.m
     ),
     p AS (
+        -- NULL-key purchases never join; dropping them here mirrors the
+        -- engine and changes no LEFT JOIN output row
         SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     )
     SELECT c.click_id, c.user_id, p.purchase_id,
            CAST(DATEDIFF('second', p.purchase_ts, c.click_ts) AS BIGINT)

@@ -394,16 +394,29 @@ def outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix."""
     from sklearn_raster_spark.sources import read_table
 
-    cutoff = (
-        read_table(spark, sf_dir, "events")
-        .agg(
-            F.least(
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-            ).alias("m")
-        )
-        .collect()[0]["m"]
-    )
+    # The cutoff must be computed over the rows that actually DRIVE
+    # each side's watermark. NULL-key purchases can never match any
+    # click (SQL equality), so they're dropped EXPLICITLY before the
+    # watermark node — if they were left in, Catalyst would infer
+    # isnotnull(p_user_id) from the join condition and push it BELOW
+    # the watermark anyway (left-outer infers it only on the right
+    # side), and a NULL-key purchase carrying the stream's max ts
+    # would then inflate the cutoff past what the watermark can flush:
+    # the newest unmatched clicks silently vanish from an availableNow
+    # run (round-9 random-instance fuzz, seed 101 — 4 rows).
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("user_id").isNotNull(),
+                    F.col("ts"),
+                )
+            ),
+        ).alias("m")
+    ).collect()[0]["m"]
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -420,7 +433,9 @@ def outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user_id"),

@@ -297,3 +297,109 @@ def test_q110_zero_variance_groups_yield_null_zscore(spark, tmp_path):
     )
     assert len(rows) > 50
     assert all(r["zscore"] is None and r["is_outlier"] is None for r in rows)
+
+
+EVENTS_NULLKEY_MAX = """
+    SELECT CAST(x AS BIGINT) AS event_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (x * 11 % 3000) MINUTE AS ts,
+           CASE WHEN x = 399 THEN NULL ELSE CAST(x % 4 AS BIGINT) END AS user_id,
+           CASE WHEN x % 3 = 0 THEN 'click'
+                WHEN x % 3 = 1 THEN 'purchase'
+                ELSE 'view' END AS event_type,
+           1.0 AS value, '{"k": 1}' AS props
+    FROM range(400) t(x)
+    UNION ALL
+    -- the stream's MAX purchase timestamp belongs to a NULL-key row
+    SELECT 9999, TIMESTAMP '2024-01-03 12:00:00', NULL, 'purchase', 1.0, '{"k": 1}'
+"""
+
+
+def test_q154_nullkey_purchase_cannot_extend_emitted_prefix(spark, tmp_path):
+    """Round-9 fuzz finding (seed 101): Catalyst infers
+    isnotnull(p_user_id) from the outer-join condition and pushes it
+    BELOW the purchases watermark node, so a NULL-key purchase carrying
+    the stream's max ts advanced the CUTOFF contract but not the
+    WATERMARK — the newest unmatched clicks silently vanished from the
+    availableNow run (rowcount 199 vs 203). The cutoff now excludes
+    NULL-key purchases on both sides; this fixture makes the stream max
+    a NULL-key purchase deliberately."""
+    sf = _fixture_dir(tmp_path, {"events": EVENTS_NULLKEY_MAX})
+    compare_query(spark, sf, "q154_stream_outer_join")
+
+
+DOCS_UNICODE = """
+    SELECT CAST(x AS BIGINT) AS doc_id,
+           CASE WHEN x % 7 = 0 THEN NULL
+                WHEN x % 7 = 1 THEN ''
+                WHEN x % 3 = 0 THEN 'café straße 中文词 ño🦜 доклад w' || CAST(x % 5 AS VARCHAR)
+                WHEN x % 3 = 1 THEN 'plain ascii words w' || CAST(x % 5 AS VARCHAR) || ' again'
+                ELSE '🦜🦜 emoji heavy 🦜 doc w' || CAST(x % 5 AS VARCHAR)
+           END AS text,
+           ['en', 'de', 'zh'][1 + x % 3] AS lang,
+           'src' || CAST(x % 4 AS VARCHAR) AS source,
+           CAST(length(CASE WHEN x % 7 = 0 THEN NULL
+                WHEN x % 7 = 1 THEN ''
+                WHEN x % 3 = 0 THEN 'café straße 中文词 ño🦜 доклад w' || CAST(x % 5 AS VARCHAR)
+                WHEN x % 3 = 1 THEN 'plain ascii words w' || CAST(x % 5 AS VARCHAR) || ' again'
+                ELSE '🦜🦜 emoji heavy 🦜 doc w' || CAST(x % 5 AS VARCHAR)
+           END) AS BIGINT) AS n_chars
+    FROM range(160) t(x)
+"""
+
+UNICODE_PAYLOAD_QUERIES = (
+    "q70_multimodal_features",
+    "q81_multimodal_frame_sample",
+    "q82_multimodal_resize",
+    "q115_audio_window_energy",
+    "q161_image_decode_features",
+    "q162_audio_decode_features",
+)
+
+
+@pytest.mark.parametrize("name", UNICODE_PAYLOAD_QUERIES)
+def test_unicode_payload_value_parity(spark, tmp_path, name):
+    """Round-9 fuzz axis: MULTIBYTE text (accented latin / CJK / emoji)
+    in every payload kernel. Byte slicing used to split utf-8 sequences
+    across frame boundaries (decode crash) and diverge from char-based
+    SQL SUBSTR/LENGTH; codepoints like U+1F99C overflow INT32 when
+    squared; and the media materializer's text<->pixel encoding is only
+    faithful for byte==char docs. Kernels now operate in DECODED units
+    (chars/codepoints), q70 pins byte semantics via OCTET_LENGTH, and
+    q161/q162 gate assets to ASCII docs on both sides."""
+    sf = _fixture_dir(tmp_path, {"documents": DOCS_UNICODE})
+    compare_query(spark, sf, name)
+
+
+EMB_NONFINITE = """
+    SELECT CAST(x AS BIGINT) AS vec_id,
+           CASE WHEN x % 13 = 3 THEN NULL
+                ELSE LIST_TRANSFORM(RANGE(64),
+                     i -> CASE WHEN x % 5 = 0 AND i = x % 64
+                               THEN (['NaN', 'Infinity', '-Infinity'][1 + x % 3])::FLOAT
+                               ELSE CAST(ROUND(SIN(x * 64 + i), 3) AS FLOAT) END)
+           END AS embedding,
+           CASE WHEN x % 11 = 5 THEN NULL
+                ELSE CAST(x % 10 AS INTEGER) END AS label
+    FROM range(130) t(x)
+"""
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q67_inverse_transform_roundtrip",
+        "q112_embedding_quantize",
+        "q128_maxsim_late_interaction",
+    ],
+)
+def test_nonfinite_embedding_value_parity(spark, tmp_path, name):
+    """Round-9 fuzz axis: NaN/+-Inf ELEMENTS inside otherwise-valid
+    vectors (overflowed embedding jobs). Un-filtered, a NaN element
+    made DuckDB's INT cast hard-error where Spark yields NULL (q112),
+    poisoned qnrm/cnrm cosine scores (q128), and absorbed into the
+    driver-side scaler stats flagging every round-trip false (q67).
+    Invalid vectors now drop at the scan on both sides
+    (utils/vectors.py contract); 1-in-5 vectors here carry one."""
+    sf = _fixture_dir(tmp_path, {"embeddings": EMB_NONFINITE})
+    compare_query(spark, sf, name)

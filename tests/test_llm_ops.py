@@ -72,9 +72,20 @@ def test_multimodal_byte_features_deterministic(spark, sf_dir):
         assert r.hist_0 + r.hist_1 + r.hist_2 + r.hist_3 == len(raw)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(b"xx", "image/png")
+def test_decode_image_is_real_since_round9():
+    """decode_image was a stub through round 8; it now decodes real
+    containers via the builtin codecs (sources/image.py) and keeps a
+    pointed rejection surface for library-only formats."""
+    import numpy as np
+
+    from sklearn_raster_spark.sources.image import encode_png
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(decode_image(encode_png(img), "image/png"), img)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"xx definitely not an image", "image/png")
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg", "image/jpeg")
 
 
 def test_bounded_neardup_oracle_parity(spark, sf_dir):

@@ -10,10 +10,18 @@ round-7 q65/q80/q52 class). Each seed here is a fresh instance that
 deliberately contains those cases:
 
 - events on whole-minute timestamps (exact gap boundaries, duplicate
-  (user, ts) pairs), skewed user distribution;
-- documents with empty / 1-2-word / exact-duplicate texts and a
-  random vocabulary size;
-- embeddings of the fixture dimension (64) with random values;
+  (user, ts) pairs), Zipf-skewed user distribution (round 9: a
+  geometric rank law so the hottest key carries ~half the stream —
+  the hot-key join/agg shape AQE skew handling must survive);
+- documents with empty / 1-2-word / exact-duplicate texts, a random
+  vocabulary size, and (round 9) MULTIBYTE words — accented latin,
+  CJK, emoji — mixed into the vocabulary, so every byte-vs-char
+  assumption in tokenizers, frame slicers, and payload oracles is
+  exercised (LENGTH counts chars, utf-8 payloads count bytes);
+- embeddings of the fixture dimension (64) with random values, ~2.5%
+  NULL vectors, and (round 9) rare NaN / +-Inf ELEMENTS inside
+  otherwise-valid vectors — failed embedding jobs emit those too, and
+  non-finite scores order differently across engines;
 - TPC-H tables derived from sf0.001 by hash-seeded row sampling and
   value jitter, referential integrity preserved (children filtered to
   surviving parents).
@@ -140,10 +148,10 @@ def make_instance(seed: int, out_dir: str) -> None:
                 + INTERVAL (CAST(hash(x + {s + 20}) % 40000 AS INTEGER)) MINUTE AS ts,
             -- ~4% NULL user_id / event_type: unattributed or
             -- malformed events are routine in a real stream
+            -- Zipf-ish rank law: user k appears with weight ~2^-k, so
+            -- user 0 owns about half the stream (hot-key joins/aggs)
             CASE WHEN hash(x + {s + 29}) % 25 = 0 THEN NULL
-                 ELSE CAST(CASE WHEN hash(x + {s + 21}) % 10 < 4
-                      THEN hash(x + {s + 22}) % 3
-                      ELSE hash(x + {s + 23}) % 15 END AS BIGINT)
+                 ELSE CAST(FLOOR(LOG2(8192.0 / (1 + CAST(hash(x + {s + 22}) % 8191 AS DOUBLE)))) AS BIGINT)
             END AS user_id,
             CASE WHEN hash(x + {s + 37}) % 25 = 0 THEN NULL
                  ELSE ['view', 'click', 'purchase', 'signup', 'error']
@@ -187,7 +195,15 @@ def make_instance(seed: int, out_dir: str) -> None:
                        ELSE array_to_string(
                            list_transform(
                                range(CAST(hash(text_seed + {s + 31}) % 26 AS INTEGER)),
-                               i -> 'w' || CAST(hash(text_seed * 131 + i + {s + 32}) % {vocab} AS VARCHAR)
+                               -- ~1 word in 6 is multibyte (accented
+                               -- latin / CJK / emoji): every byte-vs-
+                               -- char law in tokenizers and payload
+                               -- kernels gets exercised
+                               i -> CASE WHEN hash(text_seed * 17 + i + {s + 38}) % 6 = 0
+                                         THEN ['café', 'straße', '中文词', 'доклад', 'ño🦜']
+                                              [1 + CAST(hash(text_seed * 131 + i + {s + 39}) % 5 AS INTEGER)]
+                                         ELSE 'w' || CAST(hash(text_seed * 131 + i + {s + 32}) % {vocab} AS VARCHAR)
+                                    END
                            ), ' ')
                    END AS text
             FROM ids
@@ -211,7 +227,15 @@ def make_instance(seed: int, out_dir: str) -> None:
                CASE WHEN hash(x + {s + 42}) % 25 = 0 THEN NULL
                     ELSE list_transform(
                         range(64),
-                        i -> CAST(ROUND(CAST(hash(x * 67 + i + {s + 40}) % 2000 AS DOUBLE) / 1000.0 - 1.0, 3) AS FLOAT)
+                        -- ~1 vector in 30 carries one non-finite
+                        -- element (NaN / +-Inf): overflowed or failed
+                        -- embedding jobs emit those alongside NULLs
+                        i -> CASE WHEN hash(x + {s + 44}) % 30 = 0
+                                   AND i = CAST(hash(x + {s + 45}) % 64 AS INTEGER)
+                                  THEN ['NaN', 'Infinity', '-Infinity']
+                                       [1 + CAST(hash(x + {s + 46}) % 3 AS INTEGER)]::FLOAT
+                                  ELSE CAST(ROUND(CAST(hash(x * 67 + i + {s + 40}) % 2000 AS DOUBLE) / 1000.0 - 1.0, 3) AS FLOAT)
+                             END
                     )
                END AS embedding,
                CASE WHEN hash(x + {s + 43}) % 25 = 0 THEN NULL
