@@ -91,11 +91,18 @@ def q58_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cells AS (
         SELECT rn, embedding FROM g WHERE rn < (total // 50) * 50
     )
+    -- NaN cells are MISSING (the raster float-nodata convention; the
+    -- engine's decode kernel surfaces them as SQL NULL explicitly), so
+    -- min/max/corner skip them while n_cells still counts the full
+    -- grid geometry; +-Inf are real cell values and flow through
     SELECT band,
            COUNT(*) AS n_cells,
-           CAST(MIN(embedding[band + 1]) AS DOUBLE) AS vmin,
-           CAST(MAX(embedding[band + 1]) AS DOUBLE) AS vmax,
-           CAST(ARG_MIN(embedding, rn)[band + 1] AS DOUBLE) AS corner
+           CAST(MIN(CASE WHEN ISNAN(embedding[band + 1]) THEN NULL
+                         ELSE embedding[band + 1] END) AS DOUBLE) AS vmin,
+           CAST(MAX(CASE WHEN ISNAN(embedding[band + 1]) THEN NULL
+                         ELSE embedding[band + 1] END) AS DOUBLE) AS vmax,
+           CAST(CASE WHEN ISNAN(ARG_MIN(embedding, rn)[band + 1]) THEN NULL
+                     ELSE ARG_MIN(embedding, rn)[band + 1] END AS DOUBLE) AS corner
     FROM cells, generate_series(0, 7) AS t(band)
     GROUP BY band
     """,

@@ -257,10 +257,11 @@ def resize_payload(df: DataFrame, payload_col: str = "payload",
     WHERE frame_idx % {FRAME_STRIDE} = 0
     """,
     doc="Frame sampling over binary payloads: mapInPandas slices each "
-        "payload into {}-byte frames and keeps every {}th (one row -> "
-        "N frame rows, executor-side). ASCII payloads make every "
-        "sampled frame SQL-checkable via SUBSTR, so the oracle pins "
-        "the exact slicing/fan-out.".format(FRAME_BYTES, FRAME_STRIDE),
+        "payload into {}-char frames of the DECODED text and keeps "
+        "every {}th (one row -> N frame rows, executor-side). Char "
+        "slicing matches SQL SUBSTR exactly, so the oracle pins the "
+        "slicing/fan-out for ANY corpus, unicode included (round-9 "
+        "fuzz axis).".format(FRAME_BYTES, FRAME_STRIDE),
 )
 def q81_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -286,9 +287,11 @@ def q81_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     doc="Resize/decimate kernel: every payload stride-sampled to at "
-        "most {} bytes (k = ceil(n/target)) in mapInPandas; the oracle "
-        "reproduces the exact byte selection with an indexed list "
-        "lambda, pinning content, not just lengths.".format(RESIZE_TARGET),
+        "most {} decoded chars (k = ceil(n/target)) in mapInPandas; "
+        "the oracle reproduces the exact char selection with an "
+        "indexed list lambda, pinning content, not just lengths — "
+        "exact for unicode corpora (round-9 fuzz axis)"
+        ".".format(RESIZE_TARGET),
 )
 def q82_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -369,10 +372,11 @@ def audio_window_energy(
         f"{AUDIO_WIN}-sample windows at hop {AUDIO_HOP} over each "
         "payload, per-window integer energy + peak — the windowed "
         "feature-extraction stage of an audio pipeline (a real FFT "
-        "kernel drops into the same mapInPandas slot; codecs are the "
-        "documented env stub). ASCII payloads make every window's "
-        "energy/peak exactly SQL-checkable (byte == codepoint), so "
-        "the fan-out geometry AND the numeric kernel are hash-graded. "
+        "kernel drops into the same mapInPandas slot; real WAV decode "
+        "is q162). Samples are decoded CODEPOINTS, exactly SQL "
+        "UNICODE() per char, so the fan-out geometry AND the numeric "
+        "kernel are hash-graded for any corpus (BIGINT squares — "
+        "round-9 fuzz axis). "
         "Scale: one narrow scan, fan-out and vector math stay "
         "executor-side, output is (len/hop) slim integer rows per "
         "payload — embarrassingly parallel.",

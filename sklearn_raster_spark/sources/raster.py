@@ -170,12 +170,24 @@ def read_raster_stack(spark: SparkSession, files: list[tuple[int, str]]) -> Data
             for band, path in zip(pdf["band"], pdf["path"]):
                 grid = _decode_grid(path)
                 ys, xs = np.indices(grid.shape)
+                vals = grid.ravel().astype(np.float64)
                 yield pd.DataFrame(
                     {
                         "band": np.full(grid.size, band, dtype=np.int32),
                         "y": ys.ravel().astype(np.int32),
                         "x": xs.ravel().astype(np.int32),
-                        "value": grid.ravel().astype(np.float64),
+                        # NaN cells surface as SQL NULL — EXPLICITLY,
+                        # via the masked nullable-float array: NaN is
+                        # the raster world's canonical float nodata (a
+                        # MISSING cell, reference features.py NoData
+                        # semantics), and relying on Arrow's implicit
+                        # pandas nan_as_null default would leave the
+                        # contract to a library setting. +-Inf are
+                        # real (if degenerate) cell VALUES and pass
+                        # through. (round-9 non-finite fuzz axis)
+                        "value": pd.arrays.FloatingArray(
+                            vals, np.isnan(vals)
+                        ),
                     }
                 )
 

@@ -391,6 +391,10 @@ EMB_NONFINITE = """
         "q67_inverse_transform_roundtrip",
         "q112_embedding_quantize",
         "q128_maxsim_late_interaction",
+        # q68 takes the OTHER branch of the contract: NaN elements are
+        # raster float-nodata, so the vector stays in the grid and the
+        # NaN cell surfaces as SQL NULL (missing) on both sides
+        "q68_raster_stack_source",
     ],
 )
 def test_nonfinite_embedding_value_parity(spark, tmp_path, name):
