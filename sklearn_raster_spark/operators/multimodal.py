@@ -493,6 +493,13 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
         "involvement.",
 )
 def q161_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    # the decode kernel and the asset writer import this package on
+    # EXECUTORS — ship it via addPyFile so a bare driver session
+    # (different cwd, no PYTHONPATH export) still resolves it, the
+    # q68 pattern (tests/driver_parity_worker.py EXECUTE set)
+    ensure_workers_can_import(spark)
     path = materialize_media_files(spark, sf_dir)
     bf = (
         spark.read.format("binaryFile")
@@ -557,6 +564,9 @@ def q161_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file-per-asset scale shape as q161.",
 )
 def q162_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)  # see q161
     path = materialize_media_files(spark, sf_dir)
     bf = (
         spark.read.format("binaryFile")

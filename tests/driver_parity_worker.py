@@ -44,6 +44,11 @@ EXECUTE = {
     "q157_ann_ivf_portable",
     "q156_grouped_model_fit",
     "q158_grouped_model_score",
+    # round-9 media-decode queries: their kernels AND asset writers
+    # import this package on executors (addPyFile-shipped) — execute
+    # so the binaryFile -> decode chain is proven under a bare session
+    "q161_image_decode_features",
+    "q162_audio_decode_features",
 }
 
 
