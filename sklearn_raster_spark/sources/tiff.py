@@ -4,8 +4,8 @@ The reference ingests per-band GeoTIFFs via rasterio
 (reference ``datasets/_base.py:71-104``); this container ships no
 rasterio/GDAL, so the ``.tif`` branch of the raster source used to be
 an env-gated skip. This module removes the gate for the format subset
-the engine actually produces and consumes — single-band, uncompressed,
-strip-organized baseline TIFF 6.0 — implemented straight from the
+real pipelines hit — single-band classic TIFF 6.0, stripped or tiled,
+uncompressed or Deflate — implemented straight from the
 public Adobe TIFF 6.0 specification plus GDAL's two public metadata
 tags (GDAL_METADATA=42112, GDAL_NODATA=42113, the convention every
 GDAL-written GeoTIFF uses for band descriptions and fill values).
@@ -16,13 +16,14 @@ Scope, deliberately narrow:
   classic TIFF (single strip, chunky, uncompressed) that rasterio /
   GDAL / Pillow can read, with optional band tags and nodata.
 - ``read_gtiff``: classic TIFF -> (grid, {"nodata", "tags"}).
-  Understands both byte orders, multi-strip files, all integer /
-  float sample formats, and Deflate-compressed strips (compression 8
-  and legacy 32946 — plain zlib per strip, stdlib). Anything beyond
-  (LZW/PackBits/JPEG compression, tiles, BigTIFF, multi-sample)
-  raises ``NotImplementedError`` with a pointer to rasterio — the
-  raster source falls back to rasterio automatically when the
-  environment provides it.
+  Understands both byte orders, multi-strip AND tiled organization
+  (TIFF 6.0 §15 — the GDAL TILED=YES layout, edge tiles cropped),
+  all integer / float sample formats, and Deflate compression
+  (compression 8 and legacy 32946 — plain zlib per strip/tile,
+  stdlib). Anything beyond (LZW/PackBits/JPEG compression, BigTIFF,
+  multi-sample) raises ``NotImplementedError`` with a pointer to
+  rasterio — the raster source falls back to rasterio automatically
+  when the environment provides it.
 
 Decode runs on EXECUTORS inside the raster source's mapInPandas, so
 it allocates only the one grid it returns — no driver involvement.
@@ -183,10 +184,11 @@ def write_gtiff(
 
 
 def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
-    """Decode a classic baseline/Deflate TIFF to (grid, info) where
-    info is ``{"nodata": float | None, "tags": {name: value}}`` parsed
-    from the GDAL metadata tags. Raises ``NotImplementedError`` for
-    LZW/tiled/BigTIFF files (rasterio territory)."""
+    """Decode a classic baseline/Deflate TIFF (stripped or tiled) to
+    (grid, info) where info is ``{"nodata": float | None, "tags":
+    {name: value}}`` parsed from the GDAL metadata tags. Raises
+    ``NotImplementedError`` for LZW/BigTIFF files (rasterio
+    territory)."""
     with open(path, "rb") as f:
         buf = f.read()
     bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
@@ -232,10 +234,6 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             f"{path}: compression {compression} needs rasterio; builtin "
             "decoder reads uncompressed and Deflate strips"
         )
-    if 322 in raw_tags or 324 in raw_tags:  # TileWidth / TileOffsets
-        raise NotImplementedError(
-            f"{path}: tiled TIFF needs rasterio; builtin decoder is strip-only"
-        )
     if one(_TAG_SPP, 1) != 1:
         raise NotImplementedError(
             f"{path}: multi-sample TIFF needs rasterio; builtin decoder is single-band"
@@ -245,23 +243,55 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
     dt = _DTYPE_OF.get((bits, fmt))
     if w is None or h is None or dt is None:
         raise ValueError(f"{path}: unsupported sample layout (bits={bits}, fmt={fmt})")
-    offsets = raw_tags.get(_TAG_STRIP_OFFSETS)
-    counts = raw_tags.get(_TAG_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError(f"{path}: missing or inconsistent strip tables")
-    if compression == 1:
-        data = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
-    else:
+    def inflate(raw: bytes) -> bytes:
+        if compression == 1:
+            return raw
         import zlib
 
-        data = b"".join(
-            zlib.decompress(buf[o : o + c]) for o, c in zip(offsets, counts)
+        return zlib.decompress(raw)
+
+    if 322 in raw_tags or 324 in raw_tags:
+        # Tiled organization (TIFF 6.0 §15): the image is covered by a
+        # row-major grid of fixed-size tiles, each stored (and, under
+        # Deflate, compressed) independently; edge tiles are padded to
+        # full tile size and cropped on read. This is the layout GDAL
+        # writes for large rasters (TILED=YES) — together with the
+        # Deflate branch it covers the common compressed+tiled GeoTIFF.
+        tw, tl = one(322), one(323)  # TileWidth / TileLength
+        offsets = raw_tags.get(324)
+        counts = raw_tags.get(325)
+        if not tw or not tl or not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(f"{path}: missing or inconsistent tile tables")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"{path}: {len(offsets)} tiles for a {across}x{down} tile grid"
+            )
+        grid = np.empty((h, w), dtype=dt)
+        for t, (o, c) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(t, across)
+            tile = (
+                np.frombuffer(inflate(buf[o : o + c]), dtype=np.dtype(bo + dt),
+                              count=tl * tw)
+                .reshape(tl, tw)
+            )
+            rows = min(h - ty * tl, tl)
+            cols = min(w - tx * tw, tw)
+            grid[ty * tl : ty * tl + rows, tx * tw : tx * tw + cols] = (
+                tile[:rows, :cols]
+            )
+    else:
+        offsets = raw_tags.get(_TAG_STRIP_OFFSETS)
+        counts = raw_tags.get(_TAG_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(f"{path}: missing or inconsistent strip tables")
+        data = b"".join(inflate(buf[o : o + c]) for o, c in zip(offsets, counts))
+        grid = (
+            np.frombuffer(data, dtype=np.dtype(bo + dt), count=h * w)
+            .reshape(h, w)
+            .astype(dt, copy=False)  # native byte order for downstream numpy
         )
-    grid = (
-        np.frombuffer(data, dtype=np.dtype(bo + dt), count=h * w)
-        .reshape(h, w)
-        .astype(dt, copy=False)  # native byte order for downstream numpy
-    )
 
     nodata = None
     if _TAG_GDAL_NODATA in raw_tags:

@@ -309,3 +309,107 @@ def test_deflate_rasterio_interop(tmp_path):
     write_gtiff(p, grid, compress="deflate")
     with rasterio.open(p) as src:
         assert np.array_equal(src.read(1), grid)
+
+
+def _assemble_tiled(grid, tw, tl, deflate=False, bo="<"):
+    """Hand-assemble a tiled classic TIFF (TIFF 6.0 §15): row-major
+    tile grid, edge tiles padded to full size."""
+    import zlib as _zlib
+
+    h, w = grid.shape
+    across, down = -(-w // tw), -(-h // tl)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            pad = np.zeros((tl, tw), grid.dtype)
+            block = grid[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            pad[: block.shape[0], : block.shape[1]] = block
+            raw = pad.astype(bo + "f4").tobytes()
+            tiles.append(_zlib.compress(raw) if deflate else raw)
+
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack(bo + "HHI", tag, typ, count) + value_bytes
+
+    n = 12
+    after_ifd = 8 + 2 + 12 * n + 4
+    n_tiles = len(tiles)
+    toff_off = after_ifd
+    tcnt_off = after_ifd + 4 * n_tiles
+    data_off = tcnt_off + 4 * n_tiles
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    entries = b"".join(
+        [
+            entry(256, 4, 1, struct.pack(bo + "I", w)),
+            entry(257, 4, 1, struct.pack(bo + "I", h)),
+            entry(258, 3, 1, struct.pack(bo + "H2x", 32)),
+            entry(259, 3, 1, struct.pack(bo + "H2x", 8 if deflate else 1)),
+            entry(262, 3, 1, struct.pack(bo + "H2x", 1)),
+            entry(277, 3, 1, struct.pack(bo + "H2x", 1)),
+            entry(322, 4, 1, struct.pack(bo + "I", tw)),   # TileWidth
+            entry(323, 4, 1, struct.pack(bo + "I", tl)),   # TileLength
+            entry(324, 4, n_tiles, struct.pack(bo + "I", toff_off)),
+            entry(325, 4, n_tiles, struct.pack(bo + "I", tcnt_off)),
+            entry(339, 3, 1, struct.pack(bo + "H2x", 3)),
+            entry(284, 3, 1, struct.pack(bo + "H2x", 1)),
+        ]
+    )
+    return (
+        (b"II" if bo == "<" else b"MM")
+        + struct.pack(bo + "HI", 42, 8)
+        + struct.pack(bo + "H", n)
+        + entries
+        + struct.pack(bo + "I", 0)
+        + b"".join(struct.pack(bo + "I", o) for o in offs)
+        + b"".join(struct.pack(bo + "I", len(t)) for t in tiles)
+        + b"".join(tiles)
+    )
+
+
+@pytest.mark.parametrize("deflate", [False, True])
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_tiled_read_with_edge_cropping(tmp_path, deflate, bo):
+    """Tiled organization (GDAL TILED=YES): 7x10 grid under 4x3 tiles —
+    neither dimension divides evenly, so every right/bottom edge tile
+    is padded in the file and must crop on read; with deflate each
+    tile is an independent zlib stream."""
+    grid = np.arange(70, dtype=np.float32).reshape(7, 10) * 1.5
+    p = tmp_path / ("t_%s_%s.tif" % (deflate, bo == "<"))
+    p.write_bytes(_assemble_tiled(grid, tw=3, tl=4, deflate=deflate, bo=bo))
+    back, info = read_gtiff(str(p))
+    assert back.dtype == np.float32 and np.array_equal(back, grid)
+    assert info == {"nodata": None, "tags": {}}
+
+
+def test_tiled_tile_count_validation(tmp_path):
+    grid = np.ones((4, 4), np.float32)
+    buf = bytearray(_assemble_tiled(grid, tw=2, tl=2))
+    # corrupt the TileOffsets count: claim 2 tiles for a 2x2 tile grid
+    n = struct.unpack("<H", buf[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        (tag,) = struct.unpack("<H", buf[off : off + 2])
+        if tag in (324, 325):
+            buf[off + 4 : off + 8] = struct.pack("<I", 2)
+    p = tmp_path / "bad.tif"
+    p.write_bytes(bytes(buf))
+    with pytest.raises(ValueError, match="tile"):
+        read_gtiff(str(p))
+
+
+def test_tiled_rasterio_interop(tmp_path):
+    """GDAL-written tiled+deflate GeoTIFF through the builtin reader —
+    the real-world layout the round-8 codec rejected."""
+    rasterio = pytest.importorskip("rasterio")
+    grid = np.random.default_rng(5).normal(size=(37, 53)).astype(np.float32)
+    p = str(tmp_path / "gdal_tiled.tif")
+    with rasterio.open(
+        p, "w", driver="GTiff", height=37, width=53, count=1,
+        dtype="float32", tiled=True, blockxsize=16, blockysize=16,
+        compress="deflate",
+    ) as dst:
+        dst.write(grid, 1)
+    back, _ = read_gtiff(p)
+    assert np.array_equal(back, grid)
