@@ -18,9 +18,11 @@ Scope, deliberately narrow:
 - ``read_gtiff``: classic TIFF -> (grid, {"nodata", "tags"}).
   Understands both byte orders, multi-strip AND tiled organization
   (TIFF 6.0 §15 — the GDAL TILED=YES layout, edge tiles cropped),
-  all integer / float sample formats, and Deflate compression
+  all integer / float sample formats, Deflate compression
   (compression 8 and legacy 32946 — plain zlib per strip/tile,
-  stdlib). Anything beyond (LZW/PackBits/JPEG compression, BigTIFF,
+  stdlib), LZW (TIFF §13 variant with early change), and the
+  horizontal-differencing predictor (§14). Anything beyond
+  (PackBits/JPEG compression, float predictors, BigTIFF,
   multi-sample) raises ``NotImplementedError`` with a pointer to
   rasterio — the raster source falls back to rasterio automatically
   when the environment provides it.
@@ -72,6 +74,69 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 _ITEM_RE = re.compile(r'<Item\s+name="([^"]*)"[^>]*>(.*?)</Item>', re.S)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, ClearCode
+    256 / EOI 257, dictionary codes from 258, and the spec's "early
+    change" — the code width bumps when the NEXT code to be assigned
+    would be 2**width - 1 (one code earlier than plain LZW). Pure
+    Python: decode runs on executors over one strip/tile at a time, and
+    rasterio is preferred whenever the environment provides it; this
+    path exists so LZW GeoTIFFs are readable dependency-free at all."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    nbits, bitpos, nbytes8 = 9, 0, len(data) * 8
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while bitpos + nbits <= nbytes8:
+        byte, shift = bitpos >> 3, bitpos & 7
+        window = int.from_bytes(data[byte : byte + 3].ljust(3, b"\x00"), "big")
+        code = (window >> (24 - shift - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits, prev = 9, None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW: first code {code} before any CLEAR")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        # early change (TIFF §13): the DECODER's table lags the
+        # encoder's by one entry (it can't build the just-emitted
+        # code's entry until the next code arrives), so it must widen
+        # at 2**nbits - 2 — one code earlier than the encoder's
+        # 2**nbits - 1 boundary — to stay bit-synchronized
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _undo_horizontal_predictor(grid: "np.ndarray") -> "np.ndarray":
+    """Predictor 2 (TIFF 6.0 §14, horizontal differencing): each stored
+    sample is the delta to its left neighbour; reconstruction is a
+    per-row cumulative sum with the dtype's natural wraparound. Rows
+    never span strips/tiles, so applying it to the assembled grid is
+    equivalent to per-segment application."""
+    if grid.dtype.kind not in ("u", "i"):
+        raise NotImplementedError(
+            "predictor 2 on non-integer samples needs rasterio "
+            "(floating-point predictor is predictor 3)"
+        )
+    u = grid.view(np.dtype(f"u{grid.dtype.itemsize}"))
+    return np.add.accumulate(u, axis=1, dtype=u.dtype).view(grid.dtype)
 
 
 def write_gtiff(
@@ -227,12 +292,18 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         return v[0] if isinstance(v, list) else v
 
     compression = one(_TAG_COMPRESSION, 1)
-    if compression not in (1, 8, 32946):
-        # 8 = Adobe Deflate, 32946 = legacy Deflate — both plain zlib
-        # streams per strip; LZW/PackBits/JPEG stay rasterio-only
+    if compression not in (1, 5, 8, 32946):
+        # 5 = LZW, 8 = Adobe Deflate, 32946 = legacy Deflate;
+        # PackBits/JPEG stay rasterio-only
         raise NotImplementedError(
             f"{path}: compression {compression} needs rasterio; builtin "
-            "decoder reads uncompressed and Deflate strips"
+            "decoder reads uncompressed, LZW and Deflate segments"
+        )
+    predictor = one(317, 1)  # Predictor tag: 1 = none, 2 = horizontal
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"{path}: predictor {predictor} needs rasterio (builtin: "
+            "none / horizontal differencing)"
         )
     if one(_TAG_SPP, 1) != 1:
         raise NotImplementedError(
@@ -246,6 +317,8 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
     def inflate(raw: bytes) -> bytes:
         if compression == 1:
             return raw
+        if compression == 5:
+            return _lzw_decode(raw)
         import zlib
 
         return zlib.decompress(raw)
@@ -292,6 +365,9 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             .reshape(h, w)
             .astype(dt, copy=False)  # native byte order for downstream numpy
         )
+
+    if predictor == 2:
+        grid = _undo_horizontal_predictor(grid)
 
     nodata = None
     if _TAG_GDAL_NODATA in raw_tags:

@@ -77,9 +77,10 @@ def test_rejects_non_tiff_bigtiff_and_compressed(tmp_path):
     with pytest.raises(NotImplementedError, match="BigTIFF"):
         read_gtiff(str(bigtiff))
 
-    # flip the Compression entry of a valid file to 5 (LZW) in place:
-    # the decoder must refuse rather than return garbage
-    p = tmp_path / "lzw.tif"
+    # flip the Compression entry of a valid file to 7 (JPEG) in place:
+    # the decoder must refuse rather than return garbage (LZW — the
+    # old value here — decodes builtin since round 9)
+    p = tmp_path / "jpg.tif"
     write_gtiff(str(p), np.ones((2, 2), np.float32))
     buf = bytearray(p.read_bytes())
     (n,) = struct.unpack("<H", buf[8:10])
@@ -87,9 +88,9 @@ def test_rejects_non_tiff_bigtiff_and_compressed(tmp_path):
         off = 10 + 12 * i
         tag, typ = struct.unpack("<HH", buf[off : off + 4])
         if tag == 259:
-            buf[off + 8 : off + 10] = struct.pack("<H", 5)
+            buf[off + 8 : off + 10] = struct.pack("<H", 7)
     p.write_bytes(bytes(buf))
-    with pytest.raises(NotImplementedError, match="compressed"):
+    with pytest.raises(NotImplementedError, match="compression 7"):
         read_gtiff(str(p))
 
 
@@ -413,3 +414,152 @@ def test_tiled_rasterio_interop(tmp_path):
         dst.write(grid, 1)
     back, _ = read_gtiff(p)
     assert np.array_equal(back, grid)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Spec-faithful TIFF LZW encoder (test-side only; the codec module
+    ships decode): MSB-first packing, CLEAR first, EOI last, and the
+    encoder-side early change — the code width grows when the next
+    code TO BE ASSIGNED is 2**width - 1, mirroring the decoder."""
+    CLEAR, EOI = 256, 257
+    bits = bytearray()
+    acc, nacc = 0, 0
+    nbits = 9
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc = (acc << nbits) | code
+        nacc += nbits
+        while nacc >= 8:
+            nacc -= 8
+            bits.append((acc >> nacc) & 0xFF)
+
+    def reset():
+        return {bytes([i]): i for i in range(256)}
+
+    emit(CLEAR)
+    table, next_code = reset(), 258
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        if next_code > 4093:  # keep clear of the 12-bit ceiling
+            emit(CLEAR)
+            table, next_code, nbits = reset(), 258, 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nacc:
+        bits.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(bits)
+
+
+def test_lzw_decoder_roundtrip_and_structure(tmp_path):
+    from sklearn_raster_spark.sources.tiff import _lzw_decode
+
+    rng = np.random.default_rng(11)
+    for payload in (
+        b"",
+        b"A",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 3,          # classic LZW exercise
+        bytes(rng.integers(0, 4, 9000, dtype=np.uint8)),   # deep table
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)), # incompressible
+        bytes(5000),                                        # runs (KwKwK)
+    ):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+    # a full LZW TIFF: flip the writer's Compression tag and replace
+    # the strip with the LZW stream
+    grid = np.arange(240, dtype=np.uint16).reshape(12, 20) % 97
+    raw = grid.astype("<u2").tobytes()
+    p = tmp_path / "lzw_real.tif"
+    write_gtiff(str(p), grid)
+    buf = bytearray(p.read_bytes())
+    comp = _lzw_encode(raw)
+    (n,) = struct.unpack("<H", buf[8:10])
+    data_off = None
+    for i in range(n):
+        off = 10 + 12 * i
+        (tag,) = struct.unpack("<H", buf[off : off + 2])
+        if tag == 259:
+            buf[off + 8 : off + 10] = struct.pack("<H", 5)
+        elif tag == 273:
+            (data_off,) = struct.unpack("<I", buf[off + 8 : off + 12])
+        elif tag == 279:
+            cnt_entry_off = off
+    buf[cnt_entry_off + 8 : cnt_entry_off + 12] = struct.pack("<I", len(comp))
+    p.write_bytes(bytes(buf[:data_off]) + comp)
+    back, _ = read_gtiff(str(p))
+    assert np.array_equal(back, grid)
+
+
+def test_lzw_with_horizontal_predictor(tmp_path):
+    """LZW + predictor 2, the exact combination GDAL writes for integer
+    rasters with COMPRESS=LZW PREDICTOR=2: samples are stored as deltas
+    to the left neighbour (per row, dtype wraparound) before LZW."""
+    grid = np.cumsum(
+        np.random.default_rng(13).integers(-3, 4, size=(9, 14)), axis=1
+    ).astype(np.int16)
+    diffed = grid.copy()
+    diffed[:, 1:] = (grid[:, 1:].astype(np.int32) - grid[:, :-1]).astype(np.int16)
+    raw = diffed.astype("<i2").tobytes()
+    p = tmp_path / "lzw_pred.tif"
+    write_gtiff(str(p), grid)
+    buf = bytearray(p.read_bytes())
+    comp = _lzw_encode(raw)
+    (n,) = struct.unpack("<H", buf[8:10])
+    # rewrite Compression->5 and splice a Predictor=2 entry by rebuilding
+    # the IFD with one extra entry
+    entries = []
+    data_off = None
+    for i in range(n):
+        off = 10 + 12 * i
+        e = bytes(buf[off : off + 12])
+        (tag,) = struct.unpack("<H", e[:2])
+        if tag == 259:
+            e = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H2x", 5)
+        if tag == 273:
+            (data_off,) = struct.unpack("<I", e[8:12])
+        if tag == 279:
+            e = struct.pack("<HHI", 279, 4, 1) + struct.pack("<I", len(comp))
+        entries.append((tag, e))
+    entries.append((317, struct.pack("<HHI", 317, 3, 1) + struct.pack("<H2x", 2)))
+    entries.sort()
+    shift = 12  # one extra IFD entry moves every offset by 12
+    rebuilt = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    rebuilt += struct.pack("<H", n + 1)
+    for tag, e in entries:
+        if tag == 273:
+            e = e[:8] + struct.pack("<I", data_off + shift)
+        rebuilt += e
+    rebuilt += struct.pack("<I", 0)
+    rebuilt += buf[10 + 12 * n + 4 : data_off]  # ascii payloads (none here)
+    rebuilt += comp
+    p.write_bytes(bytes(rebuilt))
+    back, _ = read_gtiff(str(p))
+    assert back.dtype == np.int16 and np.array_equal(back, grid)
+
+
+def test_lzw_rasterio_interop(tmp_path):
+    """GDAL-written LZW(+predictor) through the builtin decoder — the
+    spec cross-check that self-round-trip alone cannot provide."""
+    rasterio = pytest.importorskip("rasterio")
+    grid = (np.random.default_rng(17).integers(0, 5000, size=(33, 41))
+            .astype(np.uint16))
+    for pred in (1, 2):
+        p = str(tmp_path / f"gdal_lzw_{pred}.tif")
+        with rasterio.open(
+            p, "w", driver="GTiff", height=33, width=41, count=1,
+            dtype="uint16", compress="lzw", predictor=pred,
+        ) as dst:
+            dst.write(grid, 1)
+        back, _ = read_gtiff(p)
+        assert np.array_equal(back, grid), f"predictor={pred}"
