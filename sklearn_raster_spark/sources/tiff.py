@@ -127,9 +127,12 @@ def _lzw_decode(data: bytes) -> bytes:
 def _undo_horizontal_predictor(grid: "np.ndarray") -> "np.ndarray":
     """Predictor 2 (TIFF 6.0 §14, horizontal differencing): each stored
     sample is the delta to its left neighbour; reconstruction is a
-    per-row cumulative sum with the dtype's natural wraparound. Rows
-    never span strips/tiles, so applying it to the assembled grid is
-    equivalent to per-segment application."""
+    per-row cumulative sum with the dtype's natural wraparound.
+    Differencing is per SEGMENT row: strips span full image rows, so
+    the strip branch applies this to the assembled grid, but a TILE
+    splits rows horizontally (each tile row restarts from an absolute
+    sample), so the tiled branch applies it per tile BEFORE
+    placement."""
     if grid.dtype.kind not in ("u", "i"):
         raise NotImplementedError(
             "predictor 2 on non-integer samples needs rasterio "
@@ -349,6 +352,11 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
                               count=tl * tw)
                 .reshape(tl, tw)
             )
+            if predictor == 2:
+                # per-tile: each tile row begins with an absolute
+                # sample — a full-grid cumsum would misread it as a
+                # delta from the previous tile's last column
+                tile = _undo_horizontal_predictor(tile)
             rows = min(h - ty * tl, tl)
             cols = min(w - tx * tw, tw)
             grid[ty * tl : ty * tl + rows, tx * tw : tx * tw + cols] = (
@@ -366,7 +374,9 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             .astype(dt, copy=False)  # native byte order for downstream numpy
         )
 
-    if predictor == 2:
+    if predictor == 2 and not (322 in raw_tags or 324 in raw_tags):
+        # strips span full image rows, so the assembled grid is
+        # segment-faithful; tiles were undone per tile above
         grid = _undo_horizontal_predictor(grid)
 
     nodata = None

@@ -563,3 +563,71 @@ def test_lzw_rasterio_interop(tmp_path):
             dst.write(grid, 1)
         back, _ = read_gtiff(p)
         assert np.array_equal(back, grid), f"predictor={pred}"
+
+
+def test_tiled_lzw_with_predictor(tmp_path):
+    """Tiled + LZW + predictor 2 together: differencing RESTARTS at
+    every tile row (tiles split image rows horizontally), so a
+    full-grid cumsum would misread each non-first tile's first column.
+    Hand-assembled: each tile horizontally differenced independently,
+    then LZW'd, under a 4x3 tile grid with edge cropping."""
+    grid = np.cumsum(
+        np.random.default_rng(23).integers(-2, 3, size=(7, 10)), axis=1
+    ).astype(np.uint16)
+    tw, tl = 3, 4
+    h, w = grid.shape
+    across, down = -(-w // tw), -(-h // tl)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            pad = np.zeros((tl, tw), grid.dtype)
+            block = grid[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            pad[: block.shape[0], : block.shape[1]] = block
+            d = pad.copy()
+            d[:, 1:] = pad[:, 1:] - pad[:, :-1]  # uint16 wraparound diff
+            tiles.append(_lzw_encode(d.astype("<u2").tobytes()))
+
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack("<HHI", tag, typ, count) + value_bytes
+
+    n = 13
+    after_ifd = 8 + 2 + 12 * n + 4
+    n_tiles = len(tiles)
+    toff_off = after_ifd
+    tcnt_off = after_ifd + 4 * n_tiles
+    data_off = tcnt_off + 4 * n_tiles
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    entries = b"".join(
+        [
+            entry(256, 4, 1, struct.pack("<I", w)),
+            entry(257, 4, 1, struct.pack("<I", h)),
+            entry(258, 3, 1, struct.pack("<H2x", 16)),
+            entry(259, 3, 1, struct.pack("<H2x", 5)),   # LZW
+            entry(262, 3, 1, struct.pack("<H2x", 1)),
+            entry(277, 3, 1, struct.pack("<H2x", 1)),
+            entry(284, 3, 1, struct.pack("<H2x", 1)),
+            entry(317, 3, 1, struct.pack("<H2x", 2)),   # predictor 2
+            entry(322, 4, 1, struct.pack("<I", tw)),
+            entry(323, 4, 1, struct.pack("<I", tl)),
+            entry(324, 4, n_tiles, struct.pack("<I", toff_off)),
+            entry(325, 4, n_tiles, struct.pack("<I", tcnt_off)),
+            entry(339, 3, 1, struct.pack("<H2x", 1)),
+        ]
+    )
+    buf = (
+        b"II"
+        + struct.pack("<HI", 42, 8)
+        + struct.pack("<H", n)
+        + entries
+        + struct.pack("<I", 0)
+        + b"".join(struct.pack("<I", o) for o in offs)
+        + b"".join(struct.pack("<I", len(t)) for t in tiles)
+        + b"".join(tiles)
+    )
+    p = tmp_path / "tiled_lzw_pred.tif"
+    p.write_bytes(buf)
+    back, _ = read_gtiff(str(p))
+    assert back.dtype == np.uint16 and np.array_equal(back, grid)
