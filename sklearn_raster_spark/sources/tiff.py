@@ -21,8 +21,8 @@ Scope, deliberately narrow:
   all integer / float sample formats, Deflate compression
   (compression 8 and legacy 32946 — plain zlib per strip/tile,
   stdlib), LZW (TIFF §13 variant with early change), and the
-  horizontal-differencing predictor (§14). Anything beyond
-  (PackBits/JPEG compression, float predictors, BigTIFF,
+  horizontal-differencing predictor (§14), and PackBits RLE (§9).
+  Anything beyond (JPEG-in-TIFF, float predictors, BigTIFF,
   multi-sample) raises ``NotImplementedError`` with a pointer to
   rasterio — the raster source falls back to rasterio automatically
   when the environment provides it.
@@ -121,6 +121,26 @@ def _lzw_decode(data: bytes) -> bytes:
         # 2**nbits - 1 boundary — to stay bit-synchronized
         if len(table) == (1 << nbits) - 2 and nbits < 12:
             nbits += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9, the Macintosh scheme): control byte
+    n in [0, 127] copies the next n+1 literals, n in [-127, -1]
+    (stored two's-complement) repeats the next byte 1-n times, and
+    -128 is a no-op. Segments (strips/tiles) decode independently."""
+    out = bytearray()
+    i, end = 0, len(data)
+    while i < end:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # replicate next byte 257-n times (1 - (n-256))
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
     return bytes(out)
 
 
@@ -295,12 +315,12 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         return v[0] if isinstance(v, list) else v
 
     compression = one(_TAG_COMPRESSION, 1)
-    if compression not in (1, 5, 8, 32946):
-        # 5 = LZW, 8 = Adobe Deflate, 32946 = legacy Deflate;
-        # PackBits/JPEG stay rasterio-only
+    if compression not in (1, 5, 8, 32773, 32946):
+        # 5 = LZW, 8 = Adobe Deflate, 32773 = PackBits, 32946 = legacy
+        # Deflate; JPEG-in-TIFF stays rasterio-only
         raise NotImplementedError(
             f"{path}: compression {compression} needs rasterio; builtin "
-            "decoder reads uncompressed, LZW and Deflate segments"
+            "decoder reads uncompressed, LZW, Deflate and PackBits segments"
         )
     predictor = one(317, 1)  # Predictor tag: 1 = none, 2 = horizontal
     if predictor not in (1, 2):
@@ -322,6 +342,8 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             return raw
         if compression == 5:
             return _lzw_decode(raw)
+        if compression == 32773:
+            return _packbits_decode(raw)
         import zlib
 
         return zlib.decompress(raw)

@@ -631,3 +631,83 @@ def test_tiled_lzw_with_predictor(tmp_path):
     p.write_bytes(buf)
     back, _ = read_gtiff(str(p))
     assert back.dtype == np.uint16 and np.array_equal(back, grid)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Test-side PackBits encoder: greedy runs >= 3 become replicate
+    packets, everything else literal packets of <= 128 bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and (i - start) < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 128 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += nxt
+        out.append(i - start - 1)
+        out += data[start:i]
+    return bytes(out)
+
+
+def test_packbits_decode(tmp_path):
+    from sklearn_raster_spark.sources.tiff import _packbits_decode
+
+    rng = np.random.default_rng(29)
+    for payload in (
+        b"",
+        b"\x00" * 300,                                      # long runs split at 128
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),   # mostly literals
+        bytes(rng.integers(0, 2, 700, dtype=np.uint8)),     # mixed runs
+        b"AAAB" * 50,
+    ):
+        assert _packbits_decode(_packbits_encode(payload)) == payload
+    # the -128 no-op control byte must be skipped
+    assert _packbits_decode(b"\x80\x00A\x80") == b"A"
+
+    # a full PackBits TIFF via the compression-tag splice
+    grid = (np.arange(96, dtype=np.uint8).reshape(8, 12) // 7).astype(np.uint8)
+    raw = grid.tobytes()
+    p = tmp_path / "pb.tif"
+    write_gtiff(str(p), grid)
+    buf = bytearray(p.read_bytes())
+    comp = _packbits_encode(raw)
+    (n,) = struct.unpack("<H", buf[8:10])
+    data_off = None
+    for i in range(n):
+        off = 10 + 12 * i
+        (tag,) = struct.unpack("<H", buf[off : off + 2])
+        if tag == 259:
+            buf[off + 8 : off + 10] = struct.pack("<H", 32773 & 0xFFFF)
+        elif tag == 273:
+            (data_off,) = struct.unpack("<I", buf[off + 8 : off + 12])
+        elif tag == 279:
+            buf[off + 8 : off + 12] = struct.pack("<I", len(comp))
+    p.write_bytes(bytes(buf[:data_off]) + comp)
+    back, _ = read_gtiff(str(p))
+    assert np.array_equal(back, grid)
+
+
+def test_packbits_rasterio_interop(tmp_path):
+    rasterio = pytest.importorskip("rasterio")
+    grid = (np.random.default_rng(37).integers(0, 4, size=(21, 33))
+            .astype(np.uint8))
+    p = str(tmp_path / "gdal_pb.tif")
+    with rasterio.open(
+        p, "w", driver="GTiff", height=21, width=33, count=1,
+        dtype="uint8", compress="packbits",
+    ) as dst:
+        dst.write(grid, 1)
+    back, _ = read_gtiff(p)
+    assert np.array_equal(back, grid)
