@@ -21,9 +21,10 @@ Scope, deliberately narrow:
   all integer / float sample formats, Deflate compression
   (compression 8 and legacy 32946 — plain zlib per strip/tile,
   stdlib), LZW (TIFF §13 variant with early change), and the
-  horizontal-differencing predictor (§14), and PackBits RLE (§9).
-  Anything beyond (JPEG-in-TIFF, float predictors, BigTIFF,
-  multi-sample) raises ``NotImplementedError`` with a pointer to
+  horizontal-differencing predictor (§14), the floating-point
+  predictor (TechNote 3), and PackBits RLE (§9). Anything beyond
+  (JPEG-in-TIFF, BigTIFF, multi-sample) raises
+  ``NotImplementedError`` with a pointer to
   rasterio — the raster source falls back to rasterio automatically
   when the environment provides it.
 
@@ -122,6 +123,24 @@ def _lzw_decode(data: bytes) -> bytes:
         if len(table) == (1 << nbits) - 2 and nbits < 12:
             nbits += 1
     return bytes(out)
+
+
+def _undo_float_predictor(raw: bytes, rows: int, width: int, dt: str) -> "np.ndarray":
+    """Predictor 3 (TIFF TechNote 3, floating-point horizontal
+    differencing — GDAL PREDICTOR=3 for float rasters, e.g. DEMs):
+    the encoder splits each segment row into ``itemsize`` byte planes
+    of the samples' BIG-ENDIAN representation (independent of the
+    file's byte order), concatenates the planes, then byte-differences
+    the whole row. Decode = per-row byte cumulative sum (mod 256),
+    de-plane, reassemble big-endian samples."""
+    itemsize = np.dtype(dt).itemsize
+    b = np.frombuffer(raw, np.uint8, count=rows * width * itemsize).reshape(
+        rows, width * itemsize
+    )
+    b = np.add.accumulate(b, axis=1, dtype=np.uint8)
+    planes = b.reshape(rows, itemsize, width).transpose(0, 2, 1)
+    seg = np.ascontiguousarray(planes).reshape(rows, width * itemsize)
+    return seg.view(np.dtype(">" + dt)).astype(dt, copy=False)
 
 
 def _packbits_decode(data: bytes) -> bytes:
@@ -322,11 +341,11 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             f"{path}: compression {compression} needs rasterio; builtin "
             "decoder reads uncompressed, LZW, Deflate and PackBits segments"
         )
-    predictor = one(317, 1)  # Predictor tag: 1 = none, 2 = horizontal
-    if predictor not in (1, 2):
+    predictor = one(317, 1)  # 1 = none, 2 = horizontal, 3 = floating
+    if predictor not in (1, 2, 3):
         raise NotImplementedError(
             f"{path}: predictor {predictor} needs rasterio (builtin: "
-            "none / horizontal differencing)"
+            "none / horizontal / floating-point differencing)"
         )
     if one(_TAG_SPP, 1) != 1:
         raise NotImplementedError(
@@ -369,11 +388,15 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         grid = np.empty((h, w), dtype=dt)
         for t, (o, c) in enumerate(zip(offsets, counts)):
             ty, tx = divmod(t, across)
-            tile = (
-                np.frombuffer(inflate(buf[o : o + c]), dtype=np.dtype(bo + dt),
-                              count=tl * tw)
-                .reshape(tl, tw)
-            )
+            raw_seg = inflate(buf[o : o + c])
+            if predictor == 3:
+                tile = _undo_float_predictor(raw_seg, tl, tw, dt)
+            else:
+                tile = (
+                    np.frombuffer(raw_seg, dtype=np.dtype(bo + dt),
+                                  count=tl * tw)
+                    .reshape(tl, tw)
+                )
             if predictor == 2:
                 # per-tile: each tile row begins with an absolute
                 # sample — a full-grid cumsum would misread it as a
@@ -390,11 +413,16 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError(f"{path}: missing or inconsistent strip tables")
         data = b"".join(inflate(buf[o : o + c]) for o, c in zip(offsets, counts))
-        grid = (
-            np.frombuffer(data, dtype=np.dtype(bo + dt), count=h * w)
-            .reshape(h, w)
-            .astype(dt, copy=False)  # native byte order for downstream numpy
-        )
+        if predictor == 3:
+            # strips hold whole image rows and the transform is
+            # row-local, so the assembled bytes decode in one pass
+            grid = _undo_float_predictor(data, h, w, dt)
+        else:
+            grid = (
+                np.frombuffer(data, dtype=np.dtype(bo + dt), count=h * w)
+                .reshape(h, w)
+                .astype(dt, copy=False)  # native order for downstream numpy
+            )
 
     if predictor == 2 and not (322 in raw_tags or 324 in raw_tags):
         # strips span full image rows, so the assembled grid is

@@ -711,3 +711,126 @@ def test_packbits_rasterio_interop(tmp_path):
         dst.write(grid, 1)
     back, _ = read_gtiff(p)
     assert np.array_equal(back, grid)
+
+
+def _float_predict(seg: np.ndarray) -> bytes:
+    """Test-side predictor-3 encoder (TIFF TechNote 3): big-endian byte
+    planes per row, then byte-wise horizontal differencing."""
+    rows, width = seg.shape
+    itemsize = seg.dtype.itemsize
+    be = seg.astype(seg.dtype.newbyteorder(">"), copy=False)
+    b = np.frombuffer(be.tobytes(), np.uint8).reshape(rows, width, itemsize)
+    planes = b.transpose(0, 2, 1).reshape(rows, width * itemsize).copy()
+    diff = planes.copy()
+    diff[:, 1:] = planes[:, 1:] - planes[:, :-1]  # uint8 wraparound
+    return diff.tobytes()
+
+
+@pytest.mark.parametrize("dt", [np.float32, np.float64])
+def test_float_predictor_strips_and_tiles(tmp_path, dt):
+    """Predictor 3 over deflate strips AND over tiled LZW — the
+    GDAL COMPRESS=DEFLATE/LZW PREDICTOR=3 layouts for float rasters
+    (DEM-style data, the reference's own domain)."""
+    import zlib as _zlib
+
+    rng = np.random.default_rng(41)
+    grid = rng.normal(scale=100.0, size=(7, 10)).astype(dt)
+
+    # strip variant: splice predictor=3 + deflate(predicted bytes)
+    p = tmp_path / "fp_strip.tif"
+    write_gtiff(str(p), grid)
+    buf = bytearray(p.read_bytes())
+    comp = _zlib.compress(_float_predict(grid))
+    (n,) = struct.unpack("<H", buf[8:10])
+    entries, data_off = [], None
+    for i in range(n):
+        off = 10 + 12 * i
+        e = bytes(buf[off : off + 12])
+        (tag,) = struct.unpack("<H", e[:2])
+        if tag == 259:
+            e = struct.pack("<HHI", 259, 3, 1) + struct.pack("<H2x", 8)
+        if tag == 273:
+            (data_off,) = struct.unpack("<I", e[8:12])
+        if tag == 279:
+            e = struct.pack("<HHI", 279, 4, 1) + struct.pack("<I", len(comp))
+        entries.append((tag, e))
+    entries.append((317, struct.pack("<HHI", 317, 3, 1) + struct.pack("<H2x", 3)))
+    entries.sort()
+    rebuilt = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    rebuilt += struct.pack("<H", n + 1)
+    for tag, e in entries:
+        if tag == 273:
+            e = e[:8] + struct.pack("<I", data_off + 12)
+        rebuilt += e
+    rebuilt += struct.pack("<I", 0)
+    rebuilt += buf[10 + 12 * n + 4 : data_off]
+    rebuilt += comp
+    p.write_bytes(bytes(rebuilt))
+    back, _ = read_gtiff(str(p))
+    assert back.dtype == dt and np.array_equal(back, grid)
+
+    # tiled variant: per-tile predict + LZW under a 4x3 tile grid
+    tw, tl = 4, 3
+    h, w = grid.shape
+    across, down = -(-w // tw), -(-h // tl)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            pad = np.zeros((tl, tw), grid.dtype)
+            block = grid[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            pad[: block.shape[0], : block.shape[1]] = block
+            tiles.append(_lzw_encode(_float_predict(pad)))
+
+    def entry(tag, typ, count, vb):
+        return struct.pack("<HHI", tag, typ, count) + vb
+
+    bits = grid.dtype.itemsize * 8
+    n2 = 13
+    after_ifd = 8 + 2 + 12 * n2 + 4
+    n_tiles = len(tiles)
+    toff_off, tcnt_off = after_ifd, after_ifd + 4 * n_tiles
+    dstart = tcnt_off + 4 * n_tiles
+    offs, pos = [], dstart
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    ifd = b"".join(
+        [
+            entry(256, 4, 1, struct.pack("<I", w)),
+            entry(257, 4, 1, struct.pack("<I", h)),
+            entry(258, 3, 1, struct.pack("<H2x", bits)),
+            entry(259, 3, 1, struct.pack("<H2x", 5)),
+            entry(262, 3, 1, struct.pack("<H2x", 1)),
+            entry(277, 3, 1, struct.pack("<H2x", 1)),
+            entry(284, 3, 1, struct.pack("<H2x", 1)),
+            entry(317, 3, 1, struct.pack("<H2x", 3)),
+            entry(322, 4, 1, struct.pack("<I", tw)),
+            entry(323, 4, 1, struct.pack("<I", tl)),
+            entry(324, 4, n_tiles, struct.pack("<I", toff_off)),
+            entry(325, 4, n_tiles, struct.pack("<I", tcnt_off)),
+            entry(339, 3, 1, struct.pack("<H2x", 3)),
+        ]
+    )
+    p2 = tmp_path / "fp_tiled.tif"
+    p2.write_bytes(
+        b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", n2) + ifd
+        + struct.pack("<I", 0)
+        + b"".join(struct.pack("<I", o) for o in offs)
+        + b"".join(struct.pack("<I", len(t)) for t in tiles)
+        + b"".join(tiles)
+    )
+    back2, _ = read_gtiff(str(p2))
+    assert back2.dtype == dt and np.array_equal(back2, grid)
+
+
+def test_float_predictor_rasterio_interop(tmp_path):
+    rasterio = pytest.importorskip("rasterio")
+    grid = np.random.default_rng(43).normal(size=(19, 27)).astype(np.float32)
+    p = str(tmp_path / "gdal_fp.tif")
+    with rasterio.open(
+        p, "w", driver="GTiff", height=19, width=27, count=1,
+        dtype="float32", compress="deflate", predictor=3,
+    ) as dst:
+        dst.write(grid, 1)
+    back, _ = read_gtiff(p)
+    assert np.array_equal(back, grid)
