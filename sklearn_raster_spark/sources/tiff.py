@@ -15,18 +15,18 @@ Scope, deliberately narrow:
 - ``write_gtiff``: one 2-D numpy grid -> a valid little-endian
   classic TIFF (single strip, chunky, uncompressed) that rasterio /
   GDAL / Pillow can read, with optional band tags and nodata.
-- ``read_gtiff``: classic TIFF -> (grid, {"nodata", "tags"}).
-  Understands both byte orders, multi-strip AND tiled organization
-  (TIFF 6.0 §15 — the GDAL TILED=YES layout, edge tiles cropped),
-  all integer / float sample formats, Deflate compression
-  (compression 8 and legacy 32946 — plain zlib per strip/tile,
-  stdlib), LZW (TIFF §13 variant with early change), and the
-  horizontal-differencing predictor (§14), the floating-point
+- ``read_gtiff``: classic TIFF or BigTIFF -> (grid, {"nodata",
+  "tags"}). Understands both byte orders, multi-strip AND tiled
+  organization (TIFF 6.0 §15 — the GDAL TILED=YES layout, edge tiles
+  cropped), BigTIFF's 8-byte offset layout (version 43 — GDAL
+  BIGTIFF=YES), all integer / float sample formats, Deflate
+  compression (compression 8 and legacy 32946 — plain zlib per
+  strip/tile, stdlib), LZW (TIFF §13 variant with early change), and
+  the horizontal-differencing predictor (§14), the floating-point
   predictor (TechNote 3), and PackBits RLE (§9). Anything beyond
-  (JPEG-in-TIFF, BigTIFF, multi-sample) raises
-  ``NotImplementedError`` with a pointer to
-  rasterio — the raster source falls back to rasterio automatically
-  when the environment provides it.
+  (JPEG-in-TIFF, multi-sample) raises ``NotImplementedError`` with a
+  pointer to rasterio — the raster source falls back to rasterio
+  automatically when the environment provides it.
 
 Decode runs on EXECUTORS inside the raster source's mapInPandas, so
 it allocates only the one grid it returns — no driver involvement.
@@ -71,8 +71,15 @@ _DTYPE_OF = {
 }
 _SAMPLE_FORMAT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+    # BigTIFF (Adobe/AWare BigTIFF spec): LONG8 / SLONG8 / IFD8
+    16: 8, 17: 8, 18: 8,
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 _ITEM_RE = re.compile(r'<Item\s+name="([^"]*)"[^>]*>(.*?)</Item>', re.S)
 
@@ -188,13 +195,18 @@ def write_gtiff(
     nodata: float | None = None,
     tags: dict[str, str] | None = None,
     compress: str | None = None,
+    bigtiff: bool = False,
 ) -> None:
-    """Write one 2-D grid as a single-strip little-endian classic TIFF.
+    """Write one 2-D grid as a single-strip little-endian TIFF.
     ``tags`` land in GDAL_METADATA as band-1 items (the exact XML shape
     GDAL writes for ``update_tags(1, ...)``); ``nodata`` lands in
     GDAL_NODATA. ``compress="deflate"`` zlib-compresses the strip
     (TIFF compression 8, Adobe Deflate — zlib is stdlib so it costs no
-    dependency; GDAL/rasterio read it as COMPRESS=DEFLATE)."""
+    dependency; GDAL/rasterio read it as COMPRESS=DEFLATE).
+    ``bigtiff=True`` writes the BigTIFF layout (version 43, 8-byte
+    offsets, 20-byte IFD entries — what GDAL emits for BIGTIFF=YES /
+    rasters past 4 GiB); grids here never need it, but it gives the
+    reader's BigTIFF branch a dependency-free round-trip."""
     grid = np.ascontiguousarray(grid)
     if grid.ndim != 2:
         raise ValueError(f"expected a 2-D grid, got shape {grid.shape}")
@@ -242,27 +254,51 @@ def write_gtiff(
         ascii_fields.append((_TAG_GDAL_NODATA, f"{float(nodata):.17g}".encode() + b"\x00"))
 
     n_entries = len(fields) + len(ascii_fields)
-    ifd_offset = 8
-    payload_offset = ifd_offset + 2 + 12 * n_entries + 4
+    if bigtiff:
+        # BigTIFF: 16-byte header, 8-byte entry counts/offsets/next-IFD
+        # pointers, 20-byte entries with an 8-byte value field
+        ifd_offset, count_fmt, entry_head, vwidth = 16, "<Q", "<HHQ", 8
+        off_type, off_fmt, next_fmt = 16, "Q", "<Q"
+    else:
+        ifd_offset, count_fmt, entry_head, vwidth = 8, "<H", "<HHI", 4
+        off_type, off_fmt, next_fmt = 4, "I", "<I"
+    # entry = tag + type + per-entry count + value field; the IFD's
+    # n_entries prefix is a separate, SMALLER field (H classic / Q big)
+    entry_size = struct.calcsize(entry_head) + vwidth
+    payload_offset = (
+        ifd_offset
+        + struct.calcsize(count_fmt)
+        + entry_size * n_entries
+        + struct.calcsize(next_fmt)
+    )
     payloads = bytearray()
     entries: list[tuple[int, bytes]] = []
+
+    def pack_value(typ: int, val: int) -> bytes:
+        fmt = {3: "<H", 4: "<I", 16: "<Q"}[typ]
+        return struct.pack(fmt, val).ljust(vwidth, b"\x00")
+
     for tag, typ, count, val in fields:
         if tag == _TAG_STRIP_OFFSETS:
             continue  # placeholder; appended after data_offset is known
-        packed = struct.pack("<H2x", val) if typ == 3 else struct.pack("<I", val)
-        entries.append((tag, struct.pack("<HHI", tag, typ, count) + packed))
+        entries.append(
+            (tag, struct.pack(entry_head, tag, typ, count) + pack_value(typ, val))
+        )
     for tag, raw in ascii_fields:
-        if len(raw) <= 4:
+        if len(raw) <= vwidth:
             entries.append(
-                (tag, struct.pack("<HHI", tag, 2, len(raw)) + raw.ljust(4, b"\x00"))
+                (
+                    tag,
+                    struct.pack(entry_head, tag, 2, len(raw))
+                    + raw.ljust(vwidth, b"\x00"),
+                )
             )
         else:
             entries.append(
                 (
                     tag,
-                    struct.pack(
-                        "<HHII", tag, 2, len(raw), payload_offset + len(payloads)
-                    ),
+                    struct.pack(entry_head, tag, 2, len(raw))
+                    + struct.pack("<" + off_fmt, payload_offset + len(payloads)),
                 )
             )
             payloads += raw
@@ -272,17 +308,22 @@ def write_gtiff(
     entries.append(
         (
             _TAG_STRIP_OFFSETS,
-            struct.pack("<HHII", _TAG_STRIP_OFFSETS, 4, 1, data_offset),
+            struct.pack(entry_head, _TAG_STRIP_OFFSETS, off_type, 1)
+            + pack_value(off_type, data_offset),
         )
     )
     entries.sort()  # IFD entries must be in ascending tag order (§2)
 
     with open(path + ".tmp.tif", "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd_offset))
-        f.write(struct.pack("<H", n_entries))
+        if bigtiff:
+            # magic 43, offset size 8, reserved 0, 8-byte first-IFD ptr
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_offset))
+        else:
+            f.write(b"II" + struct.pack("<HI", 42, ifd_offset))
+        f.write(struct.pack(count_fmt, n_entries))
         for _, e in entries:
             f.write(e)
-        f.write(struct.pack("<I", 0))  # no next IFD
+        f.write(struct.pack(next_fmt, 0))  # no next IFD
         f.write(payloads)
         f.write(data)
     import os
@@ -291,10 +332,10 @@ def write_gtiff(
 
 
 def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
-    """Decode a classic baseline/Deflate TIFF (stripped or tiled) to
-    (grid, info) where info is ``{"nodata": float | None, "tags":
-    {name: value}}`` parsed from the GDAL metadata tags. Raises
-    ``NotImplementedError`` for LZW/BigTIFF files (rasterio
+    """Decode a baseline/compressed TIFF (classic or BigTIFF, stripped
+    or tiled) to (grid, info) where info is ``{"nodata": float | None,
+    "tags": {name: value}}`` parsed from the GDAL metadata tags.
+    Raises ``NotImplementedError`` for JPEG-in-TIFF (rasterio
     territory)."""
     with open(path, "rb") as f:
         buf = f.read()
@@ -303,23 +344,38 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         raise ValueError(f"{path}: not a TIFF (bad byte-order mark)")
     (magic,) = struct.unpack(bo + "H", buf[2:4])
     if magic == 43:
-        raise NotImplementedError(
-            f"{path}: BigTIFF needs rasterio; the builtin decoder reads classic TIFF"
+        # BigTIFF: 2-byte offset size (always 8) + 2 reserved zero
+        # bytes, then an 8-byte pointer to the first IFD; IFD entry
+        # counts and next-IFD pointers are 8 bytes, entries are 20
+        # bytes (tag H, type H, count Q, value/offset 8 bytes)
+        osize, zero = struct.unpack(bo + "HH", buf[4:8])
+        if osize != 8 or zero != 0:
+            raise ValueError(f"{path}: malformed BigTIFF header ({osize}, {zero})")
+        (ifd_off,) = struct.unpack(bo + "Q", buf[8:16])
+        (n_entries,) = struct.unpack(bo + "Q", buf[ifd_off : ifd_off + 8])
+        entry_base, entry_size, cnt_fmt, off_fmt, vwidth = (
+            ifd_off + 8, 20, "Q", "Q", 8,
         )
-    if magic != 42:
+    elif magic == 42:
+        (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        entry_base, entry_size, cnt_fmt, off_fmt, vwidth = (
+            ifd_off + 2, 12, "I", "I", 4,
+        )
+    else:
         raise ValueError(f"{path}: not a TIFF (magic {magic})")
-    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
-    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
 
     raw_tags: dict[int, object] = {}
     for i in range(n_entries):
-        e = buf[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
-        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+        e = buf[entry_base + entry_size * i : entry_base + entry_size * (i + 1)]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        (count,) = struct.unpack(bo + cnt_fmt, e[4 : entry_size - vwidth])
         size = _TYPE_SIZE.get(typ, 1) * count
-        if size <= 4:
-            raw = e[8 : 8 + size]
+        vfield = e[entry_size - vwidth :]
+        if size <= vwidth:
+            raw = vfield[:size]
         else:
-            (voff,) = struct.unpack(bo + "I", e[8:12])
+            (voff,) = struct.unpack(bo + off_fmt, vfield)
             raw = buf[voff : voff + size]
         if typ == 2:
             raw_tags[tag] = raw.split(b"\x00")[0].decode("utf-8", "replace")

@@ -72,10 +72,12 @@ def test_rejects_non_tiff_bigtiff_and_compressed(tmp_path):
     with pytest.raises(ValueError, match="not a TIFF"):
         read_gtiff(str(not_tiff))
 
-    bigtiff = tmp_path / "big.tif"
-    bigtiff.write_bytes(b"II" + struct.pack("<H", 43) + b"\x00" * 12)
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        read_gtiff(str(bigtiff))
+    # BigTIFF decodes builtin since round 9, but a header whose
+    # offset-size field isn't 8 (here: all zeros) is malformed
+    bad_big = tmp_path / "big.tif"
+    bad_big.write_bytes(b"II" + struct.pack("<H", 43) + b"\x00" * 12)
+    with pytest.raises(ValueError, match="malformed BigTIFF"):
+        read_gtiff(str(bad_big))
 
     # flip the Compression entry of a valid file to 7 (JPEG) in place:
     # the decoder must refuse rather than return garbage (LZW — the
@@ -833,4 +835,99 @@ def test_float_predictor_rasterio_interop(tmp_path):
     ) as dst:
         dst.write(grid, 1)
     back, _ = read_gtiff(p)
+    assert np.array_equal(back, grid)
+
+
+# ---------------------------------------------------------------- BigTIFF
+
+
+@pytest.mark.parametrize("compress", [None, "deflate"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.int32, np.float64])
+def test_bigtiff_roundtrip_bitexact(tmp_path, compress, dtype):
+    """BigTIFF (version 43, 8-byte offsets, 20-byte IFD entries) must
+    round-trip bit-exact with tags and nodata, like classic TIFF."""
+    rng = np.random.default_rng(11)
+    if np.issubdtype(dtype, np.floating):
+        grid = rng.normal(size=(9, 7)).astype(dtype)
+    else:
+        grid = rng.integers(0, 200, size=(9, 7)).astype(dtype)
+    p = str(tmp_path / "big.tif")
+    write_gtiff(
+        p, grid, nodata=-1.0, tags={"long_name": "elevation", "units": "m"},
+        compress=compress, bigtiff=True,
+    )
+    raw = open(p, "rb").read()
+    assert raw[:2] == b"II" and struct.unpack("<H", raw[2:4])[0] == 43
+    assert struct.unpack("<HH", raw[4:8]) == (8, 0)
+    back, info = read_gtiff(p)
+    assert back.dtype == grid.dtype and np.array_equal(back, grid)
+    assert info["nodata"] == -1.0
+    assert info["tags"] == {"long_name": "elevation", "units": "m"}
+
+
+def test_bigtiff_big_endian_multistrip_handassembled(tmp_path):
+    """A big-endian multi-strip BigTIFF with out-of-line LONG8 strip
+    tables — the layout the writer never produces but the 8-byte
+    offset format exists for. Hand-assembled per the BigTIFF spec."""
+    h, w = 4, 3
+    grid = np.arange(h * w, dtype=np.uint16).reshape(h, w)
+    strips = [grid[:2].astype(">u2").tobytes(), grid[2:].astype(">u2").tobytes()]
+    n = 9
+    ifd_off = 16
+    # entries: 20 bytes each; out-of-line tables follow next-IFD ptr
+    tables_off = ifd_off + 8 + 20 * n + 8
+    soff_off = tables_off            # 2 x LONG8 strip offsets
+    scnt_off = tables_off + 16       # 2 x LONG8 strip counts
+    data_off = tables_off + 32
+
+    def entry(tag, typ, count, vfield8):
+        return struct.pack(">HHQ", tag, typ, count) + vfield8
+
+    def short(v):
+        return struct.pack(">H", v) + b"\x00" * 6
+
+    def long8(v):
+        return struct.pack(">Q", v)
+
+    entries = b"".join(
+        [
+            entry(256, 3, 1, short(w)),
+            entry(257, 3, 1, short(h)),
+            entry(258, 3, 1, short(16)),
+            entry(259, 3, 1, short(1)),
+            entry(262, 3, 1, short(1)),
+            entry(273, 16, 2, long8(soff_off)),
+            entry(278, 3, 1, short(2)),  # 2 rows per strip
+            entry(279, 16, 2, long8(scnt_off)),
+            entry(339, 3, 1, short(1)),
+        ]
+    )
+    p = tmp_path / "mm_big.tif"
+    p.write_bytes(
+        b"MM" + struct.pack(">HHHQ", 43, 8, 0, ifd_off)
+        + struct.pack(">Q", n) + entries + struct.pack(">Q", 0)
+        + struct.pack(">QQ", data_off, data_off + len(strips[0]))
+        + struct.pack(">QQ", len(strips[0]), len(strips[1]))
+        + b"".join(strips)
+    )
+    back, info = read_gtiff(str(p))
+    assert back.dtype == np.uint16 and np.array_equal(back, grid)
+    assert info["nodata"] is None and info["tags"] == {}
+
+
+def test_bigtiff_rasterio_interop(tmp_path):
+    rasterio = pytest.importorskip("rasterio")
+    grid = np.random.default_rng(7).normal(size=(6, 8)).astype(np.float32)
+    p = str(tmp_path / "interop_big.tif")
+    write_gtiff(p, grid, nodata=-9999.0, bigtiff=True)
+    with rasterio.open(p) as src:
+        assert np.array_equal(src.read(1), grid)
+        assert src.nodata == -9999.0
+    p2 = str(tmp_path / "gdal_big.tif")
+    with rasterio.open(
+        p2, "w", driver="GTiff", height=6, width=8, count=1,
+        dtype="float32", BIGTIFF="YES",
+    ) as dst:
+        dst.write(grid, 1)
+    back, _ = read_gtiff(p2)
     assert np.array_equal(back, grid)
