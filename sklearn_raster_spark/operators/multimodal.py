@@ -8,9 +8,11 @@ PNG/BMP/PGM/PPM and ``decode_audio`` reads RIFF PCM WAV through the
 dependency-free builtin codecs (sources/image.py, sources/audio.py),
 preferring Pillow/soundfile when the environment provides them —
 same optional-library pattern as the GeoTIFF path (sources/tiff.py).
-q161/q162 drive file-per-asset binaryFile scans through real
-encode -> decode -> feature extraction with SQL oracles; JPEG/FLAC
-and other heavy codecs remain library territory with pointed errors.
+q161/q162/q163 drive file-per-asset binaryFile scans through real
+encode -> decode -> feature extraction with SQL oracles — including
+baseline JPEG (sources/jpeg.py, Huffman+DCT, lossy fidelity graded
+by q163); FLAC and other heavy codecs remain library territory with
+pointed errors.
 The Spark-side plumbing — BinaryType column, metadata struct, UDF
 signature, Arrow batch shape, partitioning — is what matters at
 100 TB (payloads stay off the driver; batches bound memory via
@@ -395,11 +397,14 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
     """One-time directory of real encoded media assets (idempotent via
     the shared fingerprint marker, utils/cache.py): each selected doc's
     utf-8 bytes become the PIXELS of one `<doc_id>.png` (greyscale,
-    width IMG_WIDTH, zero-padded last row) and the SAMPLES of one
-    `<doc_id>.wav` (int16 PCM at WAV_RATE) — written by EXECUTORS
-    through the real builtin encoders, so q161/q162's binaryFile ->
-    decode round trip exercises genuine zlib/container codecs while
-    every decoded statistic stays SQL-derivable from the source text."""
+    width IMG_WIDTH, zero-padded last row), the same grid LOSSILY as
+    one `<doc_id>.jpg` (baseline JPEG, quality 100 — sources/jpeg.py),
+    and the SAMPLES of one `<doc_id>.wav` (int16 PCM at WAV_RATE) —
+    written by EXECUTORS through the real builtin encoders, so
+    q161/q162/q163's binaryFile -> decode round trips exercise genuine
+    zlib/container/entropy codecs while every decoded statistic stays
+    SQL-derivable from the source text (exactly for the lossless
+    formats; geometry plus a fidelity bound for JPEG)."""
     import os
     import shutil
     import tempfile
@@ -422,11 +427,12 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_SUCCESS")
     # the selection-logic version rides in the fingerprint so a code
     # change invalidates cached asset dirs, not just data changes
-    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v2-ascii"
+    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v3-jpeg"
     if not cache_is_current(marker, fingerprint):
         if os.path.isdir(path):
             shutil.rmtree(path)
         os.makedirs(os.path.join(path, "img"), exist_ok=True)
+        os.makedirs(os.path.join(path, "jpg"), exist_ok=True)
         os.makedirs(os.path.join(path, "wav"), exist_ok=True)
         # ASCII-only payloads (bytes == chars): a pixel grid / PCM
         # stream holds one 0-255 unit per sample, so only byte==char
@@ -443,6 +449,7 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
         def write_assets(rows):
             from sklearn_raster_spark.sources.audio import encode_wav
             from sklearn_raster_spark.sources.image import encode_png
+            from sklearn_raster_spark.sources.jpeg import encode_jpeg
 
             for r in rows:
                 raw = np.frombuffer(r.text.encode("utf-8"), dtype=np.uint8)
@@ -450,8 +457,15 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
                 grid = np.zeros(h * IMG_WIDTH, np.uint8)
                 grid[: len(raw)] = raw
                 png = encode_png(grid.reshape(h, IMG_WIDTH))
+                # quality 100 => all-ones quant tables: the only loss
+                # is DCT rounding, so |err| stays within JPEG_MAX_ERR
+                jpg = encode_jpeg(grid.reshape(h, IMG_WIDTH), quality=100)
                 wav = encode_wav(raw.astype(np.int16), WAV_RATE)
-                for sub, ext, blob in (("img", "png", png), ("wav", "wav", wav)):
+                for sub, ext, blob in (
+                    ("img", "png", png),
+                    ("jpg", "jpg", jpg),
+                    ("wav", "wav", wav),
+                ):
                     tmp = os.path.join(path, sub, f".{r.doc_id}.tmp")
                     with open(tmp, "wb") as f:
                         f.write(blob)
@@ -601,4 +615,85 @@ def q162_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             kernel,
             "doc_id long, sample_rate int, n_samples int, energy bigint, peak int",
         )
+    )
+
+
+JPEG_MAX_ERR = 3  # |decoded - source| bound at quality 100 (DCT rounding)
+
+
+@query(
+    "q163_jpeg_decode_fidelity",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((LENGTH(text) + {IMG_WIDTH} - 1) // {IMG_WIDTH} AS INTEGER) AS img_h,
+           CAST({IMG_WIDTH} AS INTEGER) AS img_w,
+           TRUE AS jpeg_close
+    FROM documents
+    WHERE doc_id % {MEDIA_MOD} = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+      -- ASCII-only assets (see materialize_media_files)
+      AND OCTET_LENGTH(ENCODE(text)) = LENGTH(text)
+    """,
+    doc="END-TO-END lossy JPEG decode (round 9 continuation; removes "
+        "the last image-format stub): executors encode each sampled "
+        "doc's pixel grid as a REAL baseline JPEG at quality 100 "
+        "(sources/jpeg.py — Annex K tables, Huffman entropy coding, "
+        "DCT), two binaryFile scans load the .jpg and the lossless "
+        ".png twin, an equi-join pairs them per doc_id (PNG side "
+        "broadcast — it is a bounded sample), and a mapInPandas "
+        "kernel decodes BOTH containers and emits the JPEG's header "
+        "geometry plus jpeg_close = (max |jpeg - png| <= "
+        f"{JPEG_MAX_ERR}). Geometry is SQL-exact from the source "
+        "text; jpeg_close makes decode fidelity itself hash-graded — "
+        "a broken Huffman table, quant order, or IDCT flips it to "
+        "false and the oracle mismatch surfaces in the driver grade. "
+        "Scale: file-per-asset scans, per-payload decode, one "
+        "broadcast equi-join — no shuffle grows with corpus size "
+        "beyond the sampled asset set.",
+)
+def q163_jpeg_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)  # see q161
+    path = materialize_media_files(spark, sf_dir)
+
+    def scan(sub: str, ext: str, alias: str) -> DataFrame:
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{ext}")
+            .load(f"{path}/{sub}")
+            .select(
+                F.regexp_extract(F.col("path"), rf"(\d+)\.{ext}$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("content").alias(alias),
+            )
+        )
+
+    paired = scan("jpg", "jpg", "jpg_bytes").join(
+        F.broadcast(scan("img", "png", "png_bytes")), "doc_id"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sklearn_raster_spark.operators.multimodal import decode_image
+
+        for pdf in batches:
+            out = {"doc_id": [], "img_h": [], "img_w": [], "jpeg_close": []}
+            for doc_id, jpg, png in zip(
+                pdf["doc_id"], pdf["jpg_bytes"], pdf["png_bytes"]
+            ):
+                img = decode_image(bytes(jpg))
+                truth = decode_image(bytes(png))
+                err = (
+                    np.max(np.abs(img.astype(np.int64) - truth.astype(np.int64)))
+                    if img.shape == truth.shape
+                    else 256
+                )
+                out["doc_id"].append(int(doc_id))
+                out["img_h"].append(int(img.shape[0]))
+                out["img_w"].append(int(img.shape[1]))
+                out["jpeg_close"].append(bool(err <= JPEG_MAX_ERR))
+            yield pd.DataFrame(out)
+
+    return paired.mapInPandas(
+        kernel, "doc_id long, img_h int, img_w int, jpeg_close boolean"
     )

@@ -17,6 +17,8 @@ environment provides it:
 - BMP (Windows BITMAPINFOHEADER): uncompressed 24-bpp bottom-up
   BGR with 4-byte row padding — the universal interchange layout.
 - PPM/PGM (netpbm P5/P6): binary greyscale / RGB, maxval 255.
+- JPEG (ITU-T T.81 baseline): delegated to sources/jpeg.py — the
+  dependency-free Huffman+DCT codec.
 
 ``decode_image`` sniffs the magic bytes, so the multimodal kernels
 never need a trusted mime column. Decode runs on EXECUTORS inside
@@ -277,7 +279,7 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
     if payload[:3] in (b"\xff\xd8\xff",):
-        raise NotImplementedError(
-            "JPEG decode needs Pillow (builtin codecs: PNG, BMP, PGM/PPM)"
-        )
+        from sklearn_raster_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognized image container (magic {payload[:4]!r})")

@@ -21,12 +21,14 @@ Scope, deliberately narrow:
   cropped), BigTIFF's 8-byte offset layout (version 43 — GDAL
   BIGTIFF=YES), all integer / float sample formats, Deflate
   compression (compression 8 and legacy 32946 — plain zlib per
-  strip/tile, stdlib), LZW (TIFF §13 variant with early change), and
-  the horizontal-differencing predictor (§14), the floating-point
-  predictor (TechNote 3), and PackBits RLE (§9). Anything beyond
-  (JPEG-in-TIFF, multi-sample) raises ``NotImplementedError`` with a
-  pointer to rasterio — the raster source falls back to rasterio
-  automatically when the environment provides it.
+  strip/tile, stdlib), LZW (TIFF §13 variant with early change),
+  new-style JPEG-in-TIFF (compression 7 + JPEGTables, via
+  sources/jpeg.py), and the horizontal-differencing predictor (§14),
+  the floating-point predictor (TechNote 3), and PackBits RLE (§9).
+  Anything beyond (old-style JPEG 6, multi-sample/color) raises
+  ``NotImplementedError`` with a pointer to rasterio — the raster
+  source falls back to rasterio automatically when the environment
+  provides it.
 
 Decode runs on EXECUTORS inside the raster source's mapInPandas, so
 it allocates only the one grid it returns — no driver involvement.
@@ -379,9 +381,11 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             raw = buf[voff : voff + size]
         if typ == 2:
             raw_tags[tag] = raw.split(b"\x00")[0].decode("utf-8", "replace")
+        elif typ == 7:
+            raw_tags[tag] = raw  # UNDEFINED: raw bytes (JPEGTables et al)
         elif typ in _TYPE_FMT:
             raw_tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
-        # RATIONAL / UNDEFINED values are not needed for grid decode
+        # RATIONAL values are not needed for grid decode
 
     def one(tag: int, default=None):
         v = raw_tags.get(tag)
@@ -390,12 +394,14 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         return v[0] if isinstance(v, list) else v
 
     compression = one(_TAG_COMPRESSION, 1)
-    if compression not in (1, 5, 8, 32773, 32946):
-        # 5 = LZW, 8 = Adobe Deflate, 32773 = PackBits, 32946 = legacy
-        # Deflate; JPEG-in-TIFF stays rasterio-only
+    if compression not in (1, 5, 7, 8, 32773, 32946):
+        # 5 = LZW, 7 = new-style JPEG, 8 = Adobe Deflate, 32773 =
+        # PackBits, 32946 = legacy Deflate; old-style JPEG (6) stays
+        # rasterio-only
         raise NotImplementedError(
             f"{path}: compression {compression} needs rasterio; builtin "
-            "decoder reads uncompressed, LZW, Deflate and PackBits segments"
+            "decoder reads uncompressed, LZW, JPEG, Deflate and PackBits "
+            "segments"
         )
     predictor = one(317, 1)  # 1 = none, 2 = horizontal, 3 = floating
     if predictor not in (1, 2, 3):
@@ -412,11 +418,36 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
     dt = _DTYPE_OF.get((bits, fmt))
     if w is None or h is None or dt is None:
         raise ValueError(f"{path}: unsupported sample layout (bits={bits}, fmt={fmt})")
+    if compression == 7 and dt != "u1":
+        raise NotImplementedError(
+            f"{path}: JPEG-in-TIFF carries 8-bit samples; bits={bits}, "
+            f"fmt={fmt} needs rasterio"
+        )
+    jpeg_tables = raw_tags.get(347)  # TIFF supplement 2: shared tables
+
     def inflate(raw: bytes) -> bytes:
         if compression == 1:
             return raw
         if compression == 5:
             return _lzw_decode(raw)
+        if compression == 7:
+            # new-style JPEG (TIFF supplement 2): each strip/tile is a
+            # full or abbreviated baseline stream; tag 347 holds the
+            # shared DQT/DHT prelude when abbreviated
+            from sklearn_raster_spark.sources.jpeg import decode_jpeg
+
+            arr = decode_jpeg(
+                raw,
+                tables=jpeg_tables
+                if isinstance(jpeg_tables, (bytes, bytearray))
+                else None,
+            )
+            if arr.ndim != 2:
+                raise NotImplementedError(
+                    f"{path}: color JPEG-in-TIFF needs rasterio; the "
+                    "builtin raster codec is single-band"
+                )
+            return arr.tobytes()
         if compression == 32773:
             return _packbits_decode(raw)
         import zlib

@@ -79,9 +79,9 @@ def test_rejects_non_tiff_bigtiff_and_compressed(tmp_path):
     with pytest.raises(ValueError, match="malformed BigTIFF"):
         read_gtiff(str(bad_big))
 
-    # flip the Compression entry of a valid file to 7 (JPEG) in place:
-    # the decoder must refuse rather than return garbage (LZW — the
-    # old value here — decodes builtin since round 9)
+    # flip the Compression entry of a valid file to 6 (old-style JPEG)
+    # in place: the decoder must refuse rather than return garbage
+    # (new-style JPEG 7 — and before it LZW — decode builtin now)
     p = tmp_path / "jpg.tif"
     write_gtiff(str(p), np.ones((2, 2), np.float32))
     buf = bytearray(p.read_bytes())
@@ -90,10 +90,23 @@ def test_rejects_non_tiff_bigtiff_and_compressed(tmp_path):
         off = 10 + 12 * i
         tag, typ = struct.unpack("<HH", buf[off : off + 4])
         if tag == 259:
-            buf[off + 8 : off + 10] = struct.pack("<H", 7)
+            buf[off + 8 : off + 10] = struct.pack("<H", 6)
     p.write_bytes(bytes(buf))
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    with pytest.raises(NotImplementedError, match="compression 6"):
         read_gtiff(str(p))
+
+    # new-style JPEG (7) on non-8-bit samples: pointed refusal too
+    p2 = tmp_path / "jpg7.tif"
+    write_gtiff(str(p2), np.ones((2, 2), np.float32))
+    buf = bytearray(p2.read_bytes())
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ = struct.unpack("<HH", buf[off : off + 4])
+        if tag == 259:
+            buf[off + 8 : off + 10] = struct.pack("<H", 7)
+    p2.write_bytes(bytes(buf))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        read_gtiff(str(p2))
 
 
 def test_reads_big_endian_and_multistrip_files(tmp_path):
