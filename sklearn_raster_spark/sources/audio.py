@@ -8,11 +8,12 @@ soundfile when the environment provides it. Scope:
 - ``encode_wav``: mono/multichannel PCM — uint8 (8-bit), int16,
   int32, or float32 (IEEE-float format 3) samples.
 - ``decode_wav``: walks RIFF chunks (skipping LIST/INFO/fact and any
-  other metadata), reads PCM 8/16/32-bit and float32, returns
-  ``(samples, sample_rate)`` with samples shaped (n,) for mono or
-  (n, channels) otherwise. Compressed formats (MP3-in-WAV, ADPCM,
-  a-law/mu-law) raise ``NotImplementedError`` with a pointer to
-  soundfile.
+  other metadata), reads PCM 8/16/24/32-bit, float32, and the G.711
+  companded formats (a-law 6, mu-law 7 — expanded to int16 via the
+  public CCITT reference curves); returns ``(samples, sample_rate)``
+  with samples shaped (n,) for mono or (n, channels) otherwise.
+  Compressed formats (MP3-in-WAV, ADPCM) raise
+  ``NotImplementedError`` with a pointer to soundfile.
 
 Decode runs on EXECUTORS inside mapInPandas kernels — payload bytes
 never visit the driver.
@@ -33,6 +34,25 @@ _WAV_DTYPE = {
     (3, 32): np.float32,
 }
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry expansion tables for G.711 a-law and mu-law, computed
+    from the public CCITT reference curves (the classic g711.c
+    formulas). Returns (alaw_to_int16, ulaw_to_int16)."""
+    codes = np.arange(256, dtype=np.int64)
+
+    a = codes ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    # in A-law the 0x80 bit SET means positive
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+
+    u = ~codes & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    return alaw, ulaw
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -92,11 +112,30 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt_fields is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
     fmt, ch, rate, _byterate, _block, bits = fmt_fields
+    if fmt in (6, 7) and bits == 8:  # G.711 a-law / mu-law
+        alaw, ulaw = _g711_tables()
+        table = alaw if fmt == 6 else ulaw
+        samples = table[np.frombuffer(pcm, dtype=np.uint8)]
+        n = len(samples) // ch
+        samples = samples[: n * ch]
+        return (samples if ch == 1 else samples.reshape(n, ch)), rate
+    if fmt == 1 and bits == 24:  # packed 3-byte little-endian PCM
+        n3 = (len(pcm) // (3 * ch)) * 3 * ch
+        b = np.frombuffer(pcm, dtype=np.uint8, count=n3).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        samples = np.where(v & 0x800000, v - (1 << 24), v).astype(np.int32)
+        n = len(samples) // ch
+        return (samples if ch == 1 else samples.reshape(n, ch)), rate
     dt = _WAV_DTYPE.get((fmt, bits))
     if dt is None:
         raise NotImplementedError(
             f"WAV format {fmt} ({bits}-bit) needs soundfile; builtin "
-            "decoder reads PCM 8/16/32-bit and float32"
+            "decoder reads PCM 8/16/24/32-bit, float32, and G.711 "
+            "a-law/mu-law"
         )
     itemsize = np.dtype(dt).itemsize
     n = len(pcm) // (itemsize * ch)

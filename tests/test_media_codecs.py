@@ -209,8 +209,9 @@ def test_wav_foreign_chunks_and_extensible():
     back, rate = decode_wav(rebuilt)
     assert rate == 44100 and np.array_equal(back, samples)
 
-    # compressed formats are soundfile territory
-    bad_fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law
+    # compressed formats are soundfile territory (mu-law — the old
+    # example here — expands builtin since the round-9 continuation)
+    bad_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # MS ADPCM
     body = (
         b"WAVE" + b"fmt " + struct.pack("<I", 16) + bad_fmt
         + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
@@ -238,3 +239,58 @@ def test_soundfile_interop():
     samples = RNG.integers(-1000, 1000, size=(256,), dtype=np.int16)
     back, rate = soundfile.read(io.BytesIO(encode_wav(samples, 8000)), dtype="int16")
     assert rate == 8000 and np.array_equal(back, samples)
+
+
+def _wav_container(fmt_code, ch, rate, bits, pcm):
+    block = ch * (bits // 8)
+    fmt_chunk = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * block, block, bits)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_g711_known_vectors():
+    """G.711 expansion pinned to the canonical CCITT table anchors:
+    a-law 0x55/0xD5 are -8/+8, mu-law 0x00/0x80 are -32124/+32124 and
+    0xFF/0x7F are the two zeros."""
+    alaw_bytes = bytes([0x55, 0xD5, 0x2A, 0xAA])
+    samples, rate = decode_wav(_wav_container(6, 1, 8000, 8, alaw_bytes))
+    assert rate == 8000 and samples.dtype == np.int16
+    assert samples[0] == -8 and samples[1] == 8
+    # 0x2A/0xAA differ only in the sign bit: symmetric magnitudes
+    assert samples[2] < 0 < samples[3] and samples[2] == -samples[3]
+
+    ulaw_bytes = bytes([0x00, 0x80, 0xFF, 0x7F])
+    samples, _ = decode_wav(_wav_container(7, 1, 8000, 8, ulaw_bytes))
+    assert samples.dtype == np.int16
+    assert samples[0] == -32124 and samples[1] == 32124
+    assert samples[2] == 0 and samples[3] == 0
+
+
+def test_wav_g711_matches_audioop_when_available():
+    audioop = pytest.importorskip("audioop")
+    all_codes = bytes(range(256))
+    ours_a, _ = decode_wav(_wav_container(6, 1, 8000, 8, all_codes))
+    theirs_a = np.frombuffer(audioop.alaw2lin(all_codes, 2), np.int16)
+    assert np.array_equal(ours_a, theirs_a)
+    ours_u, _ = decode_wav(_wav_container(7, 1, 8000, 8, all_codes))
+    theirs_u = np.frombuffer(audioop.ulaw2lin(all_codes, 2), np.int16)
+    assert np.array_equal(ours_u, theirs_u)
+
+
+def test_wav_24bit_pcm():
+    vals = np.array([0, 1, -1, 8388607, -8388608, 70000, -70000], np.int32)
+    packed = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    samples, rate = decode_wav(_wav_container(1, 1, 44100, 24, packed))
+    assert rate == 44100 and samples.dtype == np.int32
+    assert np.array_equal(samples, vals)
+    # stereo interleave: (n, 2) with channels split correctly
+    stereo, _ = decode_wav(_wav_container(1, 2, 44100, 24, packed + packed[:3]))
+    assert stereo.shape == (4, 2)
+    assert np.array_equal(stereo[:, 0], vals[0::2])
+    assert np.array_equal(stereo[:, 1], np.append(vals[1::2], 0))
