@@ -9,16 +9,20 @@ exactly like sources/tiff.py — the decoders below are implemented
 straight from the public specifications and prefer Pillow when the
 environment provides it:
 
-- PNG (ISO/IEC 15948): 8-bit greyscale / grey+alpha / RGB / RGBA,
-  zlib-inflated IDAT, all five scanline filters (None/Sub/Up/
-  Average/Paeth) on decode; the encoder emits filter 0. Palette,
-  sub-byte and 16-bit depths, and Adam7 interlace raise
-  ``NotImplementedError`` with a pointer to Pillow.
+- PNG (ISO/IEC 15948): greyscale / grey+alpha / RGB / RGBA at 8 and
+  16 bits (16-bit returns the high byte), palette images (PLTE +
+  tRNS, depths 1/2/4/8), shallow greyscale (1/2/4-bit, scaled to
+  full range), zlib-inflated IDAT, all five scanline filters
+  (None/Sub/Up/Average/Paeth) on decode; the encoder emits filter 0.
+  Adam7 interlace raises ``NotImplementedError`` with a pointer to
+  Pillow.
 - BMP (Windows BITMAPINFOHEADER): uncompressed 24-bpp bottom-up
   BGR with 4-byte row padding — the universal interchange layout.
 - PPM/PGM (netpbm P5/P6): binary greyscale / RGB, maxval 255.
 - JPEG (ITU-T T.81 baseline): delegated to sources/jpeg.py — the
   dependency-free Huffman+DCT codec.
+- GIF (GIF87a/89a): first frame, LSB-first LZW, global/local color
+  tables, transparency, interlace.
 
 ``decode_image`` sniffs the magic bytes, so the multimodal kernels
 never need a trusted mime column. Decode runs on EXECUTORS inside
@@ -126,12 +130,24 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Unpack 1/2/4-bit samples from filtered scanline bytes (PNG
+    §7.2: MSB-first within each byte, rows padded to whole bytes)."""
+    bits = np.unpackbits(rows, axis=1)
+    groups = bits.reshape(rows.shape[0], -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (groups * weights).sum(axis=2).astype(np.uint8)[:, :w]
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG to uint8 (H, W) for greyscale or
-    (H, W, C) for grey+alpha / RGB / RGBA."""
+    """Decode a PNG to uint8: (H, W) for greyscale, (H, W, C) for
+    grey+alpha / RGB / RGBA; palette images resolve through PLTE (and
+    tRNS when present). 8-bit returns samples as stored; 16-bit
+    returns the high byte; 1/2/4-bit greyscale scales to full range."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, bytearray()
+    plte, trns = None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -143,6 +159,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} fails CRC")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -153,16 +173,54 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG needs Pillow")
-    if depth != 8 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} needs Pillow; builtin decoder "
-            "reads 8-bit greyscale/grey+alpha/RGB/RGBA"
-        )
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG compression/filter method ({comp},{filt})")
+    raw = zlib.decompress(bytes(idat))
+
+    if color == 3:  # palette
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"invalid palette PNG depth {depth}")
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        stride = (w * depth + 7) // 8
+        rows = _png_unfilter(raw, h, stride, 1)  # spec: bpp rounds up to 1
+        idx = rows[:, :w] if depth == 8 else _unpack_subbyte(rows, w, depth)
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG color type {color} needs Pillow; builtin decoder reads "
+            "greyscale/grey+alpha/RGB/RGBA/palette"
+        )
     ch = _PNG_CHANNELS[color]
-    flat = _png_unfilter(zlib.decompress(bytes(idat)), h, w, ch)
-    return flat.reshape(h, w) if ch == 1 else flat.reshape(h, w, ch)
+    if depth == 8:
+        flat = _png_unfilter(raw, h, w, ch)
+        return flat.reshape(h, w) if ch == 1 else flat.reshape(h, w, ch)
+    if depth == 16:
+        flat = _png_unfilter(raw, h, w, ch * 2)  # spec bpp = 2*channels
+        # network byte order: the HIGH byte of each sample comes first,
+        # and it is the standard 8-bit rendition (v >> 8)
+        high = flat.reshape(h, w, ch, 2)[..., 0]
+        return high.reshape(h, w) if ch == 1 else high
+    if depth in (1, 2, 4) and color == 0:  # bilevel / shallow greyscale
+        stride = (w * depth + 7) // 8
+        rows = _png_unfilter(raw, h, stride, 1)
+        # exact full-range scaling: 255 is a multiple of every 2^d - 1
+        return (_unpack_subbyte(rows, w, depth) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    raise NotImplementedError(
+        f"PNG depth={depth} color={color} needs Pillow; builtin decoder "
+        "reads 1/2/4/8/16-bit greyscale, 8/16-bit color, and palette"
+    )
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
@@ -252,6 +310,129 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW (GIF89a spec appendix F): LSB-first bit packing
+    (unlike TIFF's MSB-first), CLEAR = 2**min_code, EOI = CLEAR+1, the
+    code width grows when the table FILLS 2**width (no early change),
+    capped at 12 bits."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    width = min_code + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    bitpos, nbits8 = 0, len(data) * 8
+    while bitpos + width <= nbits8 and n_out < n_pixels:
+        byte, shift = bitpos >> 3, bitpos & 7
+        window = int.from_bytes(data[byte : byte + 3].ljust(3, b"\x00"), "little")
+        code = (window >> shift) & ((1 << width) - 1)
+        bitpos += width
+        if code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width, prev = min_code + 1, None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF: first code {code} before any CLEAR")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF: code {code} beyond table size {len(table)}")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if n_out < n_pixels:
+        raise ValueError(f"GIF: pixel data ends at {n_out}/{n_pixels}")
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to uint8 (H, W, 3), or
+    (H, W, 4) when the frame's graphic control extension declares a
+    transparent index. Handles global/local color tables, interlaced
+    frames (the 4-pass row shuffle), and sub-block reassembly."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        introducer = data[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                packed, _delay, tindex = struct.unpack(
+                    "<BHB", data[pos + 1 : pos + 5]
+                )
+                if packed & 1:
+                    transparent = tindex
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{introducer:02x}")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF: frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(data):
+                raise ValueError("GIF: truncated inside image data sub-blocks")
+            n = data[pos]
+            if n == 0:
+                pos += 1
+                break
+            if pos + 1 + n > len(data):
+                raise ValueError("GIF: truncated inside image data sub-blocks")
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        idx = _gif_lzw_decode(bytes(lzw), min_code, w * h).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        if int(idx.max()) >= len(ct):
+            raise ValueError("GIF: color index out of range")
+        rgb = ct[idx]
+        if transparent is not None and transparent < len(ct):
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+        return rgb
+    raise ValueError("GIF: no image frame found")
+
+
 def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
     """Decode an image payload to a uint8 numpy array, sniffing the
     container from its magic bytes (the mime hint is advisory only —
@@ -278,6 +459,8 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:3] in (b"\xff\xd8\xff",):
         from sklearn_raster_spark.sources.jpeg import decode_jpeg
 

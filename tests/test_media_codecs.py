@@ -95,7 +95,8 @@ def test_png_rejection_and_corruption():
         decode_png(bytes(data))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF not a png")
-    # 16-bit depth is out of builtin scope
+    # Adam7 interlace is out of builtin scope (16-bit — the old
+    # example here — decodes builtin since the round-9 continuation)
 
     def chunk(tag, payload):
         return (
@@ -103,14 +104,14 @@ def test_png_rejection_and_corruption():
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    deep = (
+    interlaced = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_png(deep)
+        decode_png(interlaced)
     with pytest.raises(ValueError):
         encode_png(np.zeros((0, 4), np.uint8))
     with pytest.raises(ValueError):
@@ -294,3 +295,273 @@ def test_wav_24bit_pcm():
     assert stereo.shape == (4, 2)
     assert np.array_equal(stereo[:, 0], vals[0::2])
     assert np.array_equal(stereo[:, 1], np.append(vals[1::2], 0))
+
+
+def _png_file(w, h, depth, color, raw_rows, extra_chunks=()):
+    """Assemble a PNG from pre-filtered scanlines (filter byte 0)."""
+    from sklearn_raster_spark.sources.image import _png_chunk, _PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in raw_rows)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    for tag, payload in extra_chunks:
+        out += _png_chunk(tag, payload)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_palette_8bit_with_and_without_trns():
+    rng = np.random.default_rng(21)
+    w, h = 9, 5
+    pal = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (h, w)).astype(np.uint8)
+    rows = [idx[y].tobytes() for y in range(h)]
+    png = _png_file(w, h, 8, 3, rows, [(b"PLTE", pal.tobytes())])
+    back = decode_image(png)
+    assert back.shape == (h, w, 3) and np.array_equal(back, pal[idx])
+
+    trns = bytes([255, 0, 128])  # entries 0..2; rest default opaque
+    png_a = _png_file(w, h, 8, 3, rows, [(b"PLTE", pal.tobytes()), (b"tRNS", trns)])
+    back_a = decode_image(png_a)
+    assert back_a.shape == (h, w, 4)
+    alpha = np.full(7, 255, np.uint8)
+    alpha[:3] = np.frombuffer(trns, np.uint8)
+    assert np.array_equal(back_a[..., 3], alpha[idx])
+    assert np.array_equal(back_a[..., :3], pal[idx])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_palette_subbyte_depths(depth):
+    rng = np.random.default_rng(22)
+    w, h, n_pal = 11, 4, 1 << depth
+    pal = rng.integers(0, 256, (n_pal, 3)).astype(np.uint8)
+    idx = rng.integers(0, n_pal, (h, w)).astype(np.uint8)
+    rows = []
+    for y in range(h):
+        bits = np.unpackbits(idx[y][:, None], axis=1)[:, 8 - depth :]
+        packed = np.packbits(bits.reshape(-1))
+        rows.append(packed.tobytes())
+    png = _png_file(w, h, depth, 3, rows, [(b"PLTE", pal.tobytes())])
+    back = decode_image(png)
+    assert back.shape == (h, w, 3) and np.array_equal(back, pal[idx])
+
+
+def test_png_16bit_gray_and_rgb_high_byte():
+    rng = np.random.default_rng(23)
+    w, h = 6, 3
+    g16 = rng.integers(0, 65536, (h, w)).astype(">u2")
+    rows = [g16[y].tobytes() for y in range(h)]
+    back = decode_image(_png_file(w, h, 16, 0, rows))
+    assert back.shape == (h, w)
+    assert np.array_equal(back, (g16.astype(np.uint32) >> 8).astype(np.uint8))
+
+    rgb16 = rng.integers(0, 65536, (h, w, 3)).astype(">u2")
+    rows = [rgb16[y].tobytes() for y in range(h)]
+    back = decode_image(_png_file(w, h, 16, 2, rows))
+    assert back.shape == (h, w, 3)
+    assert np.array_equal(back, (rgb16.astype(np.uint32) >> 8).astype(np.uint8))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_shallow_gray_scales_to_full_range(depth):
+    rng = np.random.default_rng(24)
+    w, h, levels = 13, 3, 1 << depth
+    vals = rng.integers(0, levels, (h, w)).astype(np.uint8)
+    rows = []
+    for y in range(h):
+        bits = np.unpackbits(vals[y][:, None], axis=1)[:, 8 - depth :]
+        rows.append(np.packbits(bits.reshape(-1)).tobytes())
+    back = decode_image(_png_file(w, h, depth, 0, rows))
+    assert back.shape == (h, w)
+    assert np.array_equal(back, vals * (255 // (levels - 1)))
+    if depth == 1:
+        assert set(np.unique(back)) <= {0, 255}
+
+
+def test_png_palette_pillow_interop():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(25)
+    idx = rng.integers(0, 16, (8, 12)).astype(np.uint8)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    img = Image.fromarray(idx, mode="P")
+    img.putpalette(pal.reshape(-1).tolist())
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    from sklearn_raster_spark.sources.image import decode_png
+
+    back = decode_png(buf.getvalue())
+    assert back.shape[-1] == 3
+    assert np.array_equal(back, pal[idx])
+
+
+# ------------------------------------------------------------------ GIF
+
+
+class _GifBits:
+    """LSB-first bit writer (GIF appendix F packing order)."""
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, code, width):
+        self.acc |= code << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def done(self):
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices, min_code, compress=True):
+    """Spec-faithful GIF LZW encoder for tests. compress=False uses the
+    classic 'uncompressed GIF' trick — every pixel as its own code with
+    a CLEAR before the table would force a width bump — which gives a
+    hand-checkable spec anchor independent of table bookkeeping."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    wr = _GifBits()
+    width = min_code + 1
+    wr.put(clear, width)
+    if not compress:
+        budget = (1 << min_code) - 2
+        for i, b in enumerate(bytes(indices)):
+            if i and i % budget == 0:
+                wr.put(clear, width)
+            wr.put(b, width)
+        wr.put(eoi, width)
+        return wr.done()
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    prev = b""
+    for b in bytes(indices):
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        wr.put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # decoder widens when ITS table (one entry behind) fills 2^width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # keep clear of the 12-bit cap
+            wr.put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        prev = bytes([b])
+    if prev:
+        wr.put(table[prev], width)
+    wr.put(eoi, width)
+    return wr.done()
+
+
+def _gif_file(idx, palette, min_code, interlace=False, transparent=None,
+              local_ct=False, compress=True):
+    h, w = idx.shape
+    n = len(palette)
+    ct_bits = max(1, (n - 1).bit_length()) - 1  # field stores 2<<bits entries
+    ct = palette.astype(np.uint8).tobytes()
+    out = bytearray(b"GIF89a")
+    if local_ct:
+        out += struct.pack("<HHBBB", w, h, 0x00, 0, 0)  # no GCT
+    else:
+        out += struct.pack("<HHBBB", w, h, 0x80 | ct_bits, 0, 0) + ct
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01]) + struct.pack("<H", 0)
+        out += bytes([transparent, 0])
+    iflags = (0x80 | ct_bits if local_ct else 0) | (0x40 if interlace else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_ct:
+        out += ct
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = idx[order]
+    data = _gif_lzw_encode(rows.reshape(-1).astype(np.uint8).tobytes(),
+                           min_code, compress=compress)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_compressed_and_uncompressed_trick():
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (13, 21)).astype(np.uint8)
+    for compress in (True, False):
+        back = decode_image(_gif_file(idx, pal, 4, compress=compress))
+        assert back.shape == (13, 21, 3)
+        assert np.array_equal(back, pal[idx])
+
+
+def test_gif_kwkwk_and_width_growth():
+    rng = np.random.default_rng(32)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    # abababab...: the classic KwKwK stressor
+    idx = np.tile(np.array([[3, 7]], np.uint8), (4, 50)).reshape(8, 50)
+    from sklearn_raster_spark.sources.image import decode_gif
+
+    assert np.array_equal(decode_gif(_gif_file(idx, pal, 8)), pal[idx])
+    # enough entropy to push the code width past 9 and 10 bits
+    big = rng.integers(0, 256, (60, 80)).astype(np.uint8)
+    assert np.array_equal(decode_gif(_gif_file(big, pal, 8)), pal[big])
+
+
+def test_gif_interlace_local_table_and_transparency():
+    rng = np.random.default_rng(33)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, (17, 9)).astype(np.uint8)  # odd height
+    from sklearn_raster_spark.sources.image import decode_gif
+
+    assert np.array_equal(decode_gif(_gif_file(idx, pal, 3, interlace=True)),
+                          pal[idx])
+    assert np.array_equal(decode_gif(_gif_file(idx, pal, 3, local_ct=True)),
+                          pal[idx])
+    back = decode_gif(_gif_file(idx, pal, 3, transparent=5))
+    assert back.shape == (17, 9, 4)
+    assert np.array_equal(back[..., :3], pal[idx])
+    assert np.array_equal(back[..., 3] == 0, idx == 5)
+
+
+def test_gif_rejection_and_truncation():
+    from sklearn_raster_spark.sources.image import decode_gif
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF")
+    rng = np.random.default_rng(34)
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.integers(0, 4, (6, 6)).astype(np.uint8)
+    good = _gif_file(idx, pal, 2)
+    with pytest.raises(ValueError, match="truncated|pixel data ends"):
+        # chop the last data sub-block in half
+        decode_gif(good[:-12] + b"\x00\x3b")
+
+
+def test_gif_pillow_interop():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(35)
+    idx = rng.integers(0, 32, (24, 31)).astype(np.uint8)
+    pal = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+    img = Image.fromarray(idx, mode="P")
+    img.putpalette(pal.reshape(-1).tolist())
+    buf = io.BytesIO()
+    img.save(buf, format="GIF")
+    from sklearn_raster_spark.sources.image import decode_gif
+
+    assert np.array_equal(decode_gif(buf.getvalue()), pal[idx])
