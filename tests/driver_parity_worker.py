@@ -49,6 +49,7 @@ EXECUTE = {
     # so the binaryFile -> decode chain is proven under a bare session
     "q161_image_decode_features",
     "q162_audio_decode_features",
+    "q163_jpeg_decode_fidelity",
 }
 
 
