@@ -12,10 +12,10 @@ environment provides it:
 - PNG (ISO/IEC 15948): greyscale / grey+alpha / RGB / RGBA at 8 and
   16 bits (16-bit returns the high byte), palette images (PLTE +
   tRNS, depths 1/2/4/8), shallow greyscale (1/2/4-bit, scaled to
-  full range), zlib-inflated IDAT, all five scanline filters
-  (None/Sub/Up/Average/Paeth) on decode; the encoder emits filter 0.
-  Adam7 interlace raises ``NotImplementedError`` with a pointer to
-  Pillow.
+  full range), Adam7 interlace (seven independently-filtered passes
+  scattered onto their lattices), zlib-inflated IDAT, all five
+  scanline filters (None/Sub/Up/Average/Paeth) on decode; the
+  encoder emits filter 0.
 - BMP (Windows BITMAPINFOHEADER): uncompressed 24-bpp bottom-up
   BGR with 4-byte row padding — the universal interchange layout.
 - PPM/PGM (netpbm P5/P6): binary greyscale / RGB, maxval 255.
@@ -139,6 +139,38 @@ def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
     return (groups * weights).sum(axis=2).astype(np.uint8)[:, :w]
 
 
+def _png_row_bytes(w: int, depth: int, color: int) -> int:
+    nch = 1 if color == 3 else _PNG_CHANNELS[color]
+    return (w * depth * nch + 7) // 8
+
+
+def _decode_samples(raw: bytes, w: int, h: int, depth: int, color: int) -> np.ndarray:
+    """Filtered scanlines -> raw per-pixel samples for one (sub)image:
+    (H, W) uint8 for greyscale / palette indices (sub-byte values NOT
+    yet scaled), (H, W, C) for multi-channel; 16-bit keeps the high
+    byte. Shared by the sequential path and each Adam7 pass."""
+    if color == 3 or (color == 0 and depth < 8):
+        stride = _png_row_bytes(w, depth, color)
+        rows = _png_unfilter(raw, h, stride, 1)  # spec: bpp rounds up to 1
+        return rows[:, :w] if depth == 8 else _unpack_subbyte(rows, w, depth)
+    ch = _PNG_CHANNELS[color]
+    if depth == 8:
+        flat = _png_unfilter(raw, h, w, ch)
+        return flat.reshape(h, w) if ch == 1 else flat.reshape(h, w, ch)
+    # depth 16: network byte order — the HIGH byte of each sample comes
+    # first and is the standard 8-bit rendition (v >> 8)
+    flat = _png_unfilter(raw, h, w, ch * 2)  # spec bpp = 2*channels
+    high = flat.reshape(h, w, ch, 2)[..., 0]
+    return high.reshape(h, w) if ch == 1 else high
+
+
+# Adam7 pass origins and steps (PNG §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to uint8: (H, W) for greyscale, (H, W, C) for
     grey+alpha / RGB / RGBA; palette images resolve through PLTE (and
@@ -171,56 +203,63 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG needs Pillow")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG compression/filter method ({comp},{filt})")
-    raw = zlib.decompress(bytes(idat))
-
-    if color == 3:  # palette
+    if color == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"invalid palette PNG depth {depth}")
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing or malformed PLTE")
-        stride = (w * depth + 7) // 8
-        rows = _png_unfilter(raw, h, stride, 1)  # spec: bpp rounds up to 1
-        idx = rows[:, :w] if depth == 8 else _unpack_subbyte(rows, w, depth)
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        if int(idx.max()) >= len(pal):
-            raise ValueError("palette index out of range")
-        rgb = pal[idx]
-        if trns is not None:
-            alpha = np.full(len(pal), 255, np.uint8)
-            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
-            return np.dstack([rgb, alpha[idx]])
-        return rgb
-
-    if color not in _PNG_CHANNELS:
+    elif color not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG color type {color} needs Pillow; builtin decoder reads "
             "greyscale/grey+alpha/RGB/RGBA/palette"
         )
-    ch = _PNG_CHANNELS[color]
-    if depth == 8:
-        flat = _png_unfilter(raw, h, w, ch)
-        return flat.reshape(h, w) if ch == 1 else flat.reshape(h, w, ch)
-    if depth == 16:
-        flat = _png_unfilter(raw, h, w, ch * 2)  # spec bpp = 2*channels
-        # network byte order: the HIGH byte of each sample comes first,
-        # and it is the standard 8-bit rendition (v >> 8)
-        high = flat.reshape(h, w, ch, 2)[..., 0]
-        return high.reshape(h, w) if ch == 1 else high
-    if depth in (1, 2, 4) and color == 0:  # bilevel / shallow greyscale
-        stride = (w * depth + 7) // 8
-        rows = _png_unfilter(raw, h, stride, 1)
-        # exact full-range scaling: 255 is a multiple of every 2^d - 1
-        return (_unpack_subbyte(rows, w, depth) * (255 // ((1 << depth) - 1))).astype(
-            np.uint8
+    elif not (depth in (8, 16) or (depth in (1, 2, 4) and color == 0)):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} needs Pillow; builtin decoder "
+            "reads 1/2/4/8/16-bit greyscale, 8/16-bit color, and palette"
         )
-    raise NotImplementedError(
-        f"PNG depth={depth} color={color} needs Pillow; builtin decoder "
-        "reads 1/2/4/8/16-bit greyscale, 8/16-bit color, and palette"
-    )
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace:
+        # Adam7 (§8.2): seven reduced images, each independently
+        # filtered, concatenated in the one zlib stream; empty passes
+        # contribute no bytes. Scatter each pass onto its lattice.
+        nch = 1 if color == 3 else _PNG_CHANNELS[color]
+        shape = (h, w) if nch == 1 else (h, w, nch)
+        samples = np.zeros(shape, np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            n = hp * (_png_row_bytes(wp, depth, color) + 1)
+            samples[y0::dy, x0::dx] = _decode_samples(
+                raw[pos : pos + n], wp, hp, depth, color
+            )
+            pos += n
+        if pos != len(raw):
+            raise ValueError("PNG interlaced stream has trailing bytes")
+    else:
+        samples = _decode_samples(raw, w, h, depth, color)
+
+    if color == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(samples.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[samples]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[samples]])
+        return rgb
+    if depth in (1, 2, 4):  # shallow greyscale: exact full-range scaling
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

@@ -95,8 +95,9 @@ def test_png_rejection_and_corruption():
         decode_png(bytes(data))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF not a png")
-    # Adam7 interlace is out of builtin scope (16-bit — the old
-    # example here — decodes builtin since the round-9 continuation)
+    # exotic color types stay Pillow territory (16-bit and Adam7 —
+    # the old examples here — decode builtin since the round-9
+    # continuation)
 
     def chunk(tag, payload):
         return (
@@ -104,14 +105,14 @@ def test_png_rejection_and_corruption():
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    interlaced = (
+    exotic = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
         + chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_png(interlaced)
+        decode_png(exotic)
     with pytest.raises(ValueError):
         encode_png(np.zeros((0, 4), np.uint8))
     with pytest.raises(ValueError):
@@ -565,3 +566,76 @@ def test_gif_pillow_interop():
     from sklearn_raster_spark.sources.image import decode_gif
 
     assert np.array_equal(decode_gif(buf.getvalue()), pal[idx])
+
+
+# ------------------------------------------------------------ Adam7 PNG
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _interlaced_png(img, depth=8, color=None, plte=None):
+    """Assemble an Adam7 PNG: each pass independently filtered with
+    filter byte 0; 16-bit passes big-endian; sub-byte passes packed."""
+    from sklearn_raster_spark.sources.image import _png_chunk, _PNG_SIG
+
+    h, w = img.shape[:2]
+    if color is None:
+        color = 0 if img.ndim == 2 else {3: 2, 4: 6}[img.shape[2]]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            if depth == 16:
+                raw += row.astype(">u2").tobytes()
+            elif depth < 8:
+                bits = np.unpackbits(
+                    np.asarray(row, np.uint8).reshape(-1, 1), axis=1
+                )[:, 8 - depth:]
+                raw += np.packbits(bits.reshape(-1)).tobytes()
+            else:
+                raw += np.asarray(row, np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
+def test_png_adam7_gray_rgb_rgba():
+    rng = np.random.default_rng(41)
+    for shape in [(13, 9), (8, 8), (1, 1), (3, 17), (13, 9, 3), (6, 5, 4)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        back = decode_png(_interlaced_png(img))
+        assert back.shape == img.shape and np.array_equal(back, img)
+
+
+def test_png_adam7_palette_and_16bit():
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (11, 7)).astype(np.uint8)
+    back = decode_png(_interlaced_png(idx, depth=4, color=3, plte=pal))
+    assert np.array_equal(back, pal[idx])
+
+    g16 = rng.integers(0, 65536, (9, 6)).astype(np.uint16)
+    back = decode_png(_interlaced_png(g16, depth=16, color=0))
+    assert np.array_equal(back, (g16 >> 8).astype(np.uint8))
+
+
+def test_png_adam7_pillow_written_interop():
+    """Pillow cannot WRITE interlaced PNGs for all modes, but it READS
+    them — cross-check our hand-assembled interlaced stream."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (10, 14, 3)).astype(np.uint8)
+    data = _interlaced_png(img)
+    theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.array_equal(theirs, img)
