@@ -119,7 +119,6 @@ _DCT_A = np.cos((2 * _X[None, :] + 1) * _X[:, None] * np.pi / 16) / 2.0
 _DCT_A[0, :] *= 1.0 / np.sqrt(2.0)
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -247,12 +246,15 @@ class _JpegState:
         self.restart_interval = 0
 
 
-def _parse_segments(buf: bytes, state: _JpegState):
+def _parse_segments(buf: bytes, state: _JpegState, pos: int | None = None):
     """Walk marker segments, filling ``state``; yields (marker, pos,
-    payload) for frame-level markers (SOFn / SOS / EOI)."""
-    if buf[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    pos = 2
+    payload) for frame-level markers (SOFn / SOS / EOI). ``pos``
+    resumes mid-stream after a scan's entropy data (progressive and
+    non-interleaved streams carry several SOS segments)."""
+    if pos is None:
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        pos = 2
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
@@ -298,10 +300,10 @@ def _parse_segments(buf: bytes, state: _JpegState):
             (state.restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
-                f"{_SOF_UNSUPPORTED[marker]} JPEG needs Pillow "
-                "(builtin decoder: baseline/extended sequential Huffman)"
+                f"{_SOF_UNSUPPORTED[marker]} JPEG needs Pillow (builtin "
+                "decoder: sequential and progressive Huffman)"
             )
-        elif marker in (0xC0, 0xC1, 0xDA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xDA):
             yield marker, pos + seg_len, payload
             if marker == 0xDA:
                 return  # caller resumes after entropy data
@@ -310,8 +312,10 @@ def _parse_segments(buf: bytes, state: _JpegState):
 
 
 def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
-    """Decode a baseline JPEG to uint8: (H, W) for grayscale, (H, W, 3)
-    RGB for YCbCr. ``tables`` is an optional abbreviated
+    """Decode a Huffman JPEG — baseline (SOF0), extended sequential
+    (SOF1), or progressive (SOF2, spectral selection + successive
+    approximation per T.81 annex G) — to uint8: (H, W) for grayscale,
+    (H, W, 3) RGB for YCbCr. ``tables`` is an optional abbreviated
     tables-only stream (SOI + DQT/DHT/DRI + EOI) that seeds the
     quantization/Huffman state — the TIFF 6.0 supplement-2 JPEGTables
     shape used by compression 7 strips/tiles."""
@@ -321,110 +325,266 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
         for _ in _parse_segments(bytes(tables), state):
             pass
 
-    frame = None  # (precision, height, width, comps)
-    for marker, pos, payload in _parse_segments(data, state):
-        if marker in (0xC0, 0xC1):
-            precision, h, w, nf = struct.unpack(">BHHB", payload[:6])
-            if precision != 8:
-                raise NotImplementedError(
-                    f"{precision}-bit JPEG needs Pillow (builtin: 8-bit)"
-                )
-            comps = []
-            for i in range(nf):
-                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = (h, w, comps)
-        elif marker == 0xDA:
-            if frame is None:
-                raise ValueError("JPEG: SOS before SOF")
-            ns = payload[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan JPEG needs Pillow "
-                    "(builtin decoder: single interleaved scan)"
-                )
-            scan = []
-            for i in range(ns):
-                cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
-                comp = next(c for c in frame[2] if c["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 15))
-            return _decode_scan(data, pos, frame, scan, state)
-    raise ValueError("JPEG: no scan found")
+    frame = None  # (height, width, comps, progressive)
+    planes: dict[int, dict] | None = None
+    pos: int | None = None
+    n_scans = 0
+    while True:
+        resumed = False
+        for marker, after, payload in _parse_segments(data, state, pos):
+            if marker in (0xC0, 0xC1, 0xC2):
+                precision, h, w, nf = struct.unpack(">BHHB", payload[:6])
+                if precision != 8:
+                    raise NotImplementedError(
+                        f"{precision}-bit JPEG needs Pillow (builtin: 8-bit)"
+                    )
+                if nf not in (1, 3):
+                    raise NotImplementedError(
+                        f"{nf}-component JPEG needs Pillow (builtin: gray/YCbCr)"
+                    )
+                comps = []
+                for i in range(nf):
+                    cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                    )
+                frame = (h, w, comps, marker == 0xC2)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                # coefficient planes persist ACROSS scans (progressive
+                # streams refine them scan by scan), in ZIGZAG order so
+                # spectral bands are contiguous
+                planes = {
+                    c["id"]: {
+                        "coef": np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), np.int32
+                        ),
+                        "pred": 0,
+                    }
+                    for c in comps
+                }
+            elif marker == 0xDA:
+                if frame is None or planes is None:
+                    raise ValueError("JPEG: SOS before SOF")
+                ns = payload[0]
+                scan = []
+                for i in range(ns):
+                    cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
+                    comp = next(c for c in frame[2] if c["id"] == cs)
+                    scan.append((comp, tdta >> 4, tdta & 15))
+                ss, se, ax = payload[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ax >> 4, ax & 15
+                if not frame[3]:  # sequential: full spectrum, no SA
+                    ss, se, ah, al = 0, 63, 0, 0
+                if ns not in (1, len(frame[2])):
+                    raise NotImplementedError(
+                        "partial-interleave JPEG scans need Pillow "
+                        "(builtin: single-component or fully interleaved)"
+                    )
+                pos = _entropy_scan(data, after, frame, scan, state, planes,
+                                    ss, se, ah, al)
+                # the decoder stops at the last bit it NEEDS; unread
+                # pad bits / stuffed FF00 pairs may sit before the next
+                # marker — scan forward to it (a real marker is FF
+                # followed by nonzero; FF00 is entropy stuffing)
+                while pos < len(data):
+                    if data[pos] == 0xFF and pos + 1 < len(data):
+                        if data[pos + 1] == 0x00:
+                            pos += 2
+                            continue
+                        break
+                    pos += 1
+                n_scans += 1
+                resumed = True
+                break
+            elif marker == 0xD9:
+                resumed = False
+                break
+        if not resumed:
+            break
+    if frame is None or n_scans == 0:
+        raise ValueError("JPEG: no scan found")
+    return _finalize(frame, planes, state)
 
 
-def _decode_scan(buf, pos, frame, scan, state):
-    h, w, comps = frame
-    if len(scan) not in (1, 3):
-        raise NotImplementedError(
-            f"{len(scan)}-component JPEG needs Pillow (builtin: gray/YCbCr)"
-        )
+def _entropy_scan(buf, pos, frame, scan, state, planes, ss, se, ah, al):
+    """Decode one scan's entropy data into the coefficient planes and
+    return the stream position after it. Handles interleaved MCUs
+    (sequential full-spectrum or progressive DC) and single-component
+    block-raster scans (progressive AC, non-interleaved sequential)."""
+    h, w, comps, _ = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
     reader = _BitReader(buf, pos)
-
-    planes = []
-    for comp, _, _ in scan:
-        planes.append(
-            {
-                "coef": np.zeros(
-                    (mcuy * comp["v"], mcux * comp["h"], 64), np.float64
-                ),
-                "pred": 0,
-            }
-        )
     ri = state.restart_interval
-    mcu_done = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if ri and mcu_done and mcu_done % ri == 0:
-                reader.sync_restart(((mcu_done // ri) - 1) & 7)
-                for pl in planes:
-                    pl["pred"] = 0
-            for (comp, td, ta), pl in zip(scan, planes):
-                dc_tbl = state.huff_dc.get(td)
-                ac_tbl = state.huff_ac.get(ta)
-                if dc_tbl is None or ac_tbl is None:
-                    raise ValueError("JPEG: scan references undefined Huffman table")
-                for vi in range(comp["v"]):
-                    for hi in range(comp["h"]):
-                        blk = pl["coef"][
-                            my * comp["v"] + vi, mx * comp["h"] + hi
-                        ]
-                        s = reader.decode_huff(dc_tbl)
-                        diff = _extend(reader.receive(s), s) if s else 0
-                        pl["pred"] += diff
-                        blk[0] = pl["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16  # ZRL
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
-                            k += 1
-            mcu_done += 1
+    for comp, _, _ in scan:  # DC predictors reset at scan start
+        planes[comp["id"]]["pred"] = 0
+    eobrun = 0
+    unit = 0
 
+    def maybe_restart(unit):
+        nonlocal eobrun
+        if ri and unit and unit % ri == 0:
+            reader.sync_restart(((unit // ri) - 1) & 7)
+            for comp, _, _ in scan:
+                planes[comp["id"]]["pred"] = 0
+            eobrun = 0
+
+    if len(scan) == 1:
+        comp, td, ta = scan[0]
+        pl = planes[comp["id"]]
+        # non-interleaved geometry (T.81 A.2.2): the component's OWN
+        # ceil dimensions, not the MCU-padded allocation
+        cw = -(-w * comp["h"] // hmax)
+        ch = -(-h * comp["v"] // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(unit)
+                eobrun = _decode_block(
+                    reader, pl["coef"][by, bx], pl, state, td, ta,
+                    ss, se, ah, al, eobrun,
+                )
+                unit += 1
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(unit)
+                for comp, td, ta in scan:
+                    pl = planes[comp["id"]]
+                    for vi in range(comp["v"]):
+                        for hi in range(comp["h"]):
+                            eobrun = _decode_block(
+                                reader,
+                                pl["coef"][my * comp["v"] + vi,
+                                           mx * comp["h"] + hi],
+                                pl, state, td, ta, ss, se, ah, al, eobrun,
+                            )
+                unit += 1
+    return reader.pos
+
+
+def _decode_block(reader, blk, pl, state, td, ta, ss, se, ah, al, eobrun):
+    """Decode one block's contribution for the current scan into the
+    zigzag-ordered coefficient vector ``blk``; returns the updated
+    end-of-band run (progressive AC scans share it across blocks)."""
+    if ss == 0:
+        if ah == 0:  # DC first pass (or sequential)
+            dc_tbl = state.huff_dc.get(td)
+            if dc_tbl is None:
+                raise ValueError("JPEG: scan references undefined Huffman table")
+            s = reader.decode_huff(dc_tbl)
+            diff = _extend(reader.receive(s), s) if s else 0
+            pl["pred"] += diff
+            blk[0] = pl["pred"] << al
+        else:  # DC refinement: one bit per block
+            if reader.read_bit():
+                blk[0] |= 1 << al
+        if se == 0:
+            return eobrun
+        k = 1
+    else:
+        k = ss
+    ac_tbl = state.huff_ac.get(ta)
+    if ac_tbl is None:
+        raise ValueError("JPEG: scan references undefined Huffman table")
+
+    if ah == 0:  # first pass over this spectral band
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= se:
+            rs = reader.decode_huff(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index overflow")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return eobrun
+
+    # AC refinement (T.81 G.1.2.3): append one correction bit to every
+    # already-nonzero coefficient passed over; place new +-1<<al values
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    # NOTE convention: in this refinement branch eobrun COUNTS the
+    # current block (set to 2^r + bits, decremented after the tail
+    # correction bits are consumed) — unlike the first-pass branch
+    # above, because EOB-run blocks still carry correction bits here.
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:  # EOB run starts here (including this block)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: invalid refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k > se:
+                break
+            if newval:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # the band's tail: correction bits only
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finalize(frame, planes, state):
+    """Dequantize (zigzag -> natural), batched IDCT, chroma upsample,
+    color convert."""
+    h, w, comps, _ = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
-    for (comp, _, _), pl in zip(scan, planes):
+    for comp in comps:
         qt = state.qt.get(comp["tq"])
         if qt is None:
             raise ValueError("JPEG: frame references undefined quantization table")
-        coef = (pl["coef"] * qt).reshape(-1, 8, 8)
+        zz = planes[comp["id"]]["coef"].astype(np.float64)
+        by, bx = zz.shape[0], zz.shape[1]
+        nat = np.empty_like(zz)
+        nat[..., ZIGZAG] = zz
+        coef = (nat * qt).reshape(-1, 8, 8)
         # spatial[n, x, y] = sum_{u,v} A[u,x] * F[n,u,v] * A[v,y]
         spatial = np.einsum("ux,nuv,vy->nxy", _DCT_A, coef, _DCT_A) + 128.0
-        ph, pw = pl["coef"].shape[0] * 8, pl["coef"].shape[1] * 8
         plane = (
-            spatial.reshape(pl["coef"].shape[0], pl["coef"].shape[1], 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(ph, pw)
+            spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
         plane = np.repeat(
             np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1

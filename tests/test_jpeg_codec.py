@@ -128,12 +128,13 @@ def test_rejection_surface():
     g = _gradient(8, 8)
     buf = bytearray(encode_jpeg(g, quality=85))
     i = buf.index(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(buf))
     buf[i + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(buf))
+    buf[i + 1] = 0xC3  # lossless
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(buf))
+    buf[i + 1] = 0xC0
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG not a jpeg")
@@ -312,3 +313,278 @@ def test_gdal_jpeg_in_tiff_interop(tmp_path):
     back, _ = read_gtiff(p)
     assert back.shape == g.shape
     assert _psnr(g, back) > 35
+
+
+# ------------------------------------------------- progressive decode
+
+from sklearn_raster_spark.sources.jpeg import (  # noqa: E402
+    ZIGZAG,
+    _AC_CHROMA,
+    _AC_LUMA,
+    _BitWriter,
+    _DC_CHROMA,
+    _DC_LUMA,
+    _DCT_A,
+    _QT_CHROMA,
+    _QT_LUMA,
+    _build_encode_table,
+    _pad_to,
+    _quality_scale,
+    _table_segments,
+)
+
+
+def _quantized_blocks(plane, qt):
+    """(H8, W8) float plane -> (by, bx, 64) int zigzag coefficients,
+    quantized exactly like encode_jpeg."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = np.zeros((by, bx, 64), np.int64)
+    for y in range(by):
+        for x in range(bx):
+            coef = _DCT_A @ (plane[y*8:(y+1)*8, x*8:(x+1)*8] - 128.0) @ _DCT_A.T
+            blocks[y, x] = np.round(coef.reshape(64) / qt).astype(np.int64)[ZIGZAG]
+    return blocks
+
+
+def _mag_bits(v, s):
+    return v if v > 0 else v + (1 << s) - 1
+
+
+def _enc_dc_scan(wr, comp_blocks, hv, dc_tbls, al, first):
+    """Interleaved DC scan over every component (first or refinement)."""
+    hmax = max(h for h, v in hv)
+    vmax = max(v for h, v in hv)
+    by0, bx0 = comp_blocks[0].shape[:2]
+    mcuy, mcux = by0 // hv[0][1], bx0 // hv[0][0]
+    preds = [0] * len(comp_blocks)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, blocks in enumerate(comp_blocks):
+                ch, cv = hv[ci]
+                tbl = dc_tbls[ci]
+                for vi in range(cv):
+                    for hi in range(ch):
+                        dc = int(blocks[my*cv+vi, mx*ch+hi][0])
+                        if first:
+                            t = dc >> al  # arithmetic shift, T.81 G.1.2.1
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = abs(diff).bit_length()
+                            code, length = tbl[s]
+                            wr.write(code, length)
+                            if s:
+                                wr.write(_mag_bits(diff, s), s)
+                        else:
+                            wr.write((dc >> al) & 1, 1)
+
+
+def _enc_ac_first(wr, blocks, ac_tbl, ss, se, al):
+    """Single-component AC first pass over a spectral band."""
+    by, bx = blocks.shape[:2]
+    for y in range(by):
+        for x in range(bx):
+            zz = blocks[y, x]
+            t = [
+                (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> al)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(t) if v]
+            run = 0
+            for i in range(0, (nz[-1] + 1) if nz else 0):
+                if t[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tbl[0xF0]
+                    wr.write(code, length)
+                    run -= 16
+                s = abs(t[i]).bit_length()
+                code, length = ac_tbl[(run << 4) | s]
+                wr.write(code, length)
+                wr.write(_mag_bits(t[i], s), s)
+                run = 0
+            if not nz or nz[-1] < se - ss:
+                code, length = ac_tbl[0x00]  # EOB (run of 1)
+                wr.write(code, length)
+
+
+def _enc_ac_refine(wr, blocks, ac_tbl, ss, se, ah, al):
+    """Single-component AC refinement (T.81 figure G.7 semantics)."""
+    by, bx = blocks.shape[:2]
+    for y in range(by):
+        for x in range(bx):
+            zz = blocks[y, x]
+            t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            tprev = [abs(int(zz[k])) >> ah for k in range(ss, se + 1)]
+            new_idx = [i for i, (a, b) in enumerate(zip(t, tprev))
+                       if b == 0 and a != 0]
+            eob = new_idx[-1] if new_idx else -1
+            run, pending = 0, []
+            for i, (mag, prev) in enumerate(zip(t, tprev)):
+                if mag == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob:
+                    code, length = ac_tbl[0xF0]
+                    wr.write(code, length)
+                    run -= 16
+                    for b in pending:
+                        wr.write(b, 1)
+                    pending = []
+                if prev != 0:  # previously significant: correction bit
+                    pending.append(mag & 1)
+                    continue
+                assert mag == 1, "refinement can only introduce +-1"
+                code, length = ac_tbl[(run << 4) | 1]
+                wr.write(code, length)
+                wr.write(1 if zz[ss + i] > 0 else 0, 1)
+                for b in pending:
+                    wr.write(b, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                code, length = ac_tbl[0x00]  # EOB covering the tail
+                wr.write(code, length)
+                for b in pending:
+                    wr.write(b, 1)
+
+
+def _progressive_stream(img, quality, scans, subsampling="444"):
+    """Assemble a SOF2 stream for gray or RGB images. ``scans`` is a
+    list of (comp_sel, ss, se, ah, al) with comp_sel None = interleaved
+    DC over all components, else a component index."""
+    gray = img.ndim == 2
+    qt_l = _quality_scale(_QT_LUMA, quality)
+    qt_c = _quality_scale(_QT_CHROMA, quality)
+    sub = 2 if (subsampling == "420" and not gray) else 1
+    if gray:
+        planes = [_pad_to(img.astype(np.float64), 8, 8)]
+        qts, hv = [qt_l], [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        yp = 0.299*rgb[..., 0] + 0.587*rgb[..., 1] + 0.114*rgb[..., 2]
+        cb = 128.0 - 0.168736*rgb[..., 0] - 0.331264*rgb[..., 1] + 0.5*rgb[..., 2]
+        cr = 128.0 + 0.5*rgb[..., 0] - 0.418688*rgb[..., 1] - 0.081312*rgb[..., 2]
+        if sub == 2:
+            cbp, crp = _pad_to(cb, 2, 2), _pad_to(cr, 2, 2)
+            cb = cbp.reshape(cbp.shape[0]//2, 2, cbp.shape[1]//2, 2).mean((1, 3))
+            cr = crp.reshape(crp.shape[0]//2, 2, crp.shape[1]//2, 2).mean((1, 3))
+        planes = [_pad_to(yp, 8*sub, 8*sub), _pad_to(cb, 8, 8), _pad_to(cr, 8, 8)]
+        qts, hv = [qt_l, qt_c, qt_c], [(sub, sub), (1, 1), (1, 1)]
+    blocks = [_quantized_blocks(p, q) for p, q in zip(planes, qts)]
+
+    dc_enc = [_build_encode_table(*_DC_LUMA), _build_encode_table(*_DC_CHROMA)]
+    ac_enc = [_build_encode_table(*_AC_LUMA), _build_encode_table(*_AC_CHROMA)]
+    tsel = [0] + [1] * (len(planes) - 1)
+
+    import struct as _s
+
+    def seg(marker, payload):
+        return _s.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    h, w = img.shape[:2]
+    out = bytearray(b"\xff\xd8")
+    out += _table_segments(quality, gray)
+    sof = _s.pack(">BHHB", 8, h, w, len(planes))
+    for i, (ch, cv) in enumerate(hv):
+        sof += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
+    out += seg(0xC2, sof)
+    for comp_sel, ss, se, ah, al in scans:
+        wr = _BitWriter()
+        if comp_sel is None:  # interleaved DC
+            _enc_dc_scan(wr, blocks, hv, [dc_enc[t] for t in tsel], al, ah == 0)
+            sos = bytes([len(planes)])
+            for i in range(len(planes)):
+                sos += bytes([i + 1, (tsel[i] << 4) | tsel[i]])
+        else:
+            ci = comp_sel
+            # non-interleaved scans cover the component's OWN ceil
+            # dimensions (T.81 A.2.2), not the MCU-padded allocation
+            hmax = max(a for a, b in hv)
+            vmax = max(b for a, b in hv)
+            bw = -(- (-(-w * hv[ci][0] // hmax)) // 8)
+            bh = -(- (-(-h * hv[ci][1] // vmax)) // 8)
+            sub_blocks = blocks[ci][:bh, :bw]
+            if ss == 0:  # single-component DC
+                _enc_dc_scan(wr, [sub_blocks], [(1, 1)],
+                             [dc_enc[tsel[ci]]], al, ah == 0)
+            elif ah == 0:
+                _enc_ac_first(wr, sub_blocks, ac_enc[tsel[ci]], ss, se, al)
+            else:
+                _enc_ac_refine(wr, sub_blocks, ac_enc[tsel[ci]], ss, se, ah, al)
+            sos = bytes([1, ci + 1, (tsel[ci] << 4) | tsel[ci]])
+        wr.flush()
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_spectral_selection_gray():
+    """DC scan + two AC band scans (no successive approximation) must
+    decode identically to the sequential stream of the same image."""
+    g = _gradient(21, 19)
+    seq = decode_jpeg(encode_jpeg(g, quality=85))
+    prog = _progressive_stream(
+        g, 85, [(None, 0, 0, 0, 0), (0, 1, 5, 0, 0), (0, 6, 63, 0, 0)]
+    )
+    assert np.array_equal(decode_jpeg(prog), seq)
+
+
+def test_progressive_successive_approximation_gray():
+    """The full libjpeg-style script: DC first at Al=1 + refinement,
+    AC first at Al=2 then two refinement passes down to Al=0."""
+    rng = np.random.default_rng(51)
+    g = (rng.integers(0, 256, (24, 17)) // 1).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg(g, quality=90))
+    prog = _progressive_stream(
+        g, 90,
+        [
+            (None, 0, 0, 0, 1),    # DC first, Al=1
+            (0, 1, 63, 0, 2),      # AC first, Al=2
+            (0, 1, 63, 2, 1),      # AC refine to Al=1
+            (0, 1, 63, 1, 0),      # AC refine to Al=0
+            (None, 0, 0, 1, 0),    # DC refine to Al=0
+        ],
+    )
+    assert np.array_equal(decode_jpeg(prog), seq)
+
+
+def test_progressive_color_420():
+    rng = np.random.default_rng(52)
+    g = _gradient(18, 22)
+    rgb = np.stack([g, 255 - g, rng.integers(0, 256, g.shape).astype(np.uint8)],
+                   axis=-1)
+    seq = decode_jpeg(encode_jpeg(rgb, quality=88, subsampling="420"))
+    prog = _progressive_stream(
+        rgb, 88,
+        [
+            (None, 0, 0, 0, 1),
+            (0, 1, 63, 0, 1),
+            (1, 1, 63, 0, 1),
+            (2, 1, 63, 0, 1),
+            (0, 1, 63, 1, 0),
+            (1, 1, 63, 1, 0),
+            (2, 1, 63, 1, 0),
+            (None, 0, 0, 1, 0),
+        ],
+        subsampling="420",
+    )
+    assert np.array_equal(decode_jpeg(prog), seq)
+
+
+def test_progressive_pillow_interop():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    g = _gradient(25, 33)
+    rgb = np.stack([g, 255 - g, np.roll(g, 7, axis=1)], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(rgb, mode="RGB").save(
+        buf, format="JPEG", quality=92, progressive=True
+    )
+    ours = decode_jpeg(buf.getvalue())
+    assert ours.shape == rgb.shape
+    assert _psnr(rgb, ours) > 30
