@@ -10,9 +10,9 @@ preferring Pillow/soundfile when the environment provides them —
 same optional-library pattern as the GeoTIFF path (sources/tiff.py).
 q161/q162/q163 drive file-per-asset binaryFile scans through real
 encode -> decode -> feature extraction with SQL oracles — including
-baseline JPEG (sources/jpeg.py, Huffman+DCT, lossy fidelity graded
-by q163); FLAC and other heavy codecs remain library territory with
-pointed errors.
+JPEG (sources/jpeg.py, sequential AND progressive T.81 Huffman+DCT,
+lossy fidelity graded by q163); arithmetic-coded JPEG, FLAC and
+other heavy codecs remain library territory with pointed errors.
 The Spark-side plumbing — BinaryType column, metadata struct, UDF
 signature, Arrow batch shape, partitioning — is what matters at
 100 TB (payloads stay off the driver; batches bound memory via

@@ -8,13 +8,15 @@ public ITU-T T.81 specification (with the JFIF color conventions),
 exactly like sources/tiff.py and sources/image.py derive from their
 public specs:
 
-- ``decode_jpeg``: baseline (SOF0) and extended-sequential (SOF1)
-  Huffman streams, 8-bit precision, grayscale or 3-component YCbCr
-  with arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...), restart
-  markers (DRI/RSTn), 8- and 16-bit DQT entries, and abbreviated
-  streams via ``tables=`` (the TIFF 6.0 §22 / JPEGTables tag shape).
-  Progressive (SOF2), arithmetic coding, hierarchical and lossless
-  modes raise ``NotImplementedError`` with a pointer to Pillow.
+- ``decode_jpeg``: baseline (SOF0), extended-sequential (SOF1), and
+  progressive (SOF2 — spectral selection, successive approximation,
+  and EOB runs per T.81 annex G) Huffman streams, 8-bit precision,
+  grayscale or 3-component YCbCr with arbitrary sampling factors
+  (4:4:4, 4:2:0, 4:2:2, ...), interleaved and non-interleaved scans,
+  restart markers (DRI/RSTn), 8- and 16-bit DQT entries, and
+  abbreviated streams via ``tables=`` (the TIFF 6.0 §22 / JPEGTables
+  tag shape). Arithmetic coding, hierarchical and lossless modes
+  raise ``NotImplementedError`` with a pointer to Pillow.
 - ``encode_jpeg``: baseline 4:4:4 / 4:2:0 encoder with the Annex K
   quantization and Huffman tables (quality scaling per the public
   IJG formula), grayscale or RGB — it exists so the decoder has a
