@@ -35,11 +35,13 @@ from sklearn_raster_spark.sources import read_table
 
 def decode_image(payload: bytes, mime: str | None = None):
     """Real image decode (round-9; replaces the round-8 stub): sniffs
-    the container from magic bytes and decodes PNG/BMP/PGM/PPM with
-    the dependency-free builtin codecs (sources/image.py), preferring
-    Pillow when the environment provides it — the sources/tiff.py
-    optional-library pattern. Returns a uint8 numpy array, (H, W) for
-    greyscale or (H, W, C) for color. q161 drives this end-to-end over
+    the container from magic bytes and decodes PNG (incl. palette/
+    16-bit/Adam7), BMP, PGM/PPM, GIF, and JPEG (sequential AND
+    progressive) with the dependency-free builtin codecs
+    (sources/image.py, sources/jpeg.py), preferring Pillow when the
+    environment provides it — the sources/tiff.py optional-library
+    pattern. Returns a uint8 numpy array, (H, W) for greyscale or
+    (H, W, C) for color. q161/q163/q164 drive it end-to-end over
     q152-style binaryFile assets."""
     from sklearn_raster_spark.sources.image import decode_image as _decode
 
@@ -427,13 +429,12 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_SUCCESS")
     # the selection-logic version rides in the fingerprint so a code
     # change invalidates cached asset dirs, not just data changes
-    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v3-jpeg"
+    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v4-gif"
     if not cache_is_current(marker, fingerprint):
         if os.path.isdir(path):
             shutil.rmtree(path)
-        os.makedirs(os.path.join(path, "img"), exist_ok=True)
-        os.makedirs(os.path.join(path, "jpg"), exist_ok=True)
-        os.makedirs(os.path.join(path, "wav"), exist_ok=True)
+        for sub in ("img", "jpg", "gif", "wav"):
+            os.makedirs(os.path.join(path, sub), exist_ok=True)
         # ASCII-only payloads (bytes == chars): a pixel grid / PCM
         # stream holds one 0-255 unit per sample, so only byte==char
         # docs have a faithful text<->media encoding — the SQL oracles
@@ -448,7 +449,7 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
 
         def write_assets(rows):
             from sklearn_raster_spark.sources.audio import encode_wav
-            from sklearn_raster_spark.sources.image import encode_png
+            from sklearn_raster_spark.sources.image import encode_gif, encode_png
             from sklearn_raster_spark.sources.jpeg import encode_jpeg
 
             for r in rows:
@@ -460,10 +461,13 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
                 # quality 100 => all-ones quant tables: the only loss
                 # is DCT rounding, so |err| stays within JPEG_MAX_ERR
                 jpg = encode_jpeg(grid.reshape(h, IMG_WIDTH), quality=100)
+                # GIF is lossless (identity 256-gray palette + LZW)
+                gif = encode_gif(grid.reshape(h, IMG_WIDTH))
                 wav = encode_wav(raw.astype(np.int16), WAV_RATE)
                 for sub, ext, blob in (
                     ("img", "png", png),
                     ("jpg", "jpg", jpg),
+                    ("gif", "gif", gif),
                     ("wav", "wav", wav),
                 ):
                     tmp = os.path.join(path, sub, f".{r.doc_id}.tmp")
@@ -696,4 +700,71 @@ def q163_jpeg_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return paired.mapInPandas(
         kernel, "doc_id long, img_h int, img_w int, jpeg_close boolean"
+    )
+
+
+@query(
+    "q164_gif_decode_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((LENGTH(text) + {IMG_WIDTH} - 1) // {IMG_WIDTH} AS INTEGER) AS img_h,
+           CAST({IMG_WIDTH} AS INTEGER) AS img_w,
+           CAST(LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> UNICODE(c)),
+                            (a, b) -> a + b) AS BIGINT) AS px_sum,
+           CAST(LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> UNICODE(c)))
+                AS INTEGER) AS px_max
+    FROM documents
+    WHERE doc_id % {MEDIA_MOD} = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+      -- ASCII-only assets (see materialize_media_files)
+      AND OCTET_LENGTH(ENCODE(text)) = LENGTH(text)
+    """,
+    doc="END-TO-END GIF decode (round-9 continuation): executors "
+        "encode each sampled doc's pixel grid as a REAL GIF89a "
+        "(identity 256-gray palette, LSB-first LZW with table resets "
+        "— sources/image.py encode_gif), binaryFile scans the assets, "
+        "and the kernel decodes through decode_image's GIF branch "
+        "(sub-block reassembly, LZW, palette resolve). GIF is "
+        "LOSSLESS, so like q161 the header geometry AND the pixel "
+        "statistics hash-match the SQL oracle on the source text "
+        "exactly — together q161/q163/q164 drive-grade every builtin "
+        "image container family (zlib-filter, DCT-entropy, LZW). "
+        "Scale: identical file-per-asset shape to q161.",
+)
+def q164_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)  # see q161
+    path = materialize_media_files(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(path + "/gif")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sklearn_raster_spark.operators.multimodal import decode_image
+
+        for pdf in batches:
+            out = {"doc_id": [], "img_h": [], "img_w": [], "px_sum": [], "px_max": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(payload))[..., 0]  # identity palette
+                px = img.reshape(-1).astype(np.int64)
+                nz = px[px > 0]
+                out["doc_id"].append(int(doc_id))
+                out["img_h"].append(int(img.shape[0]))
+                out["img_w"].append(int(img.shape[1]))
+                out["px_sum"].append(int(px.sum()))
+                out["px_max"].append(int(nz.max()) if nz.size else 0)
+            yield pd.DataFrame(out)
+
+    return (
+        bf.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.gif$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+        .mapInPandas(
+            kernel, "doc_id long, img_h int, img_w int, px_sum bigint, px_max int"
+        )
     )

@@ -122,10 +122,12 @@ _WINDOW_ORDER = (
     # the zero-deselect sf1 sweep (tools/sf1_sweep.py) regardless of
     # window position; per-query TIMING comes from the bench, which
     # runs all 162.
-    # q163 is the round-9 continuation's NEW query: baseline JPEG
-    # (sources/jpeg.py) decoded end-to-end with an oracle-graded
-    # fidelity bound; it leads with the other new/changed rows
+    # q163/q164 are the round-9 continuation's NEW queries: JPEG
+    # (sources/jpeg.py, lossy fidelity bound oracle-graded) and GIF
+    # (lossless identity-palette LZW, exact pixel-stat oracle) decoded
+    # end-to-end; they lead with the other new/changed rows
     "q163_jpeg_decode_fidelity",
+    "q164_gif_decode_features",
     "q161_image_decode_features",
     "q162_audio_decode_features",
     "q154_stream_outer_join",

@@ -349,6 +349,70 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
 
 
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode uint8 (H, W) greyscale as a GIF89a with the identity
+    256-level palette and real LZW compression (LSB-first, table reset
+    before the 12-bit cap) — the lossless counterpart of encode_png
+    for the GIF container, so asset pipelines can grade the GIF decode
+    chain end-to-end (q164)."""
+    img = np.ascontiguousarray(img)
+    if img.dtype != np.uint8 or img.ndim != 2 or 0 in img.shape:
+        raise ValueError(f"encode_gif expects uint8 (H, W), got {img.dtype} {img.shape}")
+    h, w = img.shape
+    clear, eoi = 256, 257
+    acc = nbits = 0
+    out_bits = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = 9
+    put(clear, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    prev = b""
+    for b in img.tobytes():
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # the decoder's table lags one entry; it widens at 2**width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # reset short of the 12-bit cap
+            put(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eoi + 1
+            width = 9
+        prev = bytes([b])
+    if prev:
+        put(table[prev], width)
+    put(eoi, width)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    palette = np.repeat(np.arange(256, dtype=np.uint8), 3).tobytes()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # GCT, 256 entries
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([8])  # LZW minimum code size
+    for i in range(0, len(out_bits), 255):
+        blk = out_bits[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     """GIF-variant LZW (GIF89a spec appendix F): LSB-first bit packing
     (unlike TIFF's MSB-first), CLEAR = 2**min_code, EOI = CLEAR+1, the

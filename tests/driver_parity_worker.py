@@ -50,6 +50,7 @@ EXECUTE = {
     "q161_image_decode_features",
     "q162_audio_decode_features",
     "q163_jpeg_decode_fidelity",
+    "q164_gif_decode_features",
 }
 
 

@@ -639,3 +639,34 @@ def test_png_adam7_pillow_written_interop():
     data = _interlaced_png(img)
     theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert np.array_equal(theirs, img)
+
+
+def test_encode_gif_package_roundtrip():
+    """The PACKAGE GIF encoder (identity-palette grayscale, q164's
+    asset writer) must round-trip bit-exact through decode_gif,
+    including streams long enough to force the 4094-entry table
+    reset."""
+    from sklearn_raster_spark.sources.image import decode_gif, encode_gif
+
+    rng = np.random.default_rng(61)
+    for shape in [(1, 1), (5, 9), (13, 300), (80, 80)]:
+        g = rng.integers(0, 256, shape).astype(np.uint8)
+        back = decode_gif(encode_gif(g))
+        assert back.shape == shape + (3,)
+        assert np.array_equal(back[..., 0], g)
+        assert np.array_equal(back[..., 1], back[..., 2])
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((2, 2), np.float32))
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((2, 2, 3), np.uint8))
+
+
+def test_encode_gif_pillow_interop():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from sklearn_raster_spark.sources.image import encode_gif
+
+    g = np.random.default_rng(62).integers(0, 256, (21, 34)).astype(np.uint8)
+    theirs = np.asarray(Image.open(io.BytesIO(encode_gif(g))).convert("L"))
+    assert np.array_equal(theirs, g)
