@@ -11,8 +11,9 @@ same optional-library pattern as the GeoTIFF path (sources/tiff.py).
 q161/q162/q163 drive file-per-asset binaryFile scans through real
 encode -> decode -> feature extraction with SQL oracles — including
 JPEG (sources/jpeg.py, sequential AND progressive T.81 Huffman+DCT,
-lossy fidelity graded by q163); arithmetic-coded JPEG, FLAC and
-other heavy codecs remain library territory with pointed errors.
+lossy fidelity graded by q163) and FLAC (sources/audio.py,
+Rice/LPC per RFC 9639); arithmetic-coded JPEG, OGG and other heavy
+codecs remain library territory with pointed errors.
 The Spark-side plumbing — BinaryType column, metadata struct, UDF
 signature, Arrow batch shape, partitioning — is what matters at
 100 TB (payloads stay off the driver; batches bound memory via
