@@ -392,6 +392,7 @@ def q115_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MEDIA_MOD = 20  # one asset per doc_id % this == 0 (q152's sampling)
+FRAME_ROWS = 8  # rows per MJPEG video frame (q165)
 IMG_WIDTH = 32  # greyscale image width; height = ceil(n_bytes / width)
 WAV_RATE = 8000
 
@@ -430,11 +431,11 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(path, "_SUCCESS")
     # the selection-logic version rides in the fingerprint so a code
     # change invalidates cached asset dirs, not just data changes
-    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v4-gif"
+    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v5-avi"
     if not cache_is_current(marker, fingerprint):
         if os.path.isdir(path):
             shutil.rmtree(path)
-        for sub in ("img", "jpg", "gif", "wav"):
+        for sub in ("img", "jpg", "gif", "avi", "wav"):
             os.makedirs(os.path.join(path, sub), exist_ok=True)
         # ASCII-only payloads (bytes == chars): a pixel grid / PCM
         # stream holds one 0-255 unit per sample, so only byte==char
@@ -452,6 +453,7 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
             from sklearn_raster_spark.sources.audio import encode_wav
             from sklearn_raster_spark.sources.image import encode_gif, encode_png
             from sklearn_raster_spark.sources.jpeg import encode_jpeg
+            from sklearn_raster_spark.sources.video import encode_mjpeg_avi
 
             for r in rows:
                 raw = np.frombuffer(r.text.encode("utf-8"), dtype=np.uint8)
@@ -464,11 +466,19 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
                 jpg = encode_jpeg(grid.reshape(h, IMG_WIDTH), quality=100)
                 # GIF is lossless (identity 256-gray palette + LZW)
                 gif = encode_gif(grid.reshape(h, IMG_WIDTH))
+                # video: the grid split into 8-row MJPEG frames
+                n_frames = -(-h // FRAME_ROWS)
+                padded = np.zeros((n_frames * FRAME_ROWS, IMG_WIDTH), np.uint8)
+                padded[:h] = grid.reshape(h, IMG_WIDTH)
+                avi = encode_mjpeg_avi(
+                    padded.reshape(n_frames, FRAME_ROWS, IMG_WIDTH)
+                )
                 wav = encode_wav(raw.astype(np.int16), WAV_RATE)
                 for sub, ext, blob in (
                     ("img", "png", png),
                     ("jpg", "jpg", jpg),
                     ("gif", "gif", gif),
+                    ("avi", "avi", avi),
                     ("wav", "wav", wav),
                 ):
                     tmp = os.path.join(path, sub, f".{r.doc_id}.tmp")
@@ -768,4 +778,90 @@ def q164_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(
             kernel, "doc_id long, img_h int, img_w int, px_sum bigint, px_max int"
         )
+    )
+
+
+@query(
+    "q165_video_decode_fidelity",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(((LENGTH(text) + {IMG_WIDTH} - 1) // {IMG_WIDTH} + {FRAME_ROWS} - 1)
+                // {FRAME_ROWS} AS INTEGER) AS n_frames,
+           CAST({FRAME_ROWS} AS INTEGER) AS frame_h,
+           CAST({IMG_WIDTH} AS INTEGER) AS frame_w,
+           TRUE AS frames_close
+    FROM documents
+    WHERE doc_id % {MEDIA_MOD} = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+      -- ASCII-only assets (see materialize_media_files)
+      AND OCTET_LENGTH(ENCODE(text)) = LENGTH(text)
+    """,
+    doc="END-TO-END video decode (round-9 continuation): executors "
+        "split each sampled doc's pixel grid into 8-row frames and "
+        "write a REAL Motion-JPEG AVI (RIFF hdrl/movi/idx1 container "
+        "+ quality-100 T.81 frames — sources/video.py), binaryFile "
+        "scans pair each .avi with its lossless .png twin (broadcast "
+        "equi-join), and the kernel decodes the CONTAINER (RIFF walk, "
+        "LIST rec descent, per-frame Huffman+DCT) and emits frame "
+        "geometry (SQL-exact from the text length) plus frames_close "
+        f"= (max |frames - grid| <= {JPEG_MAX_ERR}, TRUE in the "
+        "oracle). With q161/q163/q164 this drive-grades all four "
+        "media chains: lossless image, lossy image, palette-LZW "
+        "image, and frame-structured video. Scale: identical "
+        "file-per-asset shape to q163.",
+)
+def q165_video_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)  # see q161
+    path = materialize_media_files(spark, sf_dir)
+
+    def scan(sub: str, ext: str, alias: str) -> DataFrame:
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{ext}")
+            .load(f"{path}/{sub}")
+            .select(
+                F.regexp_extract(F.col("path"), rf"(\d+)\.{ext}$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("content").alias(alias),
+            )
+        )
+
+    paired = scan("avi", "avi", "avi_bytes").join(
+        F.broadcast(scan("img", "png", "png_bytes")), "doc_id"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sklearn_raster_spark.operators.multimodal import decode_image
+        from sklearn_raster_spark.sources.video import decode_mjpeg_avi
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_h": [], "frame_w": [],
+                   "frames_close": []}
+            for doc_id, avi, png in zip(
+                pdf["doc_id"], pdf["avi_bytes"], pdf["png_bytes"]
+            ):
+                frames = decode_mjpeg_avi(bytes(avi))
+                truth = decode_image(bytes(png))
+                n, fh, fw = frames.shape[:3]
+                padded = np.zeros((n * fh, fw), np.uint8)
+                ok = truth.shape[1] == fw and truth.shape[0] <= n * fh
+                if ok:
+                    padded[: truth.shape[0]] = truth
+                    err = int(
+                        np.max(np.abs(frames.reshape(n * fh, fw).astype(np.int64)
+                                      - padded.astype(np.int64)))
+                    )
+                    ok = err <= JPEG_MAX_ERR
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(int(n))
+                out["frame_h"].append(int(fh))
+                out["frame_w"].append(int(fw))
+                out["frames_close"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return paired.mapInPandas(
+        kernel,
+        "doc_id long, n_frames int, frame_h int, frame_w int, frames_close boolean",
     )

@@ -122,12 +122,14 @@ _WINDOW_ORDER = (
     # the zero-deselect sf1 sweep (tools/sf1_sweep.py) regardless of
     # window position; per-query TIMING comes from the bench, which
     # runs all 162.
-    # q163/q164 are the round-9 continuation's NEW queries: JPEG
-    # (sources/jpeg.py, lossy fidelity bound oracle-graded) and GIF
-    # (lossless identity-palette LZW, exact pixel-stat oracle) decoded
-    # end-to-end; they lead with the other new/changed rows
+    # q163/q164/q165 are the round-9 continuation's NEW queries: JPEG
+    # (sources/jpeg.py, lossy fidelity bound oracle-graded), GIF
+    # (lossless identity-palette LZW, exact pixel-stat oracle), and
+    # MJPEG-AVI video (sources/video.py, frame geometry + fidelity
+    # bound) decoded end-to-end; they lead with the other new rows
     "q163_jpeg_decode_fidelity",
     "q164_gif_decode_features",
+    "q165_video_decode_fidelity",
     "q161_image_decode_features",
     "q162_audio_decode_features",
     "q154_stream_outer_join",

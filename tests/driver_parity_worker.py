@@ -51,6 +51,7 @@ EXECUTE = {
     "q162_audio_decode_features",
     "q163_jpeg_decode_fidelity",
     "q164_gif_decode_features",
+    "q165_video_decode_fidelity",
 }
 
 

@@ -670,3 +670,64 @@ def test_encode_gif_pillow_interop():
     g = np.random.default_rng(62).integers(0, 256, (21, 34)).astype(np.uint8)
     theirs = np.asarray(Image.open(io.BytesIO(encode_gif(g))).convert("L"))
     assert np.array_equal(theirs, g)
+
+
+# ---------------------------------------------------------- MJPEG AVI
+
+
+def test_mjpeg_avi_roundtrip_and_structure():
+    from sklearn_raster_spark.sources.video import decode_mjpeg_avi, encode_mjpeg_avi
+
+    rng = np.random.default_rng(81)
+    frames = rng.integers(32, 127, (7, 16, 32)).astype(np.uint8)
+    avi = encode_mjpeg_avi(frames, fps=5)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert b"MJPG" in avi and b"idx1" in avi and b"movi" in avi
+    back = decode_mjpeg_avi(avi)
+    assert back.shape == frames.shape
+    assert int(np.max(np.abs(back.astype(int) - frames.astype(int)))) <= 3
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_mjpeg_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        encode_mjpeg_avi(frames[0])  # needs (N, H, W)
+
+
+def test_mjpeg_avi_dhtless_frames_and_rec_lists():
+    """The two real-world MJPEG shapes our writer never produces:
+    frames that OMIT Huffman tables (hardware MJPEG) and frames nested
+    inside LIST 'rec ' groupings (interleaved AVIs)."""
+    import struct as _s
+
+    from sklearn_raster_spark.sources.jpeg import encode_jpeg
+    from sklearn_raster_spark.sources.video import decode_mjpeg_avi
+
+    rng = np.random.default_rng(82)
+    frames = rng.integers(32, 127, (3, 8, 16)).astype(np.uint8)
+
+    def strip_dht(jpg):
+        out = bytearray()
+        i = 0
+        while i < len(jpg):
+            if jpg[i] == 0xFF and i + 3 < len(jpg) and jpg[i + 1] == 0xC4:
+                (ln,) = _s.unpack(">H", jpg[i + 2 : i + 4])
+                i += 2 + ln
+                continue
+            out.append(jpg[i])
+            i += 1
+        return bytes(out)
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + _s.pack("<I", len(payload)) + payload + pad
+
+    recs = b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00dc", strip_dht(encode_jpeg(f, quality=100))))
+        for f in frames
+    )
+    movi = chunk(b"LIST", b"movi" + recs)
+    body = b"AVI " + movi
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+    back = decode_mjpeg_avi(avi)
+    assert back.shape == frames.shape
+    assert int(np.max(np.abs(back.astype(int) - frames.astype(int)))) <= 3
