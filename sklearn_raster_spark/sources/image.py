@@ -17,7 +17,8 @@ environment provides it:
   scanline filters (None/Sub/Up/Average/Paeth) on decode; the
   encoder emits filter 0.
 - BMP (Windows BITMAPINFOHEADER): uncompressed 24-bpp bottom-up
-  BGR with 4-byte row padding — the universal interchange layout.
+  BGR with 4-byte row padding — the universal interchange layout —
+  plus 8-bpp palette images, raw or BI_RLE8 compressed.
 - PPM/PGM (netpbm P5/P6): binary greyscale / RGB, maxval 255.
 - JPEG (ITU-T T.81 baseline): delegated to sources/jpeg.py — the
   dependency-free Huffman+DCT codec.
@@ -282,9 +283,43 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + rows
 
 
+def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 (the public BITMAPINFO spec): encoded runs
+    (count, index), escapes 0x00 0x00 = end of line, 0x00 0x01 = end
+    of bitmap, 0x00 0x02 = delta (dx, dy), 0x00 n>=3 = n absolute
+    indices padded to words. Rows are bottom-up like uncompressed."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            out[y, x : min(x + n, w)] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta jump (undefined pixels stay 0)
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal indices, word-aligned
+            lit = np.frombuffer(data, np.uint8, count=v, offset=i)
+            take = min(v, max(w - x, 0))
+            out[y, x : x + take] = lit[:take]
+            x += v
+            i += v + (v % 2)
+    return out
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bpp BMP to uint8 (H, W, 3) RGB.
-    Handles both bottom-up and top-down (negative height) layouts."""
+    """Decode a BMP to uint8: uncompressed 24-bpp -> (H, W, 3) RGB;
+    8-bpp palette (uncompressed or BI_RLE8) resolves through the color
+    table -> (H, W, 3). Handles bottom-up and top-down (negative
+    height) layouts."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP (bad magic)")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -292,12 +327,30 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if hdr_size < 40:
         raise NotImplementedError("BITMAPCOREHEADER BMP needs Pillow")
     w, h_signed, planes, bpp, compression = struct.unpack("<iiHHI", data[18:34])
+    h, bottom_up = abs(h_signed), h_signed > 0
+    if bpp == 8 and compression in (0, 1):
+        (clr_used,) = struct.unpack("<I", data[46:50])
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, np.uint8, count=4 * n_pal, offset=pal_off
+        ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        if compression == 1:  # BI_RLE8
+            idx = _bmp_rle8(data[pixel_off:], w, h)
+        else:
+            stride = (w + 3) & ~3
+            rows = np.frombuffer(data, np.uint8, count=h * stride, offset=pixel_off)
+            idx = rows.reshape(h, stride)[:, :w]
+        if int(idx.max()) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+        return img[::-1].copy() if bottom_up else img.copy()
     if compression != 0 or bpp != 24:
         raise NotImplementedError(
             f"BMP bpp={bpp} compression={compression} needs Pillow; "
-            "builtin decoder reads uncompressed 24-bpp"
+            "builtin decoder reads uncompressed 24-bpp and 8-bpp "
+            "palette (raw or RLE8)"
         )
-    h, bottom_up = abs(h_signed), h_signed > 0
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(data, np.uint8, count=h * stride, offset=pixel_off)
     img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]

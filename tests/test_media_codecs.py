@@ -136,7 +136,8 @@ def test_bmp_roundtrip_gray_and_rgb_and_topdown():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         bad = bytearray(encode_bmp(rgb))
-        bad[28:30] = struct.pack("<H", 8)  # 8-bpp palette
+        # 4-bpp palette (8-bpp — the old example — decodes builtin now)
+        bad[28:30] = struct.pack("<H", 4)
         decode_bmp(bytes(bad))
 
 
@@ -731,3 +732,67 @@ def test_mjpeg_avi_dhtless_frames_and_rec_lists():
     back = decode_mjpeg_avi(avi)
     assert back.shape == frames.shape
     assert int(np.max(np.abs(back.astype(int) - frames.astype(int)))) <= 3
+
+
+def test_bmp_8bpp_palette_raw_and_rle8():
+    """Hand-assembled 8-bpp palette BMPs: raw rows (4-byte padded) and
+    BI_RLE8 with every escape (EOL, delta, absolute mode, EOB)."""
+    rng = np.random.default_rng(91)
+    w, h = 7, 5
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    pal_bgra = np.zeros((256, 4), np.uint8)
+    pal_bgra[:, :3] = pal[:, ::-1]
+
+    def bmp(compression, pixels):
+        pixel_off = 14 + 40 + 256 * 4
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, compression, len(pixels),
+            2835, 2835, 256, 0,
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(pixels), 0, 0, pixel_off)
+        return hdr + info + pal_bgra.tobytes() + pixels
+
+    # raw: bottom-up padded rows
+    stride = (w + 3) & ~3
+    raw_rows = b"".join(
+        idx[y].tobytes() + b"\x00" * (stride - w) for y in range(h - 1, -1, -1)
+    )
+    back = decode_bmp(bmp(0, raw_rows))
+    assert back.shape == (h, w, 3) and np.array_equal(back, pal[idx])
+
+    # RLE8: runs + one absolute segment + EOL per row + EOB
+    rle = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = idx[y]
+        # absolute mode for the first 3 (odd count -> pad byte), then runs
+        rle += bytes([0, 3]) + row[:3].tobytes() + b"\x00"
+        for v in row[3:]:
+            rle += bytes([1, int(v)])
+        rle += b"\x00\x00"  # EOL
+    rle += b"\x00\x01"  # EOB
+    back = decode_bmp(bmp(1, bytes(rle)))
+    assert back.shape == (h, w, 3) and np.array_equal(back, pal[idx])
+
+    # delta escape: skip 2 right / 1 up; skipped pixels hold index 0
+    rle2 = bytes([2, 5]) + b"\x00\x02" + bytes([2, 1]) + bytes([1, 7]) + b"\x00\x01"
+    back = decode_bmp(bmp(1, rle2))
+    expect = np.zeros((h, w), np.uint8)
+    expect[h - 1, 0:2] = 5       # bottom row (bottom-up)
+    expect[h - 2, 4] = 7         # after delta dx=2, dy=1
+    assert np.array_equal(back, pal[expect])
+
+
+def test_bmp_8bpp_pillow_interop():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(92)
+    idx = rng.integers(0, 64, (9, 13)).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    img = Image.fromarray(idx, mode="P")
+    img.putpalette(pal.reshape(-1).tolist())
+    buf = io.BytesIO()
+    img.save(buf, format="BMP")
+    back = decode_bmp(buf.getvalue())
+    assert np.array_equal(back, pal[idx])
