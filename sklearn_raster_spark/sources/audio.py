@@ -279,8 +279,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     FIXED / LPC subframes, Rice and Rice2 residuals (escape partitions
     included), independent and left/right/mid-side stereo decorrelation,
     8/12/16/20/24/32-bit samples, fixed and variable blocking. Output
-    dtype is int16 for depths <= 16, else int32 (shifted to full
-    depth); mono (n,), multichannel (n, ch)."""
+    dtype is int16 for depths <= 16, else int32; samples keep their
+    NATIVE bit-depth range (a 24-bit stream spans +/-2^23 — no shift
+    to full int32 scale, consistent with the 24-bit WAV path); mono
+    (n,), multichannel (n, ch)."""
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4

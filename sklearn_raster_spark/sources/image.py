@@ -303,10 +303,16 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
         elif v == 1:  # end of bitmap
             break
         elif v == 2:  # delta jump (undefined pixels stay 0)
+            if i + 1 >= len(data):
+                raise ValueError("BMP: RLE8 delta escape truncated")
             x += data[i]
             y += data[i + 1]
             i += 2
+            if y >= h or x > w:  # next write would index out of bounds
+                raise ValueError("BMP: RLE8 cursor out of bounds")
         else:  # absolute mode: v literal indices, word-aligned
+            if i + v > len(data):
+                raise ValueError("BMP: RLE8 absolute run truncated")
             lit = np.frombuffer(data, np.uint8, count=v, offset=i)
             take = min(v, max(w - x, 0))
             out[y, x : x + take] = lit[:take]
@@ -516,10 +522,14 @@ def decode_gif(data: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/89a to uint8 (H, W, 3), or
     (H, W, 4) when the frame's graphic control extension declares a
     transparent index. Handles global/local color tables, interlaced
-    frames (the 4-pass row shuffle), and sub-block reassembly."""
+    frames (the 4-pass row shuffle), and sub-block reassembly. A frame
+    smaller than (or offset within) the logical screen is composited
+    onto the sw-by-sh canvas — background-color-filled (alpha-0 when a
+    transparent index exists) — matching reference decoders; output
+    geometry is always the logical screen."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
-    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, flags, bg_index, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
@@ -582,10 +592,27 @@ def decode_gif(data: bytes) -> np.ndarray:
         if int(idx.max()) >= len(ct):
             raise ValueError("GIF: color index out of range")
         rgb = ct[idx]
-        if transparent is not None and transparent < len(ct):
+        has_alpha = transparent is not None and transparent < len(ct)
+        if has_alpha:
             alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
-            return np.dstack([rgb, alpha])
-        return rgb
+            rgb = np.dstack([rgb, alpha])
+        if (left, top) == (0, 0) and (w, h) == (sw, sh):
+            return rgb  # frame IS the screen — the overwhelmingly common case
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF: frame extends beyond the logical screen")
+        # composite onto the logical-screen canvas: background-filled,
+        # or fully transparent when a transparent index exists
+        if has_alpha:
+            canvas = np.zeros((sh, sw, 4), np.uint8)
+        else:
+            bg = (  # bg index refers to the GLOBAL color table only
+                gct[bg_index]
+                if gct is not None and bg_index < len(gct)
+                else np.zeros(3, np.uint8)
+            )
+            canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        canvas[top : top + h, left : left + w] = rgb
+        return canvas
     raise ValueError("GIF: no image frame found")
 
 

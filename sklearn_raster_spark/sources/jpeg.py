@@ -162,10 +162,15 @@ def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
     return table
 
 
-class _MarkerInData(Exception):
-    """A non-stuffing marker interrupted entropy-coded data."""
+class _MarkerInData(ValueError):
+    """A non-stuffing marker interrupted entropy-coded data.
+
+    Subclasses ValueError so that when truncated/corrupt entropy data
+    lets it escape the decoder, callers treating codec failures as
+    ValueError (the whole sources/ contract) still catch it."""
 
     def __init__(self, marker: int):
+        super().__init__(f"JPEG: marker {marker:02x} inside entropy data")
         self.marker = marker
 
 
@@ -696,6 +701,28 @@ def encode_jpeg_tables(quality: int = 85, gray: bool = False) -> bytes:
     payload shape of the TIFF JPEGTables tag (TIFF supplement 2 /
     TechNote 2, tag 347). Pair with ``encode_jpeg(omit_tables=True)``."""
     return b"\xff\xd8" + _table_segments(quality, gray) + b"\xff\xd9"
+
+
+def encode_jpeg_huffman_tables() -> bytes:
+    """An abbreviated tables stream carrying ONLY the Annex K default
+    Huffman tables (SOI + DHT + EOI) — no DQT. This is the MJPEG
+    seed: the DHT-less MJPEG convention covers Huffman tables only,
+    so a frame that omits its quantization tables must still fail
+    loudly (_finalize's undefined-quantization-table ValueError)
+    rather than silently decode with arbitrary defaults."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tc, tsel, (bits, vals) in (
+        (0, 0, _DC_LUMA),
+        (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA),
+        (1, 1, _AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | tsel]) + bytes(bits) + bytes(vals))
+    return bytes(out) + b"\xff\xd9"
 
 
 def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:

@@ -29,7 +29,7 @@ import numpy as np
 from sklearn_raster_spark.sources.jpeg import (
     decode_jpeg,
     encode_jpeg,
-    encode_jpeg_tables,
+    encode_jpeg_huffman_tables,
 )
 
 
@@ -113,7 +113,10 @@ def decode_mjpeg_avi(data: bytes) -> np.ndarray:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     if _MJPEG_DEFAULT_TABLES is None:
-        _MJPEG_DEFAULT_TABLES = encode_jpeg_tables(quality=75, gray=False)
+        # Huffman-ONLY seed: the MJPEG DHT-less convention covers
+        # Huffman tables, never quantization — a frame missing its DQT
+        # must raise in _finalize, not decode with arbitrary defaults.
+        _MJPEG_DEFAULT_TABLES = encode_jpeg_huffman_tables()
     frames = []
     pos = 12
     while pos + 8 <= len(data):

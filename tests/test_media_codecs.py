@@ -796,3 +796,136 @@ def test_bmp_8bpp_pillow_interop():
     img.save(buf, format="BMP")
     back = decode_bmp(buf.getvalue())
     assert np.array_equal(back, pal[idx])
+
+
+def test_bmp_rle8_malformed_cursor_raises_codec_error():
+    """Round-10 ADVICE: malformed RLE8 escapes must raise the codec
+    ValueError contract, never an uncaught numpy IndexError."""
+    rng = np.random.default_rng(93)
+    w, h = 7, 5
+    pal_bgra = np.zeros((256, 4), np.uint8)
+    pal_bgra[:, :3] = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+
+    def bmp(pixels):
+        pixel_off = 14 + 40 + 256 * 4
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(pixels), 2835, 2835, 256, 0
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(pixels), 0, 0, pixel_off)
+        return hdr + info + pal_bgra.tobytes() + pixels
+
+    # delta pushes y >= h, then a run tries to write
+    bad_delta = bytes([0, 2, 1, 200]) + bytes([3, 9]) + b"\x00\x01"
+    with pytest.raises(ValueError, match="RLE8 cursor out of bounds"):
+        decode_bmp(bmp(bad_delta))
+    # delta pushes x beyond w
+    bad_x = bytes([0, 2, 250, 0]) + bytes([3, 9]) + b"\x00\x01"
+    with pytest.raises(ValueError, match="RLE8 cursor out of bounds"):
+        decode_bmp(bmp(bad_x))
+    # delta escape truncated mid-operands
+    with pytest.raises(ValueError, match="RLE8 delta escape truncated"):
+        decode_bmp(bmp(bytes([0, 2, 1])))
+    # absolute run truncated
+    with pytest.raises(ValueError, match="RLE8 absolute run truncated"):
+        decode_bmp(bmp(bytes([0, 5, 1, 2])))
+    # an in-bounds delta still decodes (regression guard)
+    ok = bytes([2, 5]) + b"\x00\x02" + bytes([2, 1]) + bytes([1, 7]) + b"\x00\x01"
+    assert decode_bmp(bmp(ok)).shape == (h, w, 3)
+
+
+def test_gif_offset_frame_composites_onto_logical_screen():
+    """Round-10 ADVICE: a first frame smaller than (or offset within)
+    the logical screen composites onto the background-filled sw-by-sh
+    canvas, matching reference decoders; output geometry is the
+    screen's, never the frame's."""
+    from sklearn_raster_spark.sources.image import decode_gif
+
+    rng = np.random.default_rng(94)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, (3, 4)).astype(np.uint8)
+    sw, sh, left, top = 12, 10, 5, 2
+
+    def gif(transparent=None, frame_left=left, frame_top=top):
+        ct_bits = 2  # 2 << 2 = 8 entries
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", sw, sh, 0x80 | ct_bits, 6, 0)  # bg index 6
+        out += pal.tobytes()
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01]) + struct.pack("<H", 0)
+            out += bytes([transparent, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", frame_left, frame_top, 4, 3, 0)
+        data = _gif_lzw_encode(idx.reshape(-1).tobytes(), 3)
+        out += bytes([3])
+        for i in range(0, len(data), 255):
+            blk = data[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    back = decode_gif(gif())
+    assert back.shape == (sh, sw, 3)
+    assert np.array_equal(back[top : top + 3, left : left + 4], pal[idx])
+    mask = np.ones((sh, sw), bool)
+    mask[top : top + 3, left : left + 4] = False
+    assert np.all(back[mask] == pal[6])  # background fill
+
+    back = decode_gif(gif(transparent=5))
+    assert back.shape == (sh, sw, 4)
+    assert np.all(back[mask][:, 3] == 0)  # outside frame: transparent
+    inner = back[top : top + 3, left : left + 4]
+    assert np.array_equal(inner[..., :3][idx != 5], pal[idx][idx != 5])
+    assert np.array_equal(inner[..., 3] == 0, idx == 5)
+
+    with pytest.raises(ValueError, match="beyond the logical screen"):
+        decode_gif(gif(frame_left=10))  # 10 + 4 > 12
+
+
+def test_mjpeg_frame_missing_dqt_fails_loudly():
+    """Round-10 ADVICE: the MJPEG DHT-less convention covers Huffman
+    tables ONLY — a frame that also omits its quantization tables must
+    raise, not silently decode with arbitrary seeded defaults."""
+    import struct as _s
+
+    from sklearn_raster_spark.sources.jpeg import encode_jpeg
+    from sklearn_raster_spark.sources.video import decode_mjpeg_avi
+
+    rng = np.random.default_rng(95)
+    frames = rng.integers(32, 127, (2, 8, 16)).astype(np.uint8)
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + _s.pack("<I", len(payload)) + payload + pad
+
+    def avi_of(jpegs):
+        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs))
+        body = b"AVI " + movi
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    # omit_tables strips BOTH DQT and DHT -> the Huffman-only seed
+    # leaves the quantization tables undefined -> loud failure
+    bare = [encode_jpeg(f, quality=100, omit_tables=True) for f in frames]
+    with pytest.raises(ValueError, match="undefined quantization table"):
+        decode_mjpeg_avi(avi_of(bare))
+
+
+def test_jpeg_marker_in_entropy_data_is_valueerror():
+    """Round-10 ADVICE: _MarkerInData escaping the decoder on corrupt
+    entropy data must be catchable as the codec-contract ValueError."""
+    from sklearn_raster_spark.sources.jpeg import (
+        _MarkerInData,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    assert issubclass(_MarkerInData, ValueError)
+    rng = np.random.default_rng(96)
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    jpg = bytearray(encode_jpeg(img, quality=90))
+    sos = bytes(jpg).find(b"\xff\xda")
+    assert sos > 0
+    # plant a bare TEM marker (FF 01 — non-stuffing, non-RST) mid-scan
+    mid = sos + (len(jpg) - sos) // 2
+    jpg[mid : mid + 2] = b"\xff\x01"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(jpg))
+
