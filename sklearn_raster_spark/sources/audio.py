@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+from sklearn_raster_spark.sources._contract import codec_errors
+
 # (format code, bits) -> numpy dtype. Format 1 = integer PCM (8-bit is
 # unsigned, wider widths signed, per the spec); format 3 = IEEE float.
 _WAV_DTYPE = {
@@ -91,6 +93,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@codec_errors("WAV")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload to (samples, sample_rate). Mono
     returns shape (n,); multichannel (n, channels). Dtype follows the
@@ -273,6 +276,7 @@ def _flac_subframe(br: _FlacBits, n: int, bits: int) -> np.ndarray:
     return out << wasted
 
 
+@codec_errors("FLAC")
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a FLAC payload (RFC 9639) to (samples, sample_rate):
     subset covering what encoders actually emit — CONSTANT / VERBATIM /
@@ -384,6 +388,11 @@ def decode_audio(payload: bytes, mime: str | None = None) -> tuple[np.ndarray, i
         samples, rate = soundfile.read(io.BytesIO(payload), dtype="float32")
         return samples, int(rate)
     except ImportError:
+        pass
+    except Exception:
+        # soundfile rejects (sf.LibsndfileError/RuntimeError/...): fall
+        # through to the builtin decoders, whose failure surfaces as the
+        # codec-contract ValueError (sources/_contract.py)
         pass
     if payload[:4] == b"RIFF":
         return decode_wav(payload)

@@ -37,6 +37,8 @@ import zlib
 
 import numpy as np
 
+from sklearn_raster_spark.sources._contract import check_plausible, codec_errors
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel (8-bit depth only)
@@ -172,6 +174,7 @@ _ADAM7 = (
 )
 
 
+@codec_errors("PNG")  # corrupt-bytes contract: see sources/_contract.py
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to uint8: (H, W) for greyscale, (H, W, C) for
     grey+alpha / RGB / RGBA; palette images resolve through PLTE (and
@@ -223,6 +226,7 @@ def decode_png(data: bytes) -> np.ndarray:
             f"PNG depth={depth} color={color} needs Pillow; builtin decoder "
             "reads 1/2/4/8/16-bit greyscale, 8/16-bit color, and palette"
         )
+    check_plausible(int(w) * int(h), "PNG")  # before inflating/allocating
     raw = zlib.decompress(bytes(idat))
 
     if interlace:
@@ -321,41 +325,65 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
+@codec_errors("BMP")
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Decode a BMP to uint8: uncompressed 24-bpp -> (H, W, 3) RGB;
-    8-bpp palette (uncompressed or BI_RLE8) resolves through the color
-    table -> (H, W, 3). Handles bottom-up and top-down (negative
-    height) layouts."""
+    """Decode a BMP to uint8: uncompressed 24/32-bpp -> (H, W, 3) RGB
+    (the 32-bpp pad byte is dropped); 1/4/8-bpp palette (raw, or
+    BI_RLE8 for 8-bpp) resolves through the color table -> (H, W, 3).
+    Reads BITMAPINFOHEADER (and larger V4/V5) plus the OS/2
+    BITMAPCOREHEADER (12-byte, 3-byte palette entries, always
+    bottom-up). Handles bottom-up and top-down (negative height)
+    layouts. BI_RLE4 / BI_BITFIELDS / 16-bpp stay Pillow territory."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP (bad magic)")
     (pixel_off,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP needs Pillow")
-    w, h_signed, planes, bpp, compression = struct.unpack("<iiHHI", data[18:34])
-    h, bottom_up = abs(h_signed), h_signed > 0
-    if bpp == 8 and compression in (0, 1):
+    if hdr_size == 12:
+        # BITMAPCOREHEADER (OS/2 1.x): unsigned 16-bit dims, no
+        # compression field, RGBTRIPLE (3-byte) palette entries
+        w, h, _planes, bpp = struct.unpack("<HHHH", data[18:26])
+        bottom_up, compression, clr_used, pal_entry = True, 0, 0, 3
+    elif hdr_size >= 40:
+        w, h_signed, _planes, bpp, compression = struct.unpack(
+            "<iiHHI", data[18:34]
+        )
+        h, bottom_up = abs(h_signed), h_signed > 0
         (clr_used,) = struct.unpack("<I", data[46:50])
-        n_pal = clr_used or 256
-        pal_off = 14 + hdr_size
+        pal_entry = 4  # RGBQUAD
+    else:
+        raise ValueError(f"BMP: unsupported header size {hdr_size}")
+    check_plausible(w * h, "BMP")  # before any row-buffer allocation
+    pal_off = 14 + hdr_size
+    if bpp in (1, 4, 8) and (
+        compression == 0 or (compression == 1 and bpp == 8)
+    ):
+        n_pal = clr_used or (1 << bpp)
         pal = np.frombuffer(
-            data, np.uint8, count=4 * n_pal, offset=pal_off
-        ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+            data, np.uint8, count=pal_entry * n_pal, offset=pal_off
+        ).reshape(n_pal, pal_entry)[:, :3][:, ::-1]  # BGR(A) -> RGB
         if compression == 1:  # BI_RLE8
             idx = _bmp_rle8(data[pixel_off:], w, h)
         else:
-            stride = (w + 3) & ~3
-            rows = np.frombuffer(data, np.uint8, count=h * stride, offset=pixel_off)
-            idx = rows.reshape(h, stride)[:, :w]
+            # rows pad to 32-bit words; sub-byte pixels pack MSB-first
+            stride = ((w * bpp + 31) // 32) * 4
+            rows = np.frombuffer(
+                data, np.uint8, count=h * stride, offset=pixel_off
+            ).reshape(h, stride)
+            idx = rows[:, :w] if bpp == 8 else _unpack_subbyte(rows, w, bpp)
         if int(idx.max()) >= n_pal:
             raise ValueError("BMP palette index out of range")
         img = pal[idx]
         return img[::-1].copy() if bottom_up else img.copy()
+    if compression == 0 and bpp == 32:
+        # BGRx: the 4th byte is padding (alpha only under BITFIELDS)
+        rows = np.frombuffer(data, np.uint8, count=h * w * 4, offset=pixel_off)
+        img = rows.reshape(h, w, 4)[:, :, :3][:, :, ::-1]
+        return img[::-1].copy() if bottom_up else img.copy()
     if compression != 0 or bpp != 24:
         raise NotImplementedError(
             f"BMP bpp={bpp} compression={compression} needs Pillow; "
-            "builtin decoder reads uncompressed 24-bpp and 8-bpp "
-            "palette (raw or RLE8)"
+            "builtin decoder reads uncompressed 1/4/8-bpp palette, "
+            "RLE8, and 24/32-bpp"
         )
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(data, np.uint8, count=h * stride, offset=pixel_off)
@@ -380,6 +408,7 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+@codec_errors("PGM/PPM")
 def decode_ppm(data: bytes) -> np.ndarray:
     """Decode binary PGM (P5) -> (H, W) or PPM (P6) -> (H, W, 3)."""
     magic = data[:2]
@@ -404,6 +433,7 @@ def decode_ppm(data: bytes) -> np.ndarray:
     if maxval != 255:
         raise NotImplementedError(f"PGM/PPM maxval {maxval} needs Pillow")
     ch = 1 if magic == b"P5" else 3
+    check_plausible(w * h * ch, "PGM/PPM")
     img = np.frombuffer(data, np.uint8, count=h * w * ch, offset=pos)
     return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
 
@@ -518,6 +548,7 @@ def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     return out
 
 
+@codec_errors("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode the FIRST frame of a GIF87a/89a to uint8 (H, W, 3), or
     (H, W, 4) when the frame's graphic control extension declares a
@@ -559,6 +590,8 @@ def decode_gif(data: bytes) -> np.ndarray:
             raise ValueError(f"GIF: unexpected block 0x{introducer:02x}")
         left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
+        check_plausible(w * h, "GIF")
+        check_plausible(sw * sh, "GIF")
         ct = gct
         if iflags & 0x80:  # local color table
             n = 2 << (iflags & 7)
@@ -635,6 +668,13 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
             img = img.astype(np.uint8)
         return img
     except ImportError:
+        pass
+    except Exception:
+        # Pillow rejects (UnidentifiedImageError/OSError/...): fall
+        # through to the builtin decoders, whose failure surfaces as
+        # the codec-contract ValueError (sources/_contract.py) — the
+        # quarantine path must see ValueError regardless of which
+        # backend handled the payload
         pass
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)

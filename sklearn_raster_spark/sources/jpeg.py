@@ -35,6 +35,8 @@ import struct
 
 import numpy as np
 
+from sklearn_raster_spark.sources._contract import check_plausible, codec_errors
+
 # zigzag index -> natural (row-major) index, T.81 figure 5
 ZIGZAG = np.array(
     [
@@ -318,6 +320,7 @@ def _parse_segments(buf: bytes, state: _JpegState, pos: int | None = None):
         pos += seg_len
 
 
+@codec_errors("JPEG")
 def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     """Decode a Huffman JPEG — baseline (SOF0), extended sequential
     (SOF1), or progressive (SOF2, spectral selection + successive
@@ -355,6 +358,9 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                     )
+                if any(c["h"] == 0 or c["v"] == 0 for c in comps):
+                    raise ValueError("JPEG: zero sampling factor in SOF")
+                check_plausible(h * w * nf, "JPEG")  # before plane alloc
                 frame = (h, w, comps, marker == 0xC2)
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
@@ -379,7 +385,12 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                 scan = []
                 for i in range(ns):
                     cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
-                    comp = next(c for c in frame[2] if c["id"] == cs)
+                    matches = [c for c in frame[2] if c["id"] == cs]
+                    if not matches:
+                        raise ValueError(
+                            f"JPEG: scan references undefined component {cs}"
+                        )
+                    comp = matches[0]
                     scan.append((comp, tdta >> 4, tdta & 15))
                 ss, se, ax = payload[1 + 2 * ns : 4 + 2 * ns]
                 ah, al = ax >> 4, ax & 15

@@ -42,6 +42,8 @@ from xml.sax.saxutils import escape, unescape
 
 import numpy as np
 
+from sklearn_raster_spark.sources._contract import check_plausible, codec_errors
+
 # -- tag ids (TIFF 6.0 §8; GDAL tags are registered public extensions)
 _TAG_WIDTH = 256
 _TAG_HEIGHT = 257
@@ -333,6 +335,7 @@ def write_gtiff(
     os.replace(path + ".tmp.tif", path)
 
 
+@codec_errors("TIFF")
 def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
     """Decode a baseline/compressed TIFF (classic or BigTIFF, stripped
     or tiled) to (grid, info) where info is ``{"nodata": float | None,
@@ -368,11 +371,15 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         raise ValueError(f"{path}: not a TIFF (magic {magic})")
 
     raw_tags: dict[int, object] = {}
+    if n_entries * entry_size > len(buf):
+        raise ValueError(f"{path}: IFD declares more entries than the file holds")
     for i in range(n_entries):
         e = buf[entry_base + entry_size * i : entry_base + entry_size * (i + 1)]
         tag, typ = struct.unpack(bo + "HH", e[:4])
         (count,) = struct.unpack(bo + cnt_fmt, e[4 : entry_size - vwidth])
         size = _TYPE_SIZE.get(typ, 1) * count
+        if size > len(buf):
+            raise ValueError(f"{path}: tag {tag} value overruns the file")
         vfield = e[entry_size - vwidth :]
         if size <= vwidth:
             raw = vfield[:size]
@@ -414,10 +421,14 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
             f"{path}: multi-sample TIFF needs rasterio; builtin decoder is single-band"
         )
     w, h = one(_TAG_WIDTH), one(_TAG_HEIGHT)
+    if not isinstance(w, int) or not isinstance(h, int):
+        # a corrupt type field can parse dimension tags as floats
+        raise ValueError(f"{path}: non-integer image dimensions")
     bits, fmt = one(_TAG_BITS, 8), one(_TAG_SAMPLE_FORMAT, 1)
     dt = _DTYPE_OF.get((bits, fmt))
     if w is None or h is None or dt is None:
         raise ValueError(f"{path}: unsupported sample layout (bits={bits}, fmt={fmt})")
+    check_plausible(int(w) * int(h), "TIFF")  # before grid allocation
     if compression == 7 and dt != "u1":
         raise NotImplementedError(
             f"{path}: JPEG-in-TIFF carries 8-bit samples; bits={bits}, "
@@ -466,6 +477,10 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         counts = raw_tags.get(325)
         if not tw or not tl or not offsets or not counts or len(offsets) != len(counts):
             raise ValueError(f"{path}: missing or inconsistent tile tables")
+        if not all(
+            isinstance(v, int) for v in (tw, tl, *offsets, *counts)
+        ):
+            raise ValueError(f"{path}: non-integer tile tables")
         across = -(-w // tw)
         down = -(-h // tl)
         if len(offsets) != across * down:
@@ -499,6 +514,8 @@ def read_gtiff(path: str) -> tuple[np.ndarray, dict]:
         counts = raw_tags.get(_TAG_STRIP_COUNTS)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError(f"{path}: missing or inconsistent strip tables")
+        if not all(isinstance(v, int) for v in (*offsets, *counts)):
+            raise ValueError(f"{path}: non-integer strip tables")
         data = b"".join(inflate(buf[o : o + c]) for o, c in zip(offsets, counts))
         if predictor == 3:
             # strips hold whole image rows and the transform is

@@ -26,6 +26,7 @@ import struct
 
 import numpy as np
 
+from sklearn_raster_spark.sources._contract import codec_errors
 from sklearn_raster_spark.sources.jpeg import (
     decode_jpeg,
     encode_jpeg,
@@ -105,6 +106,7 @@ def _iter_frames(buf: bytes, pos: int, end: int):
 _MJPEG_DEFAULT_TABLES = None
 
 
+@codec_errors("AVI")
 def decode_mjpeg_avi(data: bytes) -> np.ndarray:
     """Decode an MJPEG AVI to (N, H, W) uint8 (grayscale frames) or
     (N, H, W, 3) (color). All frames must share one geometry."""

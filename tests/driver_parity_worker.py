@@ -52,6 +52,8 @@ EXECUTE = {
     "q163_jpeg_decode_fidelity",
     "q164_gif_decode_features",
     "q165_video_decode_fidelity",
+    "q166_media_quarantine",
+    "q167_stream_media_quarantine",
 }
 
 

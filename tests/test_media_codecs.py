@@ -136,8 +136,9 @@ def test_bmp_roundtrip_gray_and_rgb_and_topdown():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         bad = bytearray(encode_bmp(rgb))
-        # 4-bpp palette (8-bpp — the old example — decodes builtin now)
-        bad[28:30] = struct.pack("<H", 4)
+        # 16-bpp RGB555 (1/4/8-bpp palette and 24/32-bpp all decode
+        # builtin as of round 10)
+        bad[28:30] = struct.pack("<H", 16)
         decode_bmp(bytes(bad))
 
 
@@ -929,3 +930,90 @@ def test_jpeg_marker_in_entropy_data_is_valueerror():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(jpg))
 
+
+
+def test_bmp_core_header_and_subbyte_and_32bpp():
+    """Round-10 coverage widening: OS/2 BITMAPCOREHEADER (3-byte
+    palette entries), 1/4-bpp packed palette rows, and 32-bpp BGRx."""
+    rng = np.random.default_rng(98)
+
+    # --- BITMAPCOREHEADER, 8-bpp palette, always bottom-up ---
+    w, h = 7, 5
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    stride = (w + 3) & ~3
+    core_rows = b"".join(
+        idx[y].tobytes() + b"\x00" * (stride - w) for y in range(h - 1, -1, -1)
+    )
+    pal_bgr = pal[:, ::-1].tobytes()  # RGBTRIPLE entries
+    pixel_off = 14 + 12 + 256 * 3
+    hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(core_rows), 0, 0, pixel_off)
+    core = struct.pack("<IHHHH", 12, w, h, 1, 8)
+    back = decode_bmp(hdr + core + pal_bgr + core_rows)
+    assert np.array_equal(back, pal[idx])
+
+    def info_bmp(w, h, bpp, pixels, n_pal):
+        pal_bgra = np.zeros((n_pal, 4), np.uint8)
+        pal_bgra[:, :3] = pal[:n_pal, ::-1]
+        pixel_off = 14 + 40 + n_pal * 4
+        hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(pixels), 0, 0, pixel_off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pixels), 2835, 2835, n_pal, 0
+        )
+        return hdr + info + pal_bgra.tobytes() + pixels
+
+    # --- 1-bpp: MSB-first packed, rows padded to 32-bit words ---
+    w1, h1 = 11, 4
+    bits = rng.integers(0, 2, (h1, w1)).astype(np.uint8)
+    stride1 = ((w1 * 1 + 31) // 32) * 4
+    rows1 = bytearray()
+    for y in range(h1 - 1, -1, -1):
+        packed = np.packbits(bits[y])  # MSB-first, matches BMP
+        rows1 += packed.tobytes() + b"\x00" * (stride1 - len(packed))
+    back = decode_bmp(info_bmp(w1, h1, 1, bytes(rows1), 2))
+    assert np.array_equal(back, pal[:2][bits])
+
+    # --- 4-bpp: two pixels per byte, high nibble first ---
+    w4, h4 = 9, 3
+    idx4 = rng.integers(0, 16, (h4, w4)).astype(np.uint8)
+    stride4 = ((w4 * 4 + 31) // 32) * 4
+    rows4 = bytearray()
+    for y in range(h4 - 1, -1, -1):
+        row = idx4[y]
+        nibbles = bytearray()
+        for i in range(0, w4, 2):
+            hi = int(row[i]) << 4
+            lo = int(row[i + 1]) if i + 1 < w4 else 0
+            nibbles.append(hi | lo)
+        rows4 += bytes(nibbles) + b"\x00" * (stride4 - len(nibbles))
+    back = decode_bmp(info_bmp(w4, h4, 4, bytes(rows4), 16))
+    assert np.array_equal(back, pal[:16][idx4])
+
+    # --- 32-bpp BGRx (pad byte dropped) ---
+    rgb = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    bgrx = np.zeros((6, 5, 4), np.uint8)
+    bgrx[:, :, :3] = rgb[::-1, :, ::-1]  # bottom-up, BGR
+    pixel_off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", pixel_off + bgrx.size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 6, 1, 32, 0, bgrx.size, 0, 0, 0, 0)
+    back = decode_bmp(hdr + info + bgrx.tobytes())
+    assert np.array_equal(back, rgb)
+
+    # RLE4 stays a pointed rejection
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 6, 1, 4, 2, 0, 0, 0, 16, 0)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_bmp(struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + 64) + info + b"\x00" * 64)
+
+
+def test_bmp_subbyte_pillow_interop():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(99)
+    bits = rng.integers(0, 2, (10, 13)).astype(np.uint8) * 255
+    img = Image.fromarray(bits, mode="L").convert("1")
+    buf = io.BytesIO()
+    img.save(buf, format="BMP")
+    back = decode_bmp(buf.getvalue())
+    assert back.shape == (10, 13, 3)
+    assert np.array_equal(back[..., 0] > 0, bits > 0)

@@ -260,12 +260,14 @@ def test_deflate_actually_compresses_and_legacy_code_reads(tmp_path):
     back, _ = read_gtiff(str(p_legacy))
     assert np.array_equal(back, grid)
 
-    # a corrupt zlib stream must raise, not return garbage
+    # a corrupt zlib stream must raise the codec-contract ValueError
+    # (round 10, sources/_contract.py: zlib.error never escapes), not
+    # return garbage
     p_bad = tmp_path / "bad.tif"
     bad = bytearray(p_z.read_bytes())
     bad[-8:] = b"\x00" * 8
     p_bad.write_bytes(bytes(bad))
-    with pytest.raises(zlib.error):
+    with pytest.raises(ValueError, match="malformed payload"):
         read_gtiff(str(p_bad))
 
 
