@@ -137,6 +137,13 @@ _WINDOW_ORDER = (
     # error-class tally): corrupt objects must never stall the stream.
     "q166_media_quarantine",
     "q167_stream_media_quarantine",
+    # q168 shreds Spark-4 VARIANT (parse_json -> variant_get typed
+    # paths incl. nested object, array index, try_variant_get miss);
+    # q169 drive-grades a complete custom connector on the Spark-4
+    # Python Data Source API (write + read + filter pushdown + shard
+    # pruning, sources/pyds.py)
+    "q168_variant_shred",
+    "q169_python_datasource",
     # q163/q164/q165 are the round-9 continuation's NEW queries: JPEG
     # (sources/jpeg.py, lossy fidelity bound oracle-graded), GIF
     # (lossless identity-palette LZW, exact pixel-stat oracle), and
@@ -191,11 +198,11 @@ _WINDOW_ORDER = (
     "q149_pipeline_composition",
     "q150_minhash_portable",
     "q153_stream_semi_join",
+    # ---- 50-query driver window closes here (q166-q169 pushed
+    # q38/q40/q41/q42 out; all four stay value-checked by the
+    # registry-wide oracle sweep every suite run) ----
     "q38_interval_join",
     "q40_linear_inference_nodata",
-    # ---- 50-query driver window closes here (q166/q167 pushed
-    # q41/q42 out; both stay value-checked by the registry-wide
-    # oracle sweep every suite run) ----
     "q41_nb_classify_embeddings",
     "q42_nb_proba_embeddings",
     "q54_kneighbors_lsh",

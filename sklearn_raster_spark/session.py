@@ -102,6 +102,9 @@ def get_spark(
         # --- Arrow everywhere at the Python boundary ---------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Python Data Source API: let Catalyst hand predicates to
+        # pushFilters (sources/pyds.py turns them into shard pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- scan sizing: one task per row-group-ish ---------------------
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- keep executor-side BLAS from oversubscribing (reference:

@@ -54,6 +54,7 @@ EXECUTE = {
     "q165_video_decode_fidelity",
     "q166_media_quarantine",
     "q167_stream_media_quarantine",
+    "q169_python_datasource",
 }
 
 
