@@ -95,6 +95,7 @@ def _shard_range(filename: str) -> tuple[int, int] | None:
 
 class JsonlShardsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
+        self.spark_schema = schema
         self.fields = [f.name for f in schema.fields]
         self.path = options.get("path")
         if not self.path:
@@ -172,15 +173,36 @@ class JsonlShardsReader(DataSourceReader):
         return all(rec.get(c) is not None for c in self.not_null)
 
     def read(self, partition: _ShardPartition):
+        # yield pyarrow RecordBatches, not per-row tuples: the Python
+        # Data Source API's fast path — one Arrow transfer per batch
+        # instead of a pickle round trip per row
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         if not partition.path:
             return
+        # explicit Arrow schema: from_pydict would infer `null` type
+        # for an all-None column and fail Spark's schema check
+        pa_schema = to_arrow_schema(self.spark_schema)
+        cols: dict[str, list] = {c: [] for c in self.fields}
+        n = 0
         with gzip.open(partition.path, "rt", encoding="utf-8") as f:
             for line in f:
                 rec = json.loads(line)
                 # accepted filters re-apply row-level: shard pruning
                 # is necessary, not sufficient
-                if self._row_ok(rec):
-                    yield tuple(rec.get(c) for c in self.fields)
+                if not self._row_ok(rec):
+                    continue
+                for c in self.fields:
+                    cols[c].append(rec.get(c))
+                n += 1
+                if n == 8192:
+                    yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+                    cols = {c: [] for c in self.fields}
+                    n = 0
+        if n:
+            yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
 
 
 class JsonlShardsWriter(DataSourceWriter):

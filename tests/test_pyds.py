@@ -99,8 +99,16 @@ def test_reader_pushdown_prunes_shards(spark, tmp_path):
     kept = r.partitions()
     assert 0 < len(kept) < len(all_shards)  # real elision happened
     # rows from kept shards still satisfy the row-level re-check
-    got = [row for p in kept for row in r.read(p)]
-    assert got and all(row[0] >= 40 and row[1] is not None for row in got)
+    # (read yields Arrow RecordBatches — the API's fast path)
+    got = [
+        rec
+        for p in kept
+        for batch in r.read(p)
+        for rec in batch.to_pylist()
+    ]
+    assert got and all(
+        rec["doc_id"] >= 40 and rec["text"] is not None for rec in got
+    )
 
 
 def test_pushdown_equality_with_sql(spark, tmp_path):
