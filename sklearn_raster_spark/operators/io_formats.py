@@ -487,3 +487,52 @@ def q169_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@query(
+    "q170_stream_python_datasource",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="The custom connector's STREAMING half (sources/pyds.py "
+        "JsonlShardsStreamReader, Python Data Source API): "
+        "spark.readStream.format('jsonl_shards') tails the same shard "
+        "directory q169 wrote — the offset is the position in the "
+        "sorted listing, each micro-batch reads the shards that "
+        "landed past it, and read() with nothing new returns the "
+        "same offset so availableNow terminates exactly when the "
+        "directory is drained. A complete-mode per-language "
+        "aggregation hash-matches plain SQL over the source table, "
+        "proving the incremental file-source semantics (binaryFile's "
+        "discipline, reproduced in ~40 lines of connector Python) "
+        "deliver every row exactly once. Together q169/q170 cover "
+        "the connector API's full surface: batch read with pushdown "
+        "+ pruning, distributed write, and incremental streaming "
+        "read. Scale: the offset is O(1) state; listing cost is the "
+        "same as any file streaming source and shard decode stays "
+        "executor-side.",
+)
+def q170_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+    from sklearn_raster_spark.sources.pyds import register_jsonl_shards
+    from sklearn_raster_spark.streaming import run_stream_to_memory
+
+    ensure_workers_can_import(spark)  # see q169
+    register_jsonl_shards(spark)
+    path = materialize_jsonl_shards(spark, sf_dir)
+    stream = (
+        spark.readStream.format("jsonl_shards").option("path", path).load()
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.max("doc_id").alias("max_id"),
+    )
+    sink = "q170_stream_pyds_sink"
+    run_stream_to_memory(agg, sink, output_mode="complete")
+    return spark.table(sink)

@@ -144,6 +144,9 @@ _WINDOW_ORDER = (
     # pruning, sources/pyds.py)
     "q168_variant_shred",
     "q169_python_datasource",
+    # q170 is the connector's streaming half (SimpleDataSourceStream-
+    # Reader: offset = sorted-listing position, availableNow drains)
+    "q170_stream_python_datasource",
     # q163/q164/q165 are the round-9 continuation's NEW queries: JPEG
     # (sources/jpeg.py, lossy fidelity bound oracle-graded), GIF
     # (lossless identity-palette LZW, exact pixel-stat oracle), and
@@ -194,13 +197,15 @@ _WINDOW_ORDER = (
     "q139_mode_aggregate",
     "q144_stream_session_window",
     "q145_entity_resolution",
+    # ---- 50-query driver window closes here (round 10's five new
+    # queries q166-q170 pushed q146/q149/q150/q153/q38/q40/q41/q42
+    # past the boundary; every one stays value-checked by the
+    # registry-wide oracle sweep on every suite run, and all were
+    # driver-graded green in r09) ----
     "q146_negative_sampling",
     "q149_pipeline_composition",
     "q150_minhash_portable",
     "q153_stream_semi_join",
-    # ---- 50-query driver window closes here (q166-q169 pushed
-    # q38/q40/q41/q42 out; all four stay value-checked by the
-    # registry-wide oracle sweep every suite run) ----
     "q38_interval_join",
     "q40_linear_inference_nodata",
     "q41_nb_classify_embeddings",

@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    DataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -253,6 +254,53 @@ class JsonlShardsWriter(DataSourceWriter):
                     pass
 
 
+class JsonlShardsStreamReader(DataSourceStreamReader):
+    """Incremental tail of a shard directory — the custom STREAMING
+    source half of the connector (q170), on the PARTITION-based
+    ``DataSourceStreamReader`` (not the driver-side Simple variant):
+    the offset is the position in the sorted listing already
+    consumed, ``partitions(start, end)`` maps each newly landed shard
+    to one InputPartition, and ``read`` decodes it ON EXECUTORS —
+    file streaming-source semantics (binaryFile's discipline) with
+    the same distributed decode shape as the batch reader. Offsets
+    only grow (shards are never renamed or deleted mid-stream), so
+    replay between checkpointed offsets is exact."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.fields = [f.name for f in schema.fields]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards requires a path option")
+
+    def _shards(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith(".jsonl.gz")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": len(self._shards())}
+
+    def partitions(self, start: dict, end: dict):
+        names = self._shards()[start["pos"] : end["pos"]]
+        return [
+            _ShardPartition(os.path.join(self.path, n)) for n in names
+        ] or [_ShardPartition("")]
+
+    def read(self, partition: _ShardPartition):
+        if not partition.path:
+            return
+        with gzip.open(partition.path, "rt", encoding="utf-8") as f:
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(rec.get(c) for c in self.fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up; shards remain the batch source
+
+
 class JsonlShardsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -266,6 +314,9 @@ class JsonlShardsDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlShardsWriter:
         return JsonlShardsWriter(schema, dict(self.options), overwrite)
+
+    def streamReader(self, schema: StructType) -> JsonlShardsStreamReader:
+        return JsonlShardsStreamReader(schema, dict(self.options))
 
 
 def register_jsonl_shards(spark) -> None:

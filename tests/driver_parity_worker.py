@@ -55,6 +55,7 @@ EXECUTE = {
     "q166_media_quarantine",
     "q167_stream_media_quarantine",
     "q169_python_datasource",
+    "q170_stream_python_datasource",
 }
 
 

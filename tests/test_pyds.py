@@ -160,3 +160,40 @@ def test_foreign_and_empty_shards(spark, tmp_path):
         spark.read.format("jsonl_shards").option("path", empty).load().count()
         == 0
     )
+
+
+def test_stream_reader_incremental_offsets(spark, tmp_path):
+    """The connector's streaming half: offsets advance with the sorted
+    listing; availableNow drains exactly the rows present; a SECOND
+    run from a fresh checkpoint picks up shards added in between."""
+    path = _write_shards(spark, tmp_path / "s", _rows(30))
+
+    def drain(sink):
+        stream = (
+            spark.readStream.format("jsonl_shards").option("path", path).load()
+        )
+        agg = stream.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.table(sink).collect()[0]
+
+    first = drain("pyds_stream_sink_a")
+    assert first["n"] == 30 and first["id_sum"] == sum(range(30))
+
+    # land more shards, then a fresh stream sees old + new
+    df2 = spark.createDataFrame(
+        [(100 + i, "late", "en", "web", 4) for i in range(5)], SCHEMA
+    )
+    df2.write.format("jsonl_shards").option("path", path).mode("append").save()
+    second = drain("pyds_stream_sink_b")
+    assert second["n"] == 35
+    assert second["id_sum"] == sum(range(30)) + sum(range(100, 105))
