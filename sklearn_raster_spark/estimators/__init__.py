@@ -1,5 +1,7 @@
 from sklearn_raster_spark.estimators.numpy_models import (
+    FixedGaussianNB,
     FixedLinearModel,
+    FixedPCA,
     GaussianNBNP,
     KMeansNP,
     KNeighborsRegressorNP,
@@ -9,7 +11,9 @@ from sklearn_raster_spark.estimators.numpy_models import (
 )
 
 __all__ = [
+    "FixedGaussianNB",
     "FixedLinearModel",
+    "FixedPCA",
     "GaussianNBNP",
     "KMeansNP",
     "KNeighborsRegressorNP",

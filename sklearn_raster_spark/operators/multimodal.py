@@ -516,6 +516,7 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "q161_image_decode_features",
+    media_error_mode="strict",
     oracle=f"""
     SELECT doc_id,
            CAST((LENGTH(text) + {IMG_WIDTH} - 1) // {IMG_WIDTH} AS INTEGER) AS img_h,
@@ -542,7 +543,8 @@ def materialize_media_files(spark: SparkSession, sf_dir: str) -> str:
         "pins the header, px_sum/px_max pin the inflated pixels (the "
         "zero pad adds nothing to either). Scale: one object per "
         "asset, decode embarrassingly parallel per file, no driver "
-        "involvement.",
+        "involvement. "
+        "Runs strict (on_error=raise): these assets are engine-written, so a decode failure is an engine bug to surface, not foreign corruption to quarantine (q166/q167 cover that posture).",
 )
 def q161_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sklearn_raster_spark.session import ensure_workers_can_import
@@ -590,6 +592,7 @@ def q161_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q162_audio_decode_features",
+    media_error_mode="strict",
     oracle=f"""
     SELECT doc_id,
            CAST({WAV_RATE} AS INTEGER) AS sample_rate,
@@ -613,7 +616,8 @@ def q161_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stats. sample_rate pins the fmt-chunk parse; n_samples/"
         "energy/peak pin the PCM payload sample-exactly against the "
         "q115-style SQL oracle on the source text. Same "
-        "file-per-asset scale shape as q161.",
+        "file-per-asset scale shape as q161. "
+        "Runs strict (on_error=raise): these assets are engine-written, so a decode failure is an engine bug to surface, not foreign corruption to quarantine (q166/q167 cover that posture).",
 )
 def q162_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sklearn_raster_spark.session import ensure_workers_can_import
@@ -661,6 +665,7 @@ JPEG_MAX_ERR = 3  # |decoded - source| bound at quality 100 (DCT rounding)
 
 @query(
     "q163_jpeg_decode_fidelity",
+    media_error_mode="strict",
     oracle=f"""
     SELECT doc_id,
            CAST((LENGTH(text) + {IMG_WIDTH} - 1) // {IMG_WIDTH} AS INTEGER) AS img_h,
@@ -686,7 +691,8 @@ JPEG_MAX_ERR = 3  # |decoded - source| bound at quality 100 (DCT rounding)
         "false and the oracle mismatch surfaces in the driver grade. "
         "Scale: file-per-asset scans, per-payload decode, one "
         "broadcast equi-join — no shuffle grows with corpus size "
-        "beyond the sampled asset set.",
+        "beyond the sampled asset set. "
+        "Runs strict (on_error=raise): these assets are engine-written, so a decode failure is an engine bug to surface, not foreign corruption to quarantine (q166/q167 cover that posture).",
 )
 def q163_jpeg_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sklearn_raster_spark.session import ensure_workers_can_import
@@ -739,6 +745,7 @@ def q163_jpeg_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q164_gif_decode_features",
+    media_error_mode="strict",
     oracle=f"""
     SELECT doc_id,
            CAST((LENGTH(text) + {IMG_WIDTH} - 1) // {IMG_WIDTH} AS INTEGER) AS img_h,
@@ -762,7 +769,8 @@ def q163_jpeg_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "statistics hash-match the SQL oracle on the source text "
         "exactly — together q161/q163/q164 drive-grade every builtin "
         "image container family (zlib-filter, DCT-entropy, LZW). "
-        "Scale: identical file-per-asset shape to q161.",
+        "Scale: identical file-per-asset shape to q161. "
+        "Runs strict (on_error=raise): these assets are engine-written, so a decode failure is an engine bug to surface, not foreign corruption to quarantine (q166/q167 cover that posture).",
 )
 def q164_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sklearn_raster_spark.session import ensure_workers_can_import
@@ -806,6 +814,7 @@ def q164_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q165_video_decode_fidelity",
+    media_error_mode="strict",
     oracle=f"""
     SELECT doc_id,
            CAST(((LENGTH(text) + {IMG_WIDTH} - 1) // {IMG_WIDTH} + {FRAME_ROWS} - 1)
@@ -830,7 +839,8 @@ def q164_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle). With q161/q163/q164 this drive-grades all four "
         "media chains: lossless image, lossy image, palette-LZW "
         "image, and frame-structured video. Scale: identical "
-        "file-per-asset shape to q163.",
+        "file-per-asset shape to q163. "
+        "Runs strict (on_error=raise): these assets are engine-written, so a decode failure is an engine bug to surface, not foreign corruption to quarantine (q166/q167 cover that posture).",
 )
 def q165_video_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sklearn_raster_spark.session import ensure_workers_can_import
@@ -960,6 +970,7 @@ def extract_image_features_safe(
 
 @query(
     "q166_media_quarantine",
+    media_error_mode="quarantine",
     oracle=f"""
     SELECT doc_id,
            CAST(doc_id / {MEDIA_MOD} AS BIGINT) % 3 = 0 AS ok,
@@ -1085,6 +1096,7 @@ def extract_audio_features_safe(
 
 @query(
     "q167_stream_media_quarantine",
+    media_error_mode="quarantine",
     oracle=f"""
     SELECT CASE WHEN CAST(doc_id / {MEDIA_MOD} AS BIGINT) % 3 = 0 THEN NULL
                 ELSE 'ValueError' END AS error_kind,

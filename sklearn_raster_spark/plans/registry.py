@@ -30,6 +30,13 @@ class QuerySpec:
     fn: SparkQuery
     oracle: str | None  # DuckDB SQL, or None => driver does rows-only check
     doc: str = ""
+    # REQUIRED for every query that scans media bytes via binaryFile
+    # (enforced by tests/test_registry_contract.py): "strict" for
+    # engine-written assets (corruption there is an engine bug — fail
+    # loudly), "quarantine" for foreign/crawled bytes (decode error ->
+    # NULL features + error column, the row survives). None for
+    # queries that never scan media bytes.
+    media_error_mode: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -62,13 +69,29 @@ _QUERY_MODULES = (
 )
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    media_error_mode: str | None = None,
+):
     """Decorator registering a Spark query builder under ``name``."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        if media_error_mode not in (None, "strict", "quarantine"):
+            raise ValueError(
+                f"{name}: media_error_mode must be strict|quarantine, "
+                f"got {media_error_mode!r}"
+            )
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            media_error_mode=media_error_mode,
+        )
         return fn
 
     return deco
@@ -90,68 +113,158 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # Round-9 policy (VERDICT r8 #2): (1) changed/new queries lead —
-    # q161/q162 are NEW end-to-end media-decode queries (the round-8
-    # image/audio stubs replaced by real builtin PNG/WAV codecs,
-    # sources/image.py + sources/audio.py, binaryFile assets written
-    # through the real encoders); q154's emitted-prefix cutoff now
-    # excludes NULL-key purchases (round-9 fuzz seed 101: Catalyst
-    # pushes the inferred isnotnull below the watermark node, so a
-    # NULL-key purchase carrying the stream max ts inflated the cutoff
-    # past what the watermark could flush — 4 unmatched clicks
-    # vanished); q110's variance is clamped non-negative on both sides
-    # (ADVICE r8 high: zero-variance groups went sqrt-of-negative —
-    # DuckDB hard-error, Spark NaN flagging every group row); q142's
-    # UDWF regained the clean-frame int64 fast path via an O(1) dtype
-    # probe (VERDICT r8 #1, the one r8 bench regression);
-    # q70/q81/q82/q115 pin byte-vs-char laws from the round-9 UNICODE
-    # fuzz axis (kernels now slice DECODED units exactly like SQL
-    # SUBSTR; q70's oracle counts payload BYTES via OCTET_LENGTH; q115
-    # squares codepoints in BIGINT — U+1F99C squared overflows INT32);
-    # q112/q128/q67 drop non-finite embedding vectors at the scan on
-    # both sides (round-9 NaN/Inf fuzz axis; utils/vectors.py
-    # contract); q68's GeoTIFF read path gained Deflate strips and
-    # quote-safe tag names (ADVICE r8 low). (2) Then the ENTIRE
-    # 33-query r05-stale backlog (q22...q153, section 4 of the r8
-    # order) — after this round's grade no query's newest hard driver
-    # row is older than r06. (3) Four slots remain inside the 50-query
-    # window; they take the OLDEST r06-graded rows (q38/q40/q41/q42).
-    # (4) The remaining surface in its r8 order, freshest last.
-    # Everything stays value-checked on every suite run by the
-    # registry-wide oracle sweep (tests/test_oracle_sweep.py) and by
-    # the zero-deselect sf1 sweep (tools/sf1_sweep.py) regardless of
-    # window position; per-query TIMING comes from the bench, which
-    # runs all 162.
-    # Round-10 policy: q166 is NEW — the corrupt-asset quarantine
-    # contract (VERDICT r9 missing #1): deliberately corrupted PNGs in
-    # the asset dir, quarantine-mode decode (error -> NULL features +
-    # error column, row survives), oracle predicts exactly which
-    # doc_ids fail. q163/q164/q165/q161/q162 stay at the front: their
-    # decode chains changed this round (codec failure contract —
-    # sources/_contract.py converts the low-level exception zoo to
-    # ValueError, geometry plausibility guards, MJPEG Huffman-only
-    # table seeding, GIF logical-screen compositing, BMP RLE8 bounds —
-    # all five r9 ADVICE items plus the corruption-fuzz findings).
-    # q167 runs the same quarantine kernel under Structured Streaming
-    # (binaryFile readStream -> mapInPandas decode -> complete-mode
-    # error-class tally): corrupt objects must never stall the stream.
+    # Round-11 policy (VERDICT r10 next #1 — the r9 advice the last
+    # two rounds skipped): (1) new/changed queries lead — q171/q172/
+    # q173 are the portable oracle twins for the fitted-state queries
+    # (FIXED-parameter NB classify / NB proba / PCA transform through
+    # the SAME broadcast-model Arrow mapInPandas paths as q41/q42/q43,
+    # hash-exact oracles; operators/inference.py, the q48-twins-q40
+    # pattern), q174 drive-grades the connector's NEW corruption
+    # posture (permissive scan over an arithmetically-corrupted shard
+    # dir), and q169/q170 re-grade because the connector changed this
+    # round (staged-commit writer with real overwrite, content-based
+    # stream offsets, Arrow-batched stream read, strict/permissive
+    # decode contract — all five ADVICE r10 items). (2) Then the
+    # ENTIRE 33-query r06-stale backlog (q40-q50, q58, q66, q74/q75/
+    # q77/q79/q83, q85-q97, q118, q159) — after this round's grade no
+    # query's newest hard driver row is older than r07. (3) The 11
+    # remaining slots take a cross-section of the OLDEST (r07) cohort:
+    # relational anchors (q01/q20/q32/q36), the dedup family (q51/q52/
+    # q104/q122), sketches (q106), and streaming (q107/q116). (4) The
+    # rest, oldest driver grade first. Everything stays value-checked
+    # on every suite run by the registry-wide oracle sweep
+    # (tests/test_oracle_sweep.py) regardless of window position;
+    # per-query timing comes from the bench, which runs all 174.
+    "q171_nb_classify_portable",
+    "q172_nb_proba_portable",
+    "q173_pca_transform_portable",
+    "q174_pyds_permissive_scan",
+    "q169_python_datasource",
+    "q170_stream_python_datasource",
+    "q118_frequent_itemsets",
+    "q159_pagerank_portable",
+    "q40_linear_inference_nodata",
+    "q41_nb_classify_embeddings",
+    "q42_nb_proba_embeddings",
+    "q43_pca_transform_embeddings",
+    "q44_kneighbors_embeddings",
+    "q45_mllib_linear_regression",
+    "q46_mllib_kmeans",
+    "q47_mllib_logistic_proba",
+    "q48_compiled_linear_inference",
+    "q49_csv_source",
+    "q50_exact_dedup",
+    "q58_json_source",
+    "q66_wide_long_reshape",
+    "q74_orc_source",
+    "q75_partitioned_sink_prune",
+    "q77_range_interval_window",
+    "q79_zorder_layout",
+    "q83_full_outer_join",
+    "q85_argmax_aggregates",
+    "q86_exact_percentiles",
+    "q87_price_histogram",
+    "q88_order_gaps_islands",
+    "q89_conditional_aggregates",
+    "q90_null_safe_join",
+    "q91_ordered_string_agg",
+    "q92_approx_percentiles",
+    "q93_salted_agg",
+    "q94_gap_fill_ffill",
+    "q95_event_funnel",
+    "q96_tfidf_top_terms",
+    "q97_regression_aggregates",
+    "q01_pricing_summary",
+    "q20_price_band_join",
+    "q32_approx_count_distinct",
+    "q36_sort_merge_join",
+    "q51_jaccard_pairs",
+    "q52_minhash_lsh_pairs",
+    "q104_dedup_corpus",
+    "q106_contamination_bloom",
+    "q107_stream_dedup",
+    "q116_stream_inference",
+    "q122_incremental_dedup",
+    # ---- 50-query driver window closes here ----
+    "q65_bigram_counts",
+    "q80_dynamic_session_window",
+    "q34_map_funcs",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_customers_per_region",
+    "q08_customers_with_orders",
+    "q09_customers_without_orders",
+    "q10_returned_item_revenue",
+    "q11_distinct_segments_per_nation",
+    "q12_rollup_order_status",
+    "q13_cube_returnflag_status",
+    "q14_grouping_sets",
+    "q15_top3_orders_per_customer",
+    "q16_running_totals",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_orders_above_customer_avg",
+    "q98_bitwise_aggregates",
+    "q99_checksum_source",
+    "q103_chi_square_contingency",
+    "q35_union_type_promotion",
+    "q37_ranking_functions",
+    "q39_stat_aggregates",
+    "q108_priority_sample",
+    "q109_repetition_signals",
+    "q111_quantile_binning",
+    "q114_training_mix",
+    "q54_kneighbors_lsh",
+    "q53_simhash_neardup",
+    "q76_grouped_agg_pandas_udaf",
+    "q78_udtf_lateral_trigrams",
+    "q151_simhash_portable",
+    "q152_binaryfile_source",
+    "q156_grouped_model_fit",
+    "q158_grouped_model_score",
+    "q55_knn_cosine_bruteforce",
+    "q56_ann_lsh",
+    "q57_embedding_neardup",
+    "q69_ann_ivf",
+    "q100_bounded_neardup",
+    "q148_rolling_median_jvm",
+    "q155_ann_signlsh_portable",
+    "q157_ann_ivf_portable",
+    "q160_pq_adc_portable",
+    "q31_asof_join",
+    "q59_stateful_running_agg",
+    "q113_scd2_intervals",
+    "q117_stream_interval_join",
+    "q119_als_recommendations",
+    "q120_pagerank",
+    "q121_boilerplate_passages",
+    "q123_cms_heavy_hitters",
+    "q124_khop_reachability",
+    "q126_grouped_split",
+    "q129_rolling_anomaly",
+    "q130_stream_tumbling_window",
+    "q132_bm25_retrieval",
+    "q133_skyline_parts",
+    "q134_data_quality_checks",
+    "q136_pq_ann_search",
+    "q137_stream_sliding_window",
+    "q138_bag_set_ops",
+    "q140_cumulative_distinct_users",
+    "q141_cohort_retention",
+    "q143_incremental_aggregate",
+    "q147_walk_forward_split",
+    "q21_string_funcs",
+    "q146_negative_sampling",
+    "q149_pipeline_composition",
+    "q150_minhash_portable",
+    "q153_stream_semi_join",
+    "q38_interval_join",
     "q166_media_quarantine",
     "q167_stream_media_quarantine",
-    # q168 shreds Spark-4 VARIANT (parse_json -> variant_get typed
-    # paths incl. nested object, array index, try_variant_get miss);
-    # q169 drive-grades a complete custom connector on the Spark-4
-    # Python Data Source API (write + read + filter pushdown + shard
-    # pruning, sources/pyds.py)
     "q168_variant_shred",
-    "q169_python_datasource",
-    # q170 is the connector's streaming half (SimpleDataSourceStream-
-    # Reader: offset = sorted-listing position, availableNow drains)
-    "q170_stream_python_datasource",
-    # q163/q164/q165 are the round-9 continuation's NEW queries: JPEG
-    # (sources/jpeg.py, lossy fidelity bound oracle-graded), GIF
-    # (lossless identity-palette LZW, exact pixel-stat oracle), and
-    # MJPEG-AVI video (sources/video.py, frame geometry + fidelity
-    # bound) decoded end-to-end; they lead with the other new rows
     "q163_jpeg_decode_fidelity",
     "q164_gif_decode_features",
     "q165_video_decode_fidelity",
@@ -197,131 +310,6 @@ _WINDOW_ORDER = (
     "q139_mode_aggregate",
     "q144_stream_session_window",
     "q145_entity_resolution",
-    # ---- 50-query driver window closes here (round 10's five new
-    # queries q166-q170 pushed q146/q149/q150/q153/q38/q40/q41/q42
-    # past the boundary; every one stays value-checked by the
-    # registry-wide oracle sweep on every suite run, and all were
-    # driver-graded green in r09) ----
-    "q146_negative_sampling",
-    "q149_pipeline_composition",
-    "q150_minhash_portable",
-    "q153_stream_semi_join",
-    "q38_interval_join",
-    "q40_linear_inference_nodata",
-    "q41_nb_classify_embeddings",
-    "q42_nb_proba_embeddings",
-    "q54_kneighbors_lsh",
-    "q53_simhash_neardup",
-    "q76_grouped_agg_pandas_udaf",
-    "q78_udtf_lateral_trigrams",
-    "q151_simhash_portable",
-    "q152_binaryfile_source",
-    "q156_grouped_model_fit",
-    "q158_grouped_model_score",
-    "q55_knn_cosine_bruteforce",
-    "q56_ann_lsh",
-    "q57_embedding_neardup",
-    "q69_ann_ivf",
-    "q100_bounded_neardup",
-    "q148_rolling_median_jvm",
-    "q155_ann_signlsh_portable",
-    "q157_ann_ivf_portable",
-    "q160_pq_adc_portable",
-    "q31_asof_join",
-    "q59_stateful_running_agg",
-    "q113_scd2_intervals",
-    "q117_stream_interval_join",
-    "q119_als_recommendations",
-    "q120_pagerank",
-    "q121_boilerplate_passages",
-    "q123_cms_heavy_hitters",
-    "q124_khop_reachability",
-    "q126_grouped_split",
-    "q129_rolling_anomaly",
-    "q130_stream_tumbling_window",
-    "q132_bm25_retrieval",
-    "q133_skyline_parts",
-    "q134_data_quality_checks",
-    "q136_pq_ann_search",
-    "q137_stream_sliding_window",
-    "q138_bag_set_ops",
-    "q140_cumulative_distinct_users",
-    "q141_cohort_retention",
-    "q143_incremental_aggregate",
-    "q147_walk_forward_split",
-    "q21_string_funcs",
-    "q43_pca_transform_embeddings",
-    "q44_kneighbors_embeddings",
-    "q45_mllib_linear_regression",
-    "q46_mllib_kmeans",
-    "q47_mllib_logistic_proba",
-    "q48_compiled_linear_inference",
-    "q49_csv_source",
-    "q50_exact_dedup",
-    "q58_json_source",
-    "q66_wide_long_reshape",
-    "q74_orc_source",
-    "q75_partitioned_sink_prune",
-    "q77_range_interval_window",
-    "q79_zorder_layout",
-    "q83_full_outer_join",
-    "q85_argmax_aggregates",
-    "q86_exact_percentiles",
-    "q87_price_histogram",
-    "q88_order_gaps_islands",
-    "q89_conditional_aggregates",
-    "q90_null_safe_join",
-    "q91_ordered_string_agg",
-    "q92_approx_percentiles",
-    "q93_salted_agg",
-    "q94_gap_fill_ffill",
-    "q95_event_funnel",
-    "q96_tfidf_top_terms",
-    "q97_regression_aggregates",
-    "q118_frequent_itemsets",
-    "q159_pagerank_portable",
-    "q65_bigram_counts",
-    "q80_dynamic_session_window",
-    "q34_map_funcs",
-    "q51_jaccard_pairs",
-    "q122_incremental_dedup",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_customers_per_region",
-    "q08_customers_with_orders",
-    "q09_customers_without_orders",
-    "q10_returned_item_revenue",
-    "q11_distinct_segments_per_nation",
-    "q12_rollup_order_status",
-    "q13_cube_returnflag_status",
-    "q14_grouping_sets",
-    "q15_top3_orders_per_customer",
-    "q16_running_totals",
-    "q17_topk_orders",
-    "q18_set_ops",
-    "q19_orders_above_customer_avg",
-    "q20_price_band_join",
-    "q98_bitwise_aggregates",
-    "q99_checksum_source",
-    "q103_chi_square_contingency",
-    "q104_dedup_corpus",
-    "q32_approx_count_distinct",
-    "q35_union_type_promotion",
-    "q36_sort_merge_join",
-    "q37_ranking_functions",
-    "q39_stat_aggregates",
-    "q52_minhash_lsh_pairs",
-    "q106_contamination_bloom",
-    "q107_stream_dedup",
-    "q108_priority_sample",
-    "q109_repetition_signals",
-    "q111_quantile_binning",
-    "q114_training_mix",
-    "q116_stream_inference",
 )
 
 

@@ -325,15 +325,84 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
+def _bmp_rle4(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE4: encoded runs paint ``count`` pixels ALTERNATING the
+    two nibbles of the value byte; absolute mode carries literal
+    nibbles packed MSB-first, padded to 16-bit words; escapes are the
+    RLE8 set (end of line / end of bitmap / delta). Bottom-up rows."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run: alternate hi/lo nibble
+            take = min(n, max(w - x, 0))
+            if take > 0:
+                pix = np.empty(take, np.uint8)
+                pix[0::2] = v >> 4
+                pix[1::2] = v & 0xF
+                out[y, x : x + take] = pix
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta jump (undefined pixels stay 0)
+            if i + 1 >= len(data):
+                raise ValueError("BMP: RLE4 delta escape truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if y >= h or x > w:
+                raise ValueError("BMP: RLE4 cursor out of bounds")
+        else:  # absolute mode: v literal nibbles, word-aligned
+            nbytes = (((v + 1) // 2) + 1) & ~1
+            if i + nbytes > len(data):
+                raise ValueError("BMP: RLE4 absolute run truncated")
+            packed = np.frombuffer(data, np.uint8, count=(v + 1) // 2, offset=i)
+            nib = np.empty(len(packed) * 2, np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 0xF
+            take = min(v, max(w - x, 0))
+            out[y, x : x + take] = nib[:take]
+            x += v
+            i += nbytes
+    return out
+
+
+def _bmp_bitfields(pix: np.ndarray, masks: tuple[int, ...], bpp: int) -> np.ndarray:
+    """Resolve BI_BITFIELDS (or the implicit RGB555 of plain 16-bpp)
+    channel masks to uint8: each channel is extracted by its mask's
+    shift/width and rescaled to 0..255 with exact integer arithmetic
+    (v * 255 // mask_max, the MS reference expansion)."""
+    chans = []
+    for m in masks:
+        if m == 0 or m > (1 << bpp) - 1:
+            raise ValueError(f"BMP: invalid bitfields mask {m:#x} for bpp={bpp}")
+        shift = (m & -m).bit_length() - 1
+        mmax = m >> shift
+        if mmax & (mmax + 1):  # mask bits must be contiguous
+            raise ValueError(f"BMP: non-contiguous bitfields mask {m:#x}")
+        chans.append(
+            (((pix >> shift) & mmax).astype(np.uint32) * 255 // mmax).astype(np.uint8)
+        )
+    return np.stack(chans, axis=-1)
+
+
 @codec_errors("BMP")
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode a BMP to uint8: uncompressed 24/32-bpp -> (H, W, 3) RGB
-    (the 32-bpp pad byte is dropped); 1/4/8-bpp palette (raw, or
-    BI_RLE8 for 8-bpp) resolves through the color table -> (H, W, 3).
-    Reads BITMAPINFOHEADER (and larger V4/V5) plus the OS/2
+    (the 32-bpp pad byte is dropped); 1/4/8-bpp palette (raw, BI_RLE8
+    for 8-bpp, or BI_RLE4 for 4-bpp) resolves through the color table
+    -> (H, W, 3); 16-bpp (implicit RGB555) and BI_BITFIELDS 16/32-bpp
+    resolve through their channel masks (header-carried for
+    BITMAPINFOHEADER and V4/V5 alike — both put them at file offset
+    54). Reads BITMAPINFOHEADER (and larger V4/V5) plus the OS/2
     BITMAPCOREHEADER (12-byte, 3-byte palette entries, always
     bottom-up). Handles bottom-up and top-down (negative height)
-    layouts. BI_RLE4 / BI_BITFIELDS / 16-bpp stay Pillow territory."""
+    layouts."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP (bad magic)")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -354,8 +423,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"BMP: unsupported header size {hdr_size}")
     check_plausible(w * h, "BMP")  # before any row-buffer allocation
     pal_off = 14 + hdr_size
+    if hdr_size == 40 and compression == 3:
+        # BITMAPINFOHEADER + BI_BITFIELDS: the 3 DWORD masks follow
+        # the header, so any palette sits past them
+        pal_off += 12
     if bpp in (1, 4, 8) and (
-        compression == 0 or (compression == 1 and bpp == 8)
+        compression == 0
+        or (compression == 1 and bpp == 8)
+        or (compression == 2 and bpp == 4)
     ):
         n_pal = clr_used or (1 << bpp)
         pal = np.frombuffer(
@@ -363,6 +438,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         ).reshape(n_pal, pal_entry)[:, :3][:, ::-1]  # BGR(A) -> RGB
         if compression == 1:  # BI_RLE8
             idx = _bmp_rle8(data[pixel_off:], w, h)
+        elif compression == 2:  # BI_RLE4
+            idx = _bmp_rle4(data[pixel_off:], w, h)
         else:
             # rows pad to 32-bit words; sub-byte pixels pack MSB-first
             stride = ((w * bpp + 31) // 32) * 4
@@ -379,11 +456,35 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows = np.frombuffer(data, np.uint8, count=h * w * 4, offset=pixel_off)
         img = rows.reshape(h, w, 4)[:, :, :3][:, :, ::-1]
         return img[::-1].copy() if bottom_up else img.copy()
+    if bpp in (16, 32) and compression in (0, 3):
+        if compression == 3:
+            # V4/V5 carry the masks IN the header at info offset 40;
+            # BITMAPINFOHEADER appends them right after — file offset
+            # 54 either way
+            if len(data) < 66:
+                raise ValueError("BMP: bitfields masks truncated")
+            masks = struct.unpack("<III", data[54:66])
+        else:  # plain 16-bpp: implicit RGB555
+            masks = (0x7C00, 0x03E0, 0x001F)
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = np.frombuffer(
+            data, np.uint8, count=h * stride, offset=pixel_off
+        ).reshape(h, stride)
+        width = bpp // 8
+        pix = (
+            rows[:, : w * width]
+            .copy()
+            .view("<u2" if bpp == 16 else "<u4")
+            .reshape(h, w)
+        )
+        img = _bmp_bitfields(pix, masks, bpp)
+        return img[::-1].copy() if bottom_up else img
     if compression != 0 or bpp != 24:
         raise NotImplementedError(
             f"BMP bpp={bpp} compression={compression} needs Pillow; "
             "builtin decoder reads uncompressed 1/4/8-bpp palette, "
-            "RLE8, and 24/32-bpp"
+            "RLE8/RLE4, 16-bpp RGB555, BITFIELDS 16/32-bpp, and "
+            "24/32-bpp"
         )
     stride = (w * 3 + 3) & ~3
     rows = np.frombuffer(data, np.uint8, count=h * stride, offset=pixel_off)

@@ -10,11 +10,20 @@ session registers once — after that ``spark.read.format(...)`` /
 module exercises every piece of the API that matters at 100 TB:
 
 - **Writer** (``JsonlShardsWriter``): each task serializes its
-  partition to one ``part-<pid>-<uuid>.<min>-<max>.jsonl.gz`` shard —
-  data never visits the driver; the doc_id min/max ride in the
-  FILENAME so readers can prune without opening files (the parquet
-  row-group-statistics idea at file granularity). Commit messages
-  carry the shard names; ``abort()`` removes the partials.
+  partition to a HIDDEN staged file (``.staged-<uuid>.tmp`` — never
+  matched by readers); the driver-side ``commit()`` publishes exactly
+  the shards whose commit messages arrived, renaming them to
+  ``part-<pid>-<uuid>.<min>-<max>.jsonl.gz`` (the doc_id min/max ride
+  in the FILENAME so readers can prune without opening files — the
+  parquet row-group-statistics idea at file granularity). Because
+  publication happens only at commit, a retried or speculative task
+  attempt can never leave two live copies of a partition: the losing
+  attempt's staged file is inert garbage readers cannot see, removed
+  by ``abort()`` when its message reached the driver. ``overwrite``
+  mode removes the pre-commit shard set after publishing, so
+  ``mode("overwrite")`` actually replaces (it used to silently
+  append). The directory must be driver-visible shared storage —
+  the same contract the materializer enforces.
 - **Reader** (``JsonlShardsReader``): one InputPartition per shard.
   ``pushFilters`` accepts doc_id comparisons (=, <, <=, >, >=) and
   IsNotNull; ``partitions()`` drops every shard whose embedded
@@ -24,12 +33,25 @@ module exercises every piece of the API that matters at 100 TB:
   re-applied row-level during ``read`` (pruning is necessary, not
   sufficient); everything else is returned to Spark unsupported, so
   correctness never depends on the connector's cleverness.
+- **Corruption posture** (``mode`` option, default ``strict``): the
+  decode loop is TOTAL over arbitrary bytes, the same contract the
+  media codecs carry (sources/_contract.py). ``strict`` converts the
+  low-level exception zoo (gzip/zlib/unicode/JSON/recursion/huge
+  line) to a pointed ValueError naming the shard — engine-written
+  fixtures should never be corrupt, so fail loudly; ``permissive``
+  skips the corrupt line (or the rest of an undecodable shard) and
+  keeps every decodable row — one rotten shard in a 100 TB crawl
+  quarantines itself instead of failing the job (the byte-level
+  analog of ``extract_image_features_safe``, multimodal.py). Lines
+  are read through a 16 MiB plausibility bound so a gzip bomb cannot
+  allocate unbounded memory for a single "line".
 
 Values survive the JSON round trip exactly: doc_id/n_chars are
 integers, text/lang/source are strings (json.dumps with
 ensure_ascii=False keeps multibyte text byte-identical in utf-8).
 q169 drive-grades write -> prune -> read against plain SQL over the
-same documents.
+same documents; q174 drive-grades the permissive posture over a
+deliberately corrupted shard directory.
 
 CAVEAT (pinned in tests/test_pyds.py): pyspark 4.1 caches a Python
 data source's planned read (reader + partitions) on the loaded
@@ -47,6 +69,7 @@ import gzip
 import json
 import os
 import uuid
+import zlib
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -70,15 +93,31 @@ _DEFAULT_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
 
+# plausibility bound: no legitimate document line approaches this; a
+# gzip bomb's "line" hits the cap instead of allocating unbounded
+# memory (the check-geometry-BEFORE-allocation rule from
+# sources/_contract.py applied to record framing)
+_MAX_LINE_BYTES = 16 * 1024 * 1024
+
+# python types a JSON value may carry per Spark simpleString; bool is
+# an int subclass and coerces losslessly, so it is accepted for ints
+_JSON_TYPES = {
+    "tinyint": int, "smallint": int, "int": int, "bigint": int,
+    "float": (int, float), "double": (int, float),
+    "boolean": bool, "string": str,
+}
+
 
 @dataclass
 class _ShardPartition(InputPartition):
     path: str
+    permissive: bool = False
 
 
 @dataclass
 class _ShardCommit(WriterCommitMessage):
-    filename: str
+    staged: str  # hidden staged basename ("" for an empty partition)
+    filename: str  # final basename to publish as
 
 
 def _shard_range(filename: str) -> tuple[int, int] | None:
@@ -94,13 +133,124 @@ def _shard_range(filename: str) -> tuple[int, int] | None:
         return None
 
 
+def _bounded_lines(path: str):
+    """Yield raw byte lines from a gzip stream, each capped at
+    _MAX_LINE_BYTES. An over-long line yields a _TooLong marker once,
+    then the remainder of that line is consumed (bounded chunks, never
+    one giant buffer) so the NEXT line can still be decoded."""
+    with gzip.open(path, "rb") as f:
+        while True:
+            line = f.readline(_MAX_LINE_BYTES)
+            if not line:
+                return
+            if len(line) >= _MAX_LINE_BYTES and not line.endswith(b"\n"):
+                yield _TOO_LONG
+                while True:  # drain the rest of the bomb line
+                    chunk = f.readline(_MAX_LINE_BYTES)
+                    if not chunk or chunk.endswith(b"\n"):
+                        break
+                continue
+            yield line
+
+
+_TOO_LONG = object()
+
+
+def _decode_shard_batches(
+    path: str,
+    schema: StructType,
+    row_ok=None,
+    permissive: bool = False,
+    batch_rows: int = 8192,
+):
+    """Decode one shard into pyarrow RecordBatches — the Python Data
+    Source API's fast path (one Arrow transfer per batch instead of a
+    pickle round trip per row). Shared by the batch and streaming
+    readers so both carry the same Arrow boundary and the same
+    corruption posture. Total over arbitrary bytes: strict mode raises
+    ValueError (only), permissive mode never raises — it keeps every
+    decodable, type-valid row and drops the rest."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    fields = [f.name for f in schema.fields]
+    checks = [(f.name, _JSON_TYPES.get(f.dataType.simpleString())) for f in schema.fields]
+    # explicit Arrow schema: from_pydict would infer `null` type for
+    # an all-None column and fail Spark's schema check
+    pa_schema = to_arrow_schema(schema)
+    cols: dict[str, list] = {c: [] for c in fields}
+    n = 0
+    lines = _bounded_lines(path)
+    while True:
+        try:
+            raw = next(lines)
+        except StopIteration:
+            break
+        except (EOFError, OSError, zlib.error) as e:
+            # truncated gzip / bad header / corrupt deflate: everything
+            # already decoded stays; the rest of the shard is gone
+            if permissive:
+                break
+            raise ValueError(f"corrupt gzip shard {path!r}: {e}") from e
+        if raw is _TOO_LONG:
+            if permissive:
+                continue
+            raise ValueError(
+                f"corrupt shard {path!r}: line exceeds "
+                f"{_MAX_LINE_BYTES} bytes"
+            )
+        try:
+            rec = json.loads(raw.decode("utf-8"))
+        except (UnicodeDecodeError, ValueError, RecursionError) as e:
+            # JSONDecodeError is a ValueError; RecursionError guards
+            # pathologically nested input (corruption-fuzz class)
+            if permissive:
+                continue
+            raise ValueError(f"corrupt json line in shard {path!r}: {e}") from e
+        if not isinstance(rec, dict):
+            if permissive:
+                continue
+            raise ValueError(f"non-object json line in shard {path!r}")
+        bad_type = False
+        for name, ok_types in checks:
+            v = rec.get(name)
+            if v is not None and ok_types is not None and not isinstance(v, ok_types):
+                bad_type = True
+                break
+        if bad_type:
+            # a type-invalid value would poison the whole Arrow batch
+            # (ArrowInvalid at from_pydict) — reject it per-row instead
+            if permissive:
+                continue
+            raise ValueError(f"type-invalid record in shard {path!r}")
+        if row_ok is not None and not row_ok(rec):
+            continue
+        for c in fields:
+            cols[c].append(rec.get(c))
+        n += 1
+        if n == batch_rows:
+            yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+            cols = {c: [] for c in fields}
+            n = 0
+    if n:
+        yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+
+def _parse_mode(options: dict) -> bool:
+    mode = options.get("mode", "strict")
+    if mode not in ("strict", "permissive"):
+        raise ValueError(f"jsonl_shards mode must be strict|permissive, got {mode!r}")
+    return mode == "permissive"
+
+
 class JsonlShardsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.spark_schema = schema
-        self.fields = [f.name for f in schema.fields]
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_shards requires a path option")
+        self.permissive = _parse_mode(options)
         self.bounds: list[tuple[str, str, int]] = []  # (op, col, value)
         self.not_null: list[str] = []
 
@@ -146,20 +296,20 @@ class JsonlShardsReader(DataSourceReader):
         shards = sorted(
             os.path.join(self.path, f)
             for f in os.listdir(self.path)
-            if f.endswith(".jsonl.gz")
+            if f.endswith(".jsonl.gz") and not f.startswith(".")
         )
         kept = []
         for s in shards:
             rng = _shard_range(s)
             if rng is None or self._range_may_match(*rng):
-                kept.append(_ShardPartition(s))
+                kept.append(_ShardPartition(s, self.permissive))
         # an empty scan still needs one (empty) partition
-        return kept or [_ShardPartition("")]
+        return kept or [_ShardPartition("", self.permissive)]
 
     def _row_ok(self, rec: dict) -> bool:
         v = rec.get("doc_id")
         for op, _col, b in self.bounds:
-            if v is None:
+            if v is None or not isinstance(v, int):
                 return False
             if op == "EqualTo" and v != b:
                 return False
@@ -174,39 +324,29 @@ class JsonlShardsReader(DataSourceReader):
         return all(rec.get(c) is not None for c in self.not_null)
 
     def read(self, partition: _ShardPartition):
-        # yield pyarrow RecordBatches, not per-row tuples: the Python
-        # Data Source API's fast path — one Arrow transfer per batch
-        # instead of a pickle round trip per row
-        import pyarrow as pa
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
         if not partition.path:
             return
-        # explicit Arrow schema: from_pydict would infer `null` type
-        # for an all-None column and fail Spark's schema check
-        pa_schema = to_arrow_schema(self.spark_schema)
-        cols: dict[str, list] = {c: [] for c in self.fields}
-        n = 0
-        with gzip.open(partition.path, "rt", encoding="utf-8") as f:
-            for line in f:
-                rec = json.loads(line)
-                # accepted filters re-apply row-level: shard pruning
-                # is necessary, not sufficient
-                if not self._row_ok(rec):
-                    continue
-                for c in self.fields:
-                    cols[c].append(rec.get(c))
-                n += 1
-                if n == 8192:
-                    yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
-                    cols = {c: [] for c in self.fields}
-                    n = 0
-        if n:
-            yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+        # accepted filters re-apply row-level: shard pruning is
+        # necessary, not sufficient
+        yield from _decode_shard_batches(
+            partition.path,
+            self.spark_schema,
+            row_ok=self._row_ok,
+            permissive=partition.permissive,
+        )
 
 
 class JsonlShardsWriter(DataSourceWriter):
+    """Staged-commit writer: ``write`` produces only hidden
+    ``.staged-*.tmp`` files (readers match ``part-*.jsonl.gz`` and
+    skip dotfiles); the driver's ``commit`` publishes exactly the
+    staged files named in the arrived commit messages. A task attempt
+    that dies after writing — or a speculative duplicate attempt —
+    leaves at most an inert hidden file, never a second live copy of
+    the partition's rows. Requires the target directory to be
+    driver-visible (shared storage), the contract the engine's
+    materializer already enforces."""
+
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self.fields = [f.name for f in schema.fields]
         self.path = options.get("path")
@@ -219,10 +359,10 @@ class JsonlShardsWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".part-{pid}-{uuid.uuid4().hex}.tmp")
+        staged = f".staged-{uuid.uuid4().hex}.tmp"
         lo = hi = None
         n = 0
-        with gzip.open(tmp, "wt", encoding="utf-8") as f:
+        with gzip.open(os.path.join(self.path, staged), "wt", encoding="utf-8") as f:
             for row in rows:
                 rec = {c: row[i] for i, c in enumerate(self.fields)}
                 d = rec.get("doc_id")
@@ -232,24 +372,45 @@ class JsonlShardsWriter(DataSourceWriter):
                 f.write(json.dumps(rec, ensure_ascii=False) + "\n")
                 n += 1
         if n == 0:
-            os.remove(tmp)
-            return _ShardCommit("")
-        final = os.path.join(
-            self.path,
+            os.remove(os.path.join(self.path, staged))
+            return _ShardCommit("", "")
+        final = (
             f"part-{pid}-{uuid.uuid4().hex}.{lo if lo is not None else 0}-"
-            f"{hi if hi is not None else 0}.jsonl.gz",
+            f"{hi if hi is not None else 0}.jsonl.gz"
         )
-        os.replace(tmp, final)
-        return _ShardCommit(os.path.basename(final))
+        return _ShardCommit(staged, final)
 
     def commit(self, messages):
-        pass  # shards were atomically os.replace'd into place
+        # overwrite replaces the PRE-COMMIT shard set: capture it first,
+        # publish the new shards (fresh uuids never collide), then drop
+        # the old set — readers see old-or-new, never a mix for long
+        existing = set()
+        if self.overwrite:
+            existing = {
+                f
+                for f in os.listdir(self.path)
+                if f.endswith(".jsonl.gz") and not f.startswith(".")
+            }
+        published = set()
+        for m in messages:
+            if m and m.staged:
+                os.replace(
+                    os.path.join(self.path, m.staged),
+                    os.path.join(self.path, m.filename),
+                )
+                published.add(m.filename)
+        if self.overwrite:
+            for f in existing - published:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
 
     def abort(self, messages):
         for m in messages:
-            if m and m.filename:
+            if m and m.staged:
                 try:
-                    os.remove(os.path.join(self.path, m.filename))
+                    os.remove(os.path.join(self.path, m.staged))
                 except OSError:
                     pass
 
@@ -258,44 +419,70 @@ class JsonlShardsStreamReader(DataSourceStreamReader):
     """Incremental tail of a shard directory — the custom STREAMING
     source half of the connector (q170), on the PARTITION-based
     ``DataSourceStreamReader`` (not the driver-side Simple variant):
-    the offset is the position in the sorted listing already
-    consumed, ``partitions(start, end)`` maps each newly landed shard
-    to one InputPartition, and ``read`` decodes it ON EXECUTORS —
-    file streaming-source semantics (binaryFile's discipline) with
-    the same distributed decode shape as the batch reader. Offsets
-    only grow (shards are never renamed or deleted mid-stream), so
-    replay between checkpointed offsets is exact."""
+    the offset is the CONTENT-BASED set of shard names already
+    consumed (``{"names": [...]}``), ``partitions(start, end)`` maps
+    each name in ``end - start`` to one InputPartition, and ``read``
+    decodes it ON EXECUTORS through the same Arrow-batch path as the
+    batch reader — file streaming-source semantics (binaryFile's
+    discipline) with the same distributed decode shape. A name-SET
+    offset (not a listing position) makes replay exact even when a
+    straggler shard lands mid-stream sorting BEFORE already-consumed
+    names: it simply appears in the next ``end - start`` diff instead
+    of being silently skipped. The offset grows with the shard count —
+    the same trade Spark's own FileStreamSource makes with its
+    seen-files log; at very high shard counts, compact upstream or
+    date-partition the directory."""
 
     def __init__(self, schema: StructType, options: dict):
-        self.fields = [f.name for f in schema.fields]
+        self.spark_schema = schema
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_shards requires a path option")
+        self.permissive = _parse_mode(options)
 
     def _shards(self) -> list[str]:
         return sorted(
-            f for f in os.listdir(self.path) if f.endswith(".jsonl.gz")
+            f
+            for f in os.listdir(self.path)
+            if f.endswith(".jsonl.gz") and not f.startswith(".")
         )
 
+    @staticmethod
+    def _names(offset: dict) -> list[str]:
+        if "names" in offset:
+            return offset["names"]
+        if "pos" in offset:
+            # pre-round-11 checkpoints stored a listing POSITION, which
+            # is not replay-safe (a shard landing mid-stream shifts the
+            # slice) — fail loudly instead of silently re-reading
+            raise ValueError(
+                "legacy positional jsonl_shards offset; restart the "
+                "stream from a fresh checkpoint"
+            )
+        return []
+
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"names": []}
 
     def latestOffset(self) -> dict:
-        return {"pos": len(self._shards())}
+        return {"names": self._shards()}
 
     def partitions(self, start: dict, end: dict):
-        names = self._shards()[start["pos"] : end["pos"]]
+        done = set(self._names(start))
+        new = [n for n in self._names(end) if n not in done]
         return [
-            _ShardPartition(os.path.join(self.path, n)) for n in names
-        ] or [_ShardPartition("")]
+            _ShardPartition(os.path.join(self.path, n), self.permissive)
+            for n in new
+        ] or [_ShardPartition("", self.permissive)]
 
     def read(self, partition: _ShardPartition):
         if not partition.path:
             return
-        with gzip.open(partition.path, "rt", encoding="utf-8") as f:
-            for line in f:
-                rec = json.loads(line)
-                yield tuple(rec.get(c) for c in self.fields)
+        yield from _decode_shard_batches(
+            partition.path,
+            self.spark_schema,
+            permissive=partition.permissive,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up; shards remain the batch source

@@ -56,6 +56,13 @@ EXECUTE = {
     "q167_stream_media_quarantine",
     "q169_python_datasource",
     "q170_stream_python_datasource",
+    # round-11: the portable fitted-state twins run the broadcast-model
+    # Arrow mapInPandas paths (pandas boundary), and q174 executes the
+    # connector's permissive decode on executors
+    "q171_nb_classify_portable",
+    "q172_nb_proba_portable",
+    "q173_pca_transform_portable",
+    "q174_pyds_permissive_scan",
 }
 
 

@@ -136,9 +136,9 @@ def test_bmp_roundtrip_gray_and_rgb_and_topdown():
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         bad = bytearray(encode_bmp(rgb))
-        # 16-bpp RGB555 (1/4/8-bpp palette and 24/32-bpp all decode
-        # builtin as of round 10)
-        bad[28:30] = struct.pack("<H", 16)
+        # BI_JPEG (embedded codec) is the remaining pointed rejection
+        # (16-bpp and BITFIELDS decode builtin as of round 11)
+        bad[30:34] = struct.pack("<I", 4)
         decode_bmp(bytes(bad))
 
 
@@ -999,10 +999,15 @@ def test_bmp_core_header_and_subbyte_and_32bpp():
     back = decode_bmp(hdr + info + bgrx.tobytes())
     assert np.array_equal(back, rgb)
 
-    # RLE4 stays a pointed rejection
+    # RLE4 decodes builtin as of round 11: an all-zero pixel stream has
+    # no EOB, but every painted pixel is index 0 -> a solid pal[0] image
     info = struct.pack("<IiiHHIIiiII", 40, 5, 6, 1, 4, 2, 0, 0, 0, 16, 0)
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_bmp(struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + 64) + info + b"\x00" * 64)
+    back = decode_bmp(
+        struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + 64) + info + b"\x00" * 64
+    )
+    # the 64 zero bytes are the (all-black) palette; there is no pixel
+    # stream, so every painted pixel is palette index 0 -> solid black
+    assert back.shape == (6, 5, 3) and not back.any()
 
 
 def test_bmp_subbyte_pillow_interop():
@@ -1017,3 +1022,155 @@ def test_bmp_subbyte_pillow_interop():
     back = decode_bmp(buf.getvalue())
     assert back.shape == (10, 13, 3)
     assert np.array_equal(back[..., 0] > 0, bits > 0)
+
+
+def test_bmp_rle4_palette():
+    """Hand-assembled BI_RLE4 (round 11 — the last BMP compression):
+    encoded runs alternate the value byte's nibbles, absolute mode
+    packs nibbles MSB-first word-aligned, escapes shared with RLE8."""
+    w, h = 9, 3
+    pal = np.zeros((16, 3), np.uint8)
+    pal[:, 0] = np.arange(16) * 17  # distinct reds
+    pal_bgra = np.zeros((16, 4), np.uint8)
+    pal_bgra[:, :3] = pal[:, ::-1]
+
+    def bmp(pixels):
+        pixel_off = 14 + 40 + 16 * 4
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(pixels),
+            2835, 2835, 16, 0,
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(pixels), 0, 0, pixel_off)
+        return hdr + info + pal_bgra.tobytes() + pixels
+
+    # bottom row: run of 5 alternating (0xA, 0x3), absolute 3 nibbles
+    # [1, 2, 3] (2 bytes packed, padded to word), 1 more pixel run
+    rle = bytearray()
+    rle += bytes([5, 0xA3])                       # A 3 A 3 A
+    rle += bytes([0, 3, 0x12, 0x30])              # absolute: 1 2 3 (+pad)
+    rle += bytes([1, 0x77])                       # 7
+    rle += b"\x00\x00"                            # EOL
+    rle += bytes([2, 0x4B]) + b"\x00\x02" + bytes([2, 1]) + bytes([1, 0xF0])
+    rle += b"\x00\x01"                            # EOB
+    back = decode_bmp(bmp(bytes(rle)))
+    expect = np.zeros((h, w), np.uint8)
+    expect[2, :5] = [0xA, 0x3, 0xA, 0x3, 0xA]
+    expect[2, 5:8] = [1, 2, 3]
+    expect[2, 8] = 7
+    expect[1, 0:2] = [4, 0xB]   # middle row starts with run of 2
+    expect[0, 4] = 0xF          # after delta dx=2, dy=1
+    assert back.shape == (h, w, 3)
+    assert np.array_equal(back, pal[expect])
+    # truncated absolute run is a pointed error, not an escape
+    with pytest.raises(ValueError):
+        decode_bmp(bmp(bytes([0, 9, 0x12])))
+
+
+def test_bmp_16bpp_rgb555_and_bitfields_565():
+    """16-bpp plain (implicit RGB555) and BI_BITFIELDS RGB565 decode
+    through the channel masks with the exact v*255//max expansion."""
+    w, h = 3, 2
+    # pixels chosen to hit min/max/mid of each channel
+    r5 = np.array([[31, 0, 16], [7, 31, 0]], np.uint16)
+    g5 = np.array([[0, 31, 8], [15, 0, 31]], np.uint16)
+    b5 = np.array([[16, 7, 0], [31, 15, 31]], np.uint16)
+    pix555 = (r5 << 10) | (g5 << 5) | b5
+
+    def bmp(bpp, compression, pixels, masks=b""):
+        pixel_off = 14 + 40 + len(masks)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(pixels),
+            2835, 2835, 0, 0,
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(pixels), 0, 0, pixel_off)
+        return hdr + info + masks + pixels
+
+    stride = ((w * 16 + 31) // 32) * 4
+    rows = b"".join(
+        pix555[y].astype("<u2").tobytes().ljust(stride, b"\x00")
+        for y in range(h - 1, -1, -1)
+    )
+    back = decode_bmp(bmp(16, 0, rows))
+    exp = np.stack(
+        [(c * 255 // 31).astype(np.uint8) for c in (r5, g5, b5)], axis=-1
+    )
+    assert np.array_equal(back, exp)
+
+    # BI_BITFIELDS RGB565: green gets 6 bits
+    g6 = g5 * 2 + (g5 > 15)
+    pix565 = (r5 << 11) | (g6.astype(np.uint16) << 5) | b5
+    rows565 = b"".join(
+        pix565[y].astype("<u2").tobytes().ljust(stride, b"\x00")
+        for y in range(h - 1, -1, -1)
+    )
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    back = decode_bmp(bmp(16, 3, rows565, masks))
+    exp565 = np.stack(
+        [
+            (r5 * 255 // 31).astype(np.uint8),
+            (g6 * 255 // 63).astype(np.uint8),
+            (b5 * 255 // 31).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    assert np.array_equal(back, exp565)
+    # a zero mask is a pointed error
+    bad = struct.pack("<III", 0, 0x07E0, 0x001F)
+    with pytest.raises(ValueError):
+        decode_bmp(bmp(16, 3, rows565, bad))
+
+
+def test_bmp_32bpp_bitfields():
+    """BI_BITFIELDS 32-bpp with the canonical BGRA8888 masks."""
+    w, h = 2, 2
+    rgb = np.array(
+        [[[255, 0, 128], [0, 255, 64]], [[1, 2, 3], [250, 251, 252]]],
+        np.uint8,
+    )
+    pix = (
+        rgb[:, :, 0].astype(np.uint32) << 16
+    ) | (rgb[:, :, 1].astype(np.uint32) << 8) | rgb[:, :, 2].astype(np.uint32)
+    rows = b"".join(
+        pix[y].astype("<u4").tobytes() for y in range(h - 1, -1, -1)
+    )
+    masks = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    pixel_off = 14 + 40 + 12
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(rows), 2835, 2835, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(rows), 0, 0, pixel_off)
+    back = decode_bmp(hdr + info + masks + rows)
+    assert np.array_equal(back, rgb)
+
+
+def test_bmp_16bpp_pillow_interop():
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(93)
+    rgb = rng.integers(0, 256, (6, 11, 3)).astype(np.uint8)
+    img = Image.fromarray(rgb).convert("BGR;15") if hasattr(Image, "nothing") else None
+    # Pillow's 16-bpp BMP save path varies by version; assemble via
+    # its own decoder instead: OUR encoder has no 16-bpp writer, so
+    # round-trip through Pillow reading OUR RGB555 bytes
+    r5 = (rgb[:, :, 0] >> 3).astype(np.uint16)
+    g5 = (rgb[:, :, 1] >> 3).astype(np.uint16)
+    b5 = (rgb[:, :, 2] >> 3).astype(np.uint16)
+    pix = (r5 << 10) | (g5 << 5) | b5
+    h, w = pix.shape
+    stride = ((w * 16 + 31) // 32) * 4
+    rows = b"".join(
+        pix[y].astype("<u2").tobytes().ljust(stride, b"\x00")
+        for y in range(h - 1, -1, -1)
+    )
+    pixel_off = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 0, len(rows), 2835, 2835, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(rows), 0, 0, pixel_off)
+    blob = hdr + info + rows
+    ours = decode_bmp(blob)
+    theirs = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    # Pillow expands 5-bit channels with bit replication (v<<3 | v>>2),
+    # we use exact v*255//31 — identical results for 5-bit inputs
+    assert np.array_equal(ours, theirs)

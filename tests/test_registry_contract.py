@@ -61,3 +61,73 @@ def test_every_query_has_doc():
 # dies on unhashable cells) is asserted inside
 # tests/test_plan_sweep.py::test_no_cartesian_products_or_nested_outputs_anywhere,
 # sharing that test's single (expensive) all-builders pass.
+
+
+# ---------------------------------------------------------------------------
+# Media error-mode rule (VERDICT r10 next #7): "strict for
+# engine-written assets, quarantine for foreign bytes" — machine-
+# checked. Every query whose body scans bytes via binaryFile must
+# DECLARE its mode (media_error_mode on the registry entry) and
+# justify it in the doc; a declaration on a non-media query is noise
+# and fails too.
+# ---------------------------------------------------------------------------
+
+import inspect
+
+
+def _undec_body(fn) -> str:
+    """Source of the function body only — the decorator call (whose
+    doc string may legitimately mention binaryFile) is cut off."""
+    src = inspect.getsource(fn)
+    return src[src.index("\ndef "):] if "\ndef " in src else src
+
+
+def test_binaryfile_queries_declare_error_mode():
+    reg = load_all_queries()
+    undeclared, spurious, unjustified = [], [], []
+    for name, spec in reg.items():
+        scans_media = "binaryFile" in _undec_body(spec.fn)
+        if scans_media and spec.media_error_mode is None:
+            undeclared.append(name)
+        if not scans_media and spec.media_error_mode is not None:
+            spurious.append(name)
+        if scans_media and spec.media_error_mode is not None:
+            # the doc must say which posture and carry the rationale
+            # vocabulary (strict/raise for engine-written assets,
+            # quarantine/NULL-and-survive for foreign bytes)
+            doc = spec.doc.lower()
+            wants = (
+                ("quarantine",)
+                if spec.media_error_mode == "quarantine"
+                else ("strict", "raise", "engine-written")
+            )
+            if not any(w in doc for w in wants):
+                unjustified.append(name)
+    assert not undeclared, (
+        f"binaryFile-scanning queries without a declared "
+        f"media_error_mode: {undeclared}"
+    )
+    assert not spurious, (
+        f"media_error_mode declared on queries that never scan media "
+        f"bytes: {spurious}"
+    )
+    assert not unjustified, (
+        f"declared mode not justified in the query doc: {unjustified}"
+    )
+
+
+def test_known_media_surface():
+    """The declared media surface is exactly the known 8 — a new
+    binaryFile query extends this list consciously, with its mode."""
+    reg = load_all_queries()
+    declared = {n: s.media_error_mode for n, s in reg.items() if s.media_error_mode}
+    assert declared == {
+        "q152_binaryfile_source": "strict",
+        "q161_image_decode_features": "strict",
+        "q162_audio_decode_features": "strict",
+        "q163_jpeg_decode_fidelity": "strict",
+        "q164_gif_decode_features": "strict",
+        "q165_video_decode_fidelity": "strict",
+        "q166_media_quarantine": "quarantine",
+        "q167_stream_media_quarantine": "quarantine",
+    }

@@ -179,6 +179,62 @@ def fuzz_tiff(n_cases: int, rng) -> list[str]:
     return failures
 
 
+def fuzz_pyds(n_cases: int, rng) -> list[str]:
+    """The connector's shard decode (sources/pyds.py) carries the same
+    totality contract as the codecs: strict mode may raise ValueError
+    ONLY; permissive mode must NEVER raise and must keep every
+    decodable row (q174's posture). Corrupt a valid engine-written
+    shard every way the codec axis does."""
+    import gzip
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sklearn_raster_spark.sources.pyds import _decode_shard_batches
+
+    # built by hand: fromDDL needs a live SparkContext, this tool doesn't
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    lines = "".join(
+        json.dumps(
+            {"doc_id": i, "text": f"doc {i} héllo", "lang": "en",
+             "source": "web", "n_chars": i * 3},
+            ensure_ascii=False,
+        ) + "\n"
+        for i in range(200)
+    )
+    blob = gzip.compress(lines.encode("utf-8"))
+    failures = []
+    with tempfile.TemporaryDirectory() as td:
+        bad = os.path.join(td, "part-0-x.0-199.jsonl.gz")
+        for case in range(n_cases):
+            mutated = corrupt(blob, rng)
+            with open(bad, "wb") as f:
+                f.write(mutated)
+            try:
+                list(_decode_shard_batches(bad, schema, permissive=False))
+            except ValueError:
+                pass
+            except BaseException as exc:
+                failures.append(
+                    f"pyds-strict case {case}: {type(exc).__name__}: {exc}"
+                )
+            try:
+                list(_decode_shard_batches(bad, schema, permissive=True))
+            except BaseException as exc:
+                failures.append(
+                    f"pyds-permissive case {case}: {type(exc).__name__}: {exc}"
+                )
+    return failures
+
+
 def main() -> int:
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -204,12 +260,16 @@ def main() -> int:
     print(f"tiff: {n_cases - len(tiff_failures)} within contract, "
           f"{len(tiff_failures)} VIOLATIONS")
     failures.extend(tiff_failures)
+    pyds_failures = fuzz_pyds(n_cases, rng)
+    print(f"pyds: {n_cases - len(pyds_failures)} within contract, "
+          f"{len(pyds_failures)} VIOLATIONS")
+    failures.extend(pyds_failures)
     if failures:
         print(f"\n{len(failures)} CONTRACT VIOLATIONS (seed={seed}):")
         for f in failures[:40]:
             print(" ", f)
         return 1
-    print(f"\ncontract holds: {len(assets) + 1} codecs x {n_cases} cases, seed={seed}")
+    print(f"\ncontract holds: {len(assets) + 2} codecs x {n_cases} cases, seed={seed}")
     return 0
 
 
