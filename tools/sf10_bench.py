@@ -46,6 +46,8 @@ TOP = [
 def main() -> int:
     sf10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale/sf10"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_SF10.json")
+    # optional explicit query subset (resume after a capped outlier)
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else TOP
     if not os.path.exists(os.path.join(sf10, "embeddings.parquet")):
         print(f"deriving sf10 at {sf10} (mult=100 over sf0.1)...", flush=True)
         subprocess.run(
@@ -63,7 +65,7 @@ def main() -> int:
     )
     registry = load_all_queries()
     timings: dict[str, float] = {}
-    for name in TOP:
+    for name in queries:
         spec = registry[name]
         t0 = time.monotonic()
         df = spec.fn(spark, sf10)
