@@ -250,3 +250,196 @@ def q119_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").alias("partkey"),
         F.col("rec.rating").cast("double").alias("score"),
     )
+
+
+# --- ALS at scale: ANN scoring over the item-factor table (round 11) ---
+#
+# The sf10 decade (SCALE.md, BENCH_SF10.json) measured q119's
+# exhaustive recommendForAllUsers at 59.7x for 10x data — users and
+# items both scale, so the users x items blocked GEMM grows ~100x.
+# q175 is the production-scale fix the repo's ANN machinery already
+# argued for: coarse-quantize the ITEM factors (IVF, the q69 pattern),
+# probe each user's top cells, and run the exact dot-product scoring
+# only inside (user-block, probed-cell) pairs via a cogrouped pandas
+# GEMM — candidates never materialize as rows, flops drop by
+# ~cells/probes, and the stage is ~linear in users at fixed cell
+# occupancy. Recall@3 vs the exhaustive q119 output is pytest-pinned
+# (tests/test_als_ann.py).
+
+ALS_ANN_CELLS = 256
+ALS_ANN_PROBES = 8
+_ALS_FIT_CAP = 10_000
+_ALS_GEMM_CHUNK = 2048
+
+
+def _als_model(spark: SparkSession, sf_dir: str):
+    from pyspark.ml.recommendation import ALS
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    return als.fit(ratings)
+
+
+@query(
+    "q175_als_ann_recommendations",
+    doc="ALS top-3 recommendations through IVF-ANN scoring instead of "
+        "the exhaustive users x items GEMM (the q119 scale fix, "
+        "measured: SCALE.md sf1->sf10): k-means centroids driver-fit "
+        "on a capped item-factor sample (the q69 coarse-quantizer "
+        "pattern) and broadcast; items assign to their nearest cell "
+        "and users to their top-8 cells by factor dot product (Arrow "
+        "mapInPandas, one pass each); a groupBy(cell).cogroup pandas "
+        "kernel then scores each (user-block, cell) pair as a chunked "
+        "numpy GEMM emitting per-cell top-3 partials — candidate rows "
+        "never materialize, work drops ~cells/probes = 32x, and the "
+        "stage is ~linear in users at fixed cell occupancy. A final "
+        "window keeps the global top-3. Rows-only (ALS factors are "
+        "fitted float state); recall@3 vs exhaustive q119 is "
+        "pytest-pinned.",
+)
+def q175_als_ann_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from sklearn_raster_spark.estimators import KMeansNP
+
+    model = _als_model(spark, sf_dir)
+    item_f = model.itemFactors  # (id int, features array<float>)
+    user_f = model.userFactors
+
+    # 1. coarse quantizer: driver-fit on a deterministic capped sample.
+    # Hash-ordered, NOT id-ordered: an id-prefix sample is not
+    # representative of the factor distribution (measured on the
+    # derived sf1: centroids fit on the id prefix left ONE cell holding
+    # 80% of all items — no pruning, no parallelism; the hash-ordered
+    # sample balances cells to ~2x the mean and makes top-3 probe
+    # recall ~1.0 at P=8)
+    sample = (
+        item_f.orderBy(F.xxhash64("id"), "id").limit(_ALS_FIT_CAP).toPandas()
+    )
+    X = np.array(sample["features"].tolist(), dtype=np.float64)
+    n_cells = min(ALS_ANN_CELLS, max(1, len(X) // 4))
+    km = KMeansNP(n_clusters=n_cells, n_iter=20, seed=42).fit(X)
+    C = km.cluster_centers_.astype(np.float32)  # (cells, rank), broadcast
+    n_probe = min(ALS_ANN_PROBES, n_cells)
+
+    def assign_items(it):
+        for pdf in it:
+            V = np.array(pdf["features"].tolist(), dtype=np.float32)
+            # nearest centroid, euclidean (||v-c||^2 = ||v||^2 - 2vc + ||c||^2)
+            d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+            yield pd.DataFrame(
+                {"item": pdf["id"], "cell": d.argmin(1), "vf": pdf["features"]}
+            )
+
+    def probe_users(it):
+        for pdf in it:
+            U = np.array(pdf["features"].tolist(), dtype=np.float32)
+            s = U @ C.T  # implicit-ALS scores are dot products
+            top = np.argpartition(-s, n_probe - 1, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "user": pdf["id"].values.repeat(n_probe),
+                    "cell": top.ravel(),
+                    "uf": pdf["features"].values.repeat(n_probe),
+                }
+            )
+
+    kernel_schema = "item int, cell int, vf array<float>"
+    items = item_f.mapInPandas(assign_items, schema=kernel_schema).persist()
+    users = user_f.mapInPandas(
+        probe_users, schema="user int, cell int, uf array<float>"
+    )
+
+    # 2b. LIST BALANCING (the FAISS IVF discipline): implicit-ALS item
+    # factors pile up near the origin, so one k-means cell can hold a
+    # large share of the items — cogrouped as ONE task that cell would
+    # serialize most of the GEMM (measured: a 13x straggler at sf1).
+    # Split every oversized cell into hash sub-cells of bounded size;
+    # users probing a split cell probe ALL its sub-cells, so the
+    # candidate set (and recall) is unchanged — only the parallelism
+    # changes. The split map is |cells|-sized: broadcast-joined.
+    counts = {r["cell"]: r["n"] for r in items.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tgt = max(512, 2 * max(1, sum(counts.values())) // max(1, len(counts)))
+    splits = [(int(c), int(-(-n // tgt))) for c, n in counts.items()]
+    split_df = F.broadcast(
+        spark.createDataFrame(splits, "cell int, n_sub int")
+    )
+    items = (
+        items.join(split_df, "cell")
+        .withColumn(
+            "ck",
+            F.col("cell") * 4096 + F.pmod(F.xxhash64("item"), F.col("n_sub")).cast("int"),
+        )
+    )
+    users = (
+        users.join(split_df, "cell")
+        .withColumn("sub", F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1)))
+        .withColumn("ck", F.col("cell") * 4096 + F.col("sub"))
+    )
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # one (user-block, cell) GEMM; chunked so the score matrix
+        # stays bounded regardless of cell occupancy
+        if left.empty or right.empty:
+            return pd.DataFrame({"user": [], "item": [], "score": []}).astype(
+                {"user": "int32", "item": "int32", "score": "float64"}
+            )
+        U = np.array(left["uf"].tolist(), dtype=np.float32)
+        uid = left["user"].to_numpy()
+        V = np.array(right["vf"].tolist(), dtype=np.float32).T  # rank x items
+        iid = right["item"].to_numpy()
+        k = min(3, V.shape[1])
+        out = []
+        for s in range(0, len(uid), _ALS_GEMM_CHUNK):
+            S = U[s : s + _ALS_GEMM_CHUNK] @ V
+            idx = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            rows = np.repeat(uid[s : s + _ALS_GEMM_CHUNK], k)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user": rows.astype(np.int32),
+                        "item": iid[idx.ravel()].astype(np.int32),
+                        "score": np.take_along_axis(S, idx, 1).ravel().astype(np.float64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = (
+        users.select("ck", "user", "uf")
+        .groupBy("ck")
+        .cogroup(items.select("ck", "item", "vf").groupBy("ck"))
+        .applyInPandas(score_cell, schema="user int, item int, score double")
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+    return (
+        partials.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= 3)
+        .select(
+            F.col("user").alias("custkey"),
+            "rec_rank",
+            F.col("item").alias("partkey"),
+            "score",
+        )
+    )

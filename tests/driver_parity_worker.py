@@ -63,6 +63,8 @@ EXECUTE = {
     "q172_nb_proba_portable",
     "q173_pca_transform_portable",
     "q174_pyds_permissive_scan",
+    # ALS-ANN: toPandas fit sample + mapInPandas + cogrouped GEMM
+    "q175_als_ann_recommendations",
 }
 
 
