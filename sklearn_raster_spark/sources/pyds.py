@@ -23,7 +23,19 @@ module exercises every piece of the API that matters at 100 TB:
   mode removes the pre-commit shard set after publishing, so
   ``mode("overwrite")`` actually replaces (it used to silently
   append). The directory must be driver-visible shared storage —
-  the same contract the materializer enforces.
+  the same contract the materializer enforces. An overwrite commit
+  also publishes ``_manifest.json`` naming the live shard set
+  ATOMICALLY (temp + rename), and readers prefer the manifest over a
+  directory listing when one exists: a reader planning mid-commit
+  sees the OLD generation's names or the NEW generation's names,
+  never a mix of both (the listing alone cannot promise that — new
+  shards appear before old ones are removed). Append commits keep an
+  existing manifest up to date; directories never touched by
+  overwrite have no manifest and read from the listing as before.
+  Deleted-underneath remains possible (a reader holding the old
+  generation's names races the old files' removal) — strict mode
+  turns that into a pointed ValueError, permissive skips the
+  vanished shard.
 - **Reader** (``JsonlShardsReader``): one InputPartition per shard.
   ``pushFilters`` accepts doc_id comparisons (=, <, <=, >, >=) and
   IsNotNull; ``partitions()`` drops every shard whose embedded
@@ -44,7 +56,14 @@ module exercises every piece of the API that matters at 100 TB:
   quarantines itself instead of failing the job (the byte-level
   analog of ``extract_image_features_safe``, multimodal.py). Lines
   are read through a 16 MiB plausibility bound so a gzip bomb cannot
-  allocate unbounded memory for a single "line".
+  allocate unbounded memory for a single "line". Type validation is
+  RANGE-aware: a JSON integer outside the target column's int width
+  (or too large for a finite double) is type-invalid like a wrong
+  Python type — valid JSON with a 2**70 doc_id must not reach Arrow
+  and detonate the whole 8192-row batch. A from_pydict safety net
+  backstops anything the row checks miss: strict re-raises as the
+  contract's pointed ValueError, permissive locates and drops the
+  offending rows (paying a per-row rebuild only on a corrupt batch).
 
 Values survive the JSON round trip exactly: doc_id/n_chars are
 integers, text/lang/source are strings (json.dumps with
@@ -106,6 +125,31 @@ _JSON_TYPES = {
     "float": (int, float), "double": (int, float),
     "boolean": bool, "string": str,
 }
+
+# value bounds per int width: Python ints are unbounded, Arrow columns
+# are not — an in-type but out-of-range value (doc_id: 2**70) is as
+# type-invalid as a string there, and must be rejected per-row, not
+# left to blow up the whole batch at from_pydict (OverflowError)
+_INT_BITS = {"tinyint": 7, "smallint": 15, "int": 31, "bigint": 63}
+# fast-path bound for ints headed into float columns: anything inside
+# +/-2**1020 converts to a finite double; only the astronomical tail
+# pays the exact float() probe
+_F64_SAFE = 1 << 1020
+
+
+def _int_range_ok(v: int, kind) -> bool:
+    """True when the (non-bool) int ``v`` fits the target column.
+    ``kind`` is a bit width for int columns or "f" for float/double."""
+    if kind != "f":
+        b = 1 << kind
+        return -b <= v < b
+    if -_F64_SAFE <= v <= _F64_SAFE:
+        return True
+    try:
+        float(v)
+        return True
+    except OverflowError:
+        return False
 
 
 @dataclass
@@ -175,10 +219,60 @@ def _decode_shard_batches(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     fields = [f.name for f in schema.fields]
-    checks = [(f.name, _JSON_TYPES.get(f.dataType.simpleString())) for f in schema.fields]
+    checks = []
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        rng = _INT_BITS.get(t, "f" if t in ("float", "double") else None)
+        checks.append((f.name, _JSON_TYPES.get(t), rng))
     # explicit Arrow schema: from_pydict would infer `null` type for
     # an all-None column and fail Spark's schema check
     pa_schema = to_arrow_schema(schema)
+
+    def row_type_ok(rec: dict) -> bool:
+        for name, ok_types, rng in checks:
+            v = rec.get(name)
+            if v is None or ok_types is None:
+                continue
+            if not isinstance(v, ok_types):
+                return False
+            # range check only for plain ints headed into a bounded
+            # column (bools are 0/1 and always fit)
+            if rng is not None and type(v) is int and not _int_range_ok(v, rng):
+                return False
+        return True
+
+    def emit(cols_dict):
+        """Build one RecordBatch under the module's error contract.
+        The row checks above should have rejected everything Arrow
+        cannot hold; if a value slips through anyway, strict re-raises
+        as the contract's pointed ValueError and permissive pays a
+        per-row rebuild to drop exactly the poison rows (None when
+        nothing survives)."""
+        try:
+            return pa.RecordBatch.from_pydict(cols_dict, schema=pa_schema)
+        except (ValueError, TypeError, OverflowError) as e:
+            # pa.ArrowInvalid is a ValueError, pa.ArrowTypeError a
+            # TypeError; OverflowError covers out-of-range numerics
+            if not permissive:
+                raise ValueError(
+                    f"type-invalid record in shard {path!r}: {e}"
+                ) from e
+            survivors: dict[str, list] = {c: [] for c in fields}
+            n_rows = len(next(iter(cols_dict.values()))) if cols_dict else 0
+            for i in range(n_rows):
+                one = {c: [cols_dict[c][i]] for c in fields}
+                try:
+                    pa.RecordBatch.from_pydict(one, schema=pa_schema)
+                except (ValueError, TypeError, OverflowError):
+                    continue
+                for c in fields:
+                    survivors[c].append(cols_dict[c][i])
+            if not survivors[fields[0]]:
+                return None
+            try:
+                return pa.RecordBatch.from_pydict(survivors, schema=pa_schema)
+            except (ValueError, TypeError, OverflowError):
+                return None  # cross-row poison: drop the batch, keep the stream
     cols: dict[str, list] = {c: [] for c in fields}
     n = 0
     lines = _bounded_lines(path)
@@ -187,6 +281,15 @@ def _decode_shard_batches(
             raw = next(lines)
         except StopIteration:
             break
+        except FileNotFoundError as e:
+            # a manifest-listed shard deleted underneath the reader
+            # (concurrent overwrite finishing its old-generation sweep)
+            if permissive:
+                break
+            raise ValueError(
+                f"shard {path!r} vanished mid-read (concurrent "
+                f"overwrite?): {e}"
+            ) from e
         except (EOFError, OSError, zlib.error) as e:
             # truncated gzip / bad header / corrupt deflate: everything
             # already decoded stays; the rest of the shard is gone
@@ -212,15 +315,10 @@ def _decode_shard_batches(
             if permissive:
                 continue
             raise ValueError(f"non-object json line in shard {path!r}")
-        bad_type = False
-        for name, ok_types in checks:
-            v = rec.get(name)
-            if v is not None and ok_types is not None and not isinstance(v, ok_types):
-                bad_type = True
-                break
-        if bad_type:
-            # a type-invalid value would poison the whole Arrow batch
-            # (ArrowInvalid at from_pydict) — reject it per-row instead
+        if not row_type_ok(rec):
+            # a type-invalid (wrong type OR out-of-range) value would
+            # poison the whole Arrow batch at from_pydict — reject it
+            # per-row instead
             if permissive:
                 continue
             raise ValueError(f"type-invalid record in shard {path!r}")
@@ -230,11 +328,56 @@ def _decode_shard_batches(
             cols[c].append(rec.get(c))
         n += 1
         if n == batch_rows:
-            yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+            batch = emit(cols)
+            if batch is not None:
+                yield batch
             cols = {c: [] for c in fields}
             n = 0
     if n:
-        yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+        batch = emit(cols)
+        if batch is not None:
+            yield batch
+
+
+_MANIFEST = "_manifest.json"
+
+
+def _manifest_names(path: str) -> list[str] | None:
+    """The live shard names per ``_manifest.json``, or None when the
+    directory is not manifest-managed (never overwritten). An
+    unreadable manifest falls back to the listing — the manifest is a
+    consistency upgrade, not a new failure mode."""
+    try:
+        with open(os.path.join(path, _MANIFEST), encoding="utf-8") as f:
+            names = json.load(f)["shards"]
+        return sorted(n for n in names if isinstance(n, str))
+    except FileNotFoundError:
+        return None
+    except (OSError, ValueError, TypeError, KeyError):
+        return None
+
+
+def _live_shard_names(path: str) -> list[str]:
+    """One generation's shard names: the manifest when present (a
+    mid-commit reader sees old-or-new, never both), else the sorted
+    directory listing."""
+    names = _manifest_names(path)
+    if names is not None:
+        return names
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".jsonl.gz") and not f.startswith(".")
+    )
+
+
+def _write_manifest(path: str, names) -> None:
+    """Atomic manifest swap: temp file + os.replace, so a concurrent
+    reader sees the previous generation or the new one in full."""
+    tmp = os.path.join(path, f".manifest-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"shards": sorted(names)}, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
 def _parse_mode(options: dict) -> bool:
@@ -293,11 +436,9 @@ class JsonlShardsReader(DataSourceReader):
         return True
 
     def partitions(self):
-        shards = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.endswith(".jsonl.gz") and not f.startswith(".")
-        )
+        shards = [
+            os.path.join(self.path, f) for f in _live_shard_names(self.path)
+        ]
         kept = []
         for s in shards:
             rng = _shard_range(s)
@@ -381,30 +522,46 @@ class JsonlShardsWriter(DataSourceWriter):
         return _ShardCommit(staged, final)
 
     def commit(self, messages):
-        # overwrite replaces the PRE-COMMIT shard set: capture it first,
-        # publish the new shards (fresh uuids never collide), then drop
-        # the old set — readers see old-or-new, never a mix for long
-        existing = set()
-        if self.overwrite:
-            existing = {
+        # overwrite replaces the PRE-COMMIT shard set: capture it first
+        # (manifest generation if the dir is manifest-managed, listing
+        # otherwise), publish the new shards (fresh uuids never
+        # collide), SWAP the manifest atomically so readers flip from
+        # the old generation's names to the new in one rename, then
+        # drop the old files — a reader that already planned from the
+        # old manifest races only the removal (pointed error / skip,
+        # see module docstring), never a mixed generation
+        prior = _manifest_names(self.path)
+        existing = set(
+            prior
+            if prior is not None
+            else (
                 f
                 for f in os.listdir(self.path)
                 if f.endswith(".jsonl.gz") and not f.startswith(".")
-            }
+            )
+        )
         published = set()
         for m in messages:
             if m and m.staged:
-                os.replace(
-                    os.path.join(self.path, m.staged),
-                    os.path.join(self.path, m.filename),
-                )
+                dst = os.path.join(self.path, m.filename)
+                os.replace(os.path.join(self.path, m.staged), dst)
+                # publication time, not staging time: the stream
+                # reader's mtime watermark assumes a shard's mtime is
+                # when it became VISIBLE (os.replace would keep the
+                # staged file's older write time)
+                os.utime(dst)
                 published.add(m.filename)
         if self.overwrite:
+            _write_manifest(self.path, published)
             for f in existing - published:
                 try:
                     os.remove(os.path.join(self.path, f))
                 except OSError:
                     pass
+        elif prior is not None:
+            # append into a manifest-managed dir keeps the manifest
+            # authoritative (readers prefer it over the listing)
+            _write_manifest(self.path, existing | published)
 
     def abort(self, messages):
         for m in messages:
@@ -424,14 +581,28 @@ class JsonlShardsStreamReader(DataSourceStreamReader):
     each name in ``end - start`` to one InputPartition, and ``read``
     decodes it ON EXECUTORS through the same Arrow-batch path as the
     batch reader — file streaming-source semantics (binaryFile's
-    discipline) with the same distributed decode shape. A name-SET
-    offset (not a listing position) makes replay exact even when a
-    straggler shard lands mid-stream sorting BEFORE already-consumed
-    names: it simply appears in the next ``end - start`` diff instead
-    of being silently skipped. The offset grows with the shard count —
-    the same trade Spark's own FileStreamSource makes with its
-    seen-files log; at very high shard counts, compact upstream or
-    date-partition the directory."""
+    discipline) with the same distributed decode shape.
+
+    The offset is a COMPACTED consumed-set: ``{"wm": <epoch float>,
+    "frontier": [names]}`` means "every shard whose mtime is older
+    than ``wm`` is consumed, plus the explicitly named frontier".
+    Names play no ordering role (uuids sort randomly), so a straggler
+    shard whose NAME sorts before everything already consumed is
+    still detected exactly — it is simply not in the frontier and not
+    older than the watermark. Shard mtimes are PUBLICATION times (the
+    writer ``os.utime``-s at commit; direct ``gzip.open`` writes get
+    a fresh mtime anyway), so a newly-visible file can never sit
+    below a previously-emitted watermark, which is what keeps a
+    checkpointed offset's meaning stable across replay. The frontier
+    holds only names within ``stream_late_allowance`` seconds
+    (option, default 3600) of the newest shard — O(recent publish
+    rate), not O(total shard count), the compaction Spark's own
+    FileStreamSource does with maxFileAge over its seen-files log.
+    The allowance is the one trade: a file MOVED in with an mtime
+    older than watermark-at-detection is assumed consumed; touch such
+    files (or raise the allowance) when hand-feeding a tailed
+    directory. Round-11 ``{"names": [...]}`` checkpoints load as a
+    pure-frontier offset (wm=0) and compact on the next batch."""
 
     def __init__(self, schema: StructType, options: dict):
         self.spark_schema = schema
@@ -439,18 +610,30 @@ class JsonlShardsStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("jsonl_shards requires a path option")
         self.permissive = _parse_mode(options)
+        self.allowance = float(options.get("stream_late_allowance", 3600.0))
+        if self.allowance < 0:
+            raise ValueError("stream_late_allowance must be >= 0")
 
-    def _shards(self) -> list[str]:
-        return sorted(
-            f
-            for f in os.listdir(self.path)
-            if f.endswith(".jsonl.gz") and not f.startswith(".")
-        )
+    def _shards(self) -> list[tuple[str, float]]:
+        """(name, publication mtime) for every live shard (manifest
+        preferred when present — see _live_shard_names); a name listed
+        but already deleted (overwrite race) is skipped."""
+        out = []
+        for n in _live_shard_names(self.path):
+            try:
+                out.append((n, os.path.getmtime(os.path.join(self.path, n))))
+            except OSError:
+                pass
+        return out
 
     @staticmethod
-    def _names(offset: dict) -> list[str]:
+    def _parse_offset(offset: dict) -> tuple[float, set]:
+        if "wm" in offset or "frontier" in offset:
+            return float(offset.get("wm", 0.0)), set(offset.get("frontier", ()))
         if "names" in offset:
-            return offset["names"]
+            # round-11 format: the full consumed-name set; equivalent
+            # to a frontier-only offset with no watermark
+            return 0.0, set(offset["names"])
         if "pos" in offset:
             # pre-round-11 checkpoints stored a listing POSITION, which
             # is not replay-safe (a shard landing mid-stream shifts the
@@ -459,20 +642,33 @@ class JsonlShardsStreamReader(DataSourceStreamReader):
                 "legacy positional jsonl_shards offset; restart the "
                 "stream from a fresh checkpoint"
             )
-        return []
+        return 0.0, set()
 
     def initialOffset(self) -> dict:
-        return {"names": []}
+        return {"wm": 0.0, "frontier": []}
 
     def latestOffset(self) -> dict:
-        return {"names": self._shards()}
+        shards = self._shards()
+        if not shards:
+            return {"wm": 0.0, "frontier": []}
+        wm = max(mt for _n, mt in shards) - self.allowance
+        return {
+            "wm": wm,
+            "frontier": sorted(n for n, mt in shards if mt >= wm),
+        }
 
     def partitions(self, start: dict, end: dict):
-        done = set(self._names(start))
-        new = [n for n in self._names(end) if n not in done]
+        s_wm, s_front = self._parse_offset(start)
+        e_wm, e_front = self._parse_offset(end)
+        new = []
+        for n, mt in self._shards():
+            in_end = n in e_front or mt < e_wm
+            in_start = n in s_front or mt < s_wm
+            if in_end and not in_start:
+                new.append(n)
         return [
             _ShardPartition(os.path.join(self.path, n), self.permissive)
-            for n in new
+            for n in sorted(new)
         ] or [_ShardPartition("", self.permissive)]
 
     def read(self, partition: _ShardPartition):

@@ -211,11 +211,46 @@ def fuzz_pyds(n_cases: int, rng) -> list[str]:
         for i in range(200)
     )
     blob = gzip.compress(lines.encode("utf-8"))
+
+    def corrupt_structured(rng):
+        """STRUCTURED mutation: valid gzip + valid JSON whose VALUES
+        are hostile (ADVICE r11 — random byte flips essentially never
+        produce well-formed JSON, so the value-domain corruption class
+        needs its own generator): out-of-int64-range ints, huge
+        floats-as-ints, wrong types, nested non-objects, nulls."""
+        poison = [
+            {"doc_id": 99999999999999999999999, "text": "huge", "lang": "en",
+             "source": "w", "n_chars": 1},
+            {"doc_id": -(2**64), "text": "neg", "lang": "en",
+             "source": "w", "n_chars": 1},
+            {"doc_id": 7, "text": "f", "lang": "en", "source": "w",
+             "n_chars": 10**400},
+            {"doc_id": "seven", "text": "s", "lang": "en", "source": "w",
+             "n_chars": 1},
+            {"doc_id": 8, "text": ["not", "a", "str"], "lang": "en",
+             "source": "w", "n_chars": 1},
+            {"doc_id": 2**63, "text": "edge", "lang": "en", "source": "w",
+             "n_chars": 1},
+        ]
+        rows = []
+        for i in range(50):
+            if rng.random() < 0.3:
+                rows.append(json.dumps(rng.choice(poison)))
+            else:
+                rows.append(json.dumps(
+                    {"doc_id": i, "text": "ok", "lang": "en",
+                     "source": "w", "n_chars": i}))
+        return gzip.compress(("\n".join(rows) + "\n").encode("utf-8"))
+
     failures = []
     with tempfile.TemporaryDirectory() as td:
         bad = os.path.join(td, "part-0-x.0-199.jsonl.gz")
         for case in range(n_cases):
-            mutated = corrupt(blob, rng)
+            # alternate byte-level and structured value-domain mutation
+            if case % 2:
+                mutated = corrupt_structured(rng)
+            else:
+                mutated = corrupt(blob, rng)
             with open(bad, "wb") as f:
                 f.write(mutated)
             try:
