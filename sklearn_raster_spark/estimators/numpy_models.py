@@ -307,7 +307,17 @@ class GaussianNBNP:
 
 
 class KMeansNP:
-    """Lloyd's algorithm with deterministic seeding."""
+    """Lloyd's algorithm with deterministic k-means++ seeding.
+
+    The ++ init (first center drawn uniformly, each next with
+    probability proportional to squared distance from the chosen set)
+    matters for the quantizer call sites (q69 IVF, q175 ALS-ANN): on
+    near-orthogonal or clustered data a plain uniform init is a local-
+    optimum roulette — one unlucky draw leaves two true clusters
+    sharing a centroid and recall drops double digits. Deterministic
+    given (seed, sample); still sample-order-sensitive like any seeded
+    draw, which is why callers pin recall floors rather than exact
+    outputs."""
 
     _estimator_type = "clusterer"
 
@@ -316,11 +326,27 @@ class KMeansNP:
         self.n_iter = n_iter
         self.seed = seed
 
+    @staticmethod
+    def _init_pp(X, k, rng):
+        n = X.shape[0]
+        centers = np.empty((k, X.shape[1]), dtype=np.float64)
+        centers[0] = X[rng.integers(n)]
+        # squared distance to the nearest chosen center, updated
+        # incrementally: one (n,) vector per new center, no (n,k) matrix
+        d2 = ((X - centers[0]) ** 2).sum(axis=1)
+        for j in range(1, k):
+            total = d2.sum()
+            if total <= 0:  # all remaining points coincide with centers
+                centers[j:] = X[rng.integers(n, size=k - j)]
+                break
+            centers[j] = X[rng.choice(n, p=d2 / total)]
+            np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1), out=d2)
+        return centers
+
     def fit(self, X, y=None):
         X = np.asarray(X, dtype=np.float64)
         rng = np.random.default_rng(self.seed)
-        idx = rng.choice(X.shape[0], size=self.n_clusters, replace=False)
-        centers = X[idx].copy()
+        centers = self._init_pp(X, self.n_clusters, rng)
         for _ in range(self.n_iter):
             labels = self._assign(X, centers)
             new = np.stack(

@@ -341,8 +341,6 @@ def q175_als_ann_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = min(ALS_ANN_CELLS, max(1, len(X) // 4))
     km = KMeansNP(n_clusters=n_cells, n_iter=20, seed=42).fit(X)
     C = km.cluster_centers_.astype(np.float32)  # (cells, rank), broadcast
-    n_probe = min(ALS_ANN_PROBES, n_cells)
-
     def assign_items(it):
         for pdf in it:
             V = np.array(pdf["features"].tolist(), dtype=np.float32)
@@ -352,24 +350,8 @@ def q175_als_ann_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"item": pdf["id"], "cell": d.argmin(1), "vf": pdf["features"]}
             )
 
-    def probe_users(it):
-        for pdf in it:
-            U = np.array(pdf["features"].tolist(), dtype=np.float32)
-            s = U @ C.T  # implicit-ALS scores are dot products
-            top = np.argpartition(-s, n_probe - 1, axis=1)[:, :n_probe]
-            yield pd.DataFrame(
-                {
-                    "user": pdf["id"].values.repeat(n_probe),
-                    "cell": top.ravel(),
-                    "uf": pdf["features"].values.repeat(n_probe),
-                }
-            )
-
     kernel_schema = "item int, cell int, vf array<float>"
     items = item_f.mapInPandas(assign_items, schema=kernel_schema).persist()
-    users = user_f.mapInPandas(
-        probe_users, schema="user int, cell int, uf array<float>"
-    )
 
     # 2b. LIST BALANCING (the FAISS IVF discipline): implicit-ALS item
     # factors pile up near the origin, so one k-means cell can hold a
@@ -384,6 +366,38 @@ def q175_als_ann_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = [(int(c), int(-(-n // tgt))) for c, n in counts.items()]
     split_df = F.broadcast(
         spark.createDataFrame(splits, "cell int, n_sub int")
+    )
+
+    # 2c. user probes target NON-EMPTY cells only (ADVICE r11): k-means
+    # can leave cells no item maps to, and a probe into one used to
+    # vanish at the split-map inner join — a user whose top-P probed
+    # cells were ALL empty dropped out of the output entirely. Masking
+    # empty cells before the top-P pick redirects every probe to a
+    # cell that holds candidates, so each user scores against at least
+    # one non-empty cell (the counts map is already collected for the
+    # balancer; |cells| <= 256, broadcast with the centroids).
+    empty_cells = np.setdiff1d(
+        np.arange(n_cells), np.fromiter(counts, dtype=np.int64, count=len(counts))
+    )
+    n_probe = min(ALS_ANN_PROBES, n_cells - len(empty_cells))
+
+    def probe_users(it):
+        for pdf in it:
+            U = np.array(pdf["features"].tolist(), dtype=np.float32)
+            s = U @ C.T  # implicit-ALS scores are dot products
+            if len(empty_cells):
+                s[:, empty_cells] = -np.inf
+            top = np.argpartition(-s, n_probe - 1, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "user": pdf["id"].values.repeat(n_probe),
+                    "cell": top.ravel(),
+                    "uf": pdf["features"].values.repeat(n_probe),
+                }
+            )
+
+    users = user_f.mapInPandas(
+        probe_users, schema="user int, cell int, uf array<float>"
     )
     items = (
         items.join(split_df, "cell")

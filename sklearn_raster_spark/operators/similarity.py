@@ -264,6 +264,36 @@ def q57_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_fit_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    fit_cap: int = 10_000,
+    seed: int = 42,
+):
+    """Fit the IVF coarse quantizer on a HASH-ordered capped sample
+    (unit-normalized for the cosine metric). Split out of ivf_topk so
+    the sampling discipline is testable in isolation: the skew test
+    (tests/test_ivf_sampling.py) fits on a deliberately id-correlated
+    corpus and asserts the resulting cells stay bounded — the exact
+    collapse q175 measured when the sample was an id prefix."""
+    import numpy as np
+
+    from sklearn_raster_spark.estimators.numpy_models import KMeansNP
+
+    fit_pdf = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(fit_cap)
+        .select("embedding")
+        .toPandas()
+    )
+    X = np.array([np.asarray(e, dtype=np.float64) for e in fit_pdf["embedding"]])
+    # cosine metric: quantize on the unit sphere
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    km = KMeansNP(n_clusters=min(n_clusters, len(Xn)), seed=seed).fit(Xn)
+    return km.cluster_centers_
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -280,6 +310,15 @@ def ivf_topk(
     - Train: k-means on a deterministic capped sample, driver-side
       (the reference's fit-on-sample contract; centroid table is
       n_clusters x dim — trivially broadcastable at any corpus size).
+      The sample is HASH-ordered (xxhash64 of the id), not id-ordered:
+      an id-prefix sample covers only whatever region of the
+      distribution early ids happen to occupy, and on id-correlated
+      data the quantizer then collapses — measured on q175's derived
+      item factors, where a prefix-fit left ONE cell holding 80% of
+      the corpus (no pruning, no parallelism, 13x slower). The
+      fixture embeddings are i.i.d., so recall there is unchanged;
+      the hash order is what keeps the plan honest at 100x on real
+      (id-correlated) corpora.
     - Index: ONE narrow corpus pass assigns each vector its nearest
       centroid via an Arrow-batched gemm kernel — no shuffle; at rest
       this would be the partition/Z-order key of the vector table.
@@ -301,7 +340,6 @@ def ivf_topk(
 
     from pyspark.sql.types import IntegerType
 
-    from sklearn_raster_spark.estimators.numpy_models import KMeansNP
     from sklearn_raster_spark.session import ensure_workers_can_import
 
     spark = emb.sparkSession
@@ -311,14 +349,7 @@ def ivf_topk(
     # assignment (the dense matrix builds below require a rectangle)
     emb = emb.filter(F.col("embedding").isNotNull())
 
-    fit_pdf = (
-        emb.orderBy("vec_id").limit(fit_cap).select("embedding").toPandas()
-    )
-    X = np.array([np.asarray(e, dtype=np.float64) for e in fit_pdf["embedding"]])
-    # cosine metric: quantize on the unit sphere
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    km = KMeansNP(n_clusters=min(n_clusters, len(Xn)), seed=seed).fit(Xn)
-    centers = km.cluster_centers_
+    centers = ivf_fit_centroids(emb, n_clusters=n_clusters, fit_cap=fit_cap, seed=seed)
     bc = spark.sparkContext.broadcast(centers)
 
     def _cell_d2(vecs):
@@ -752,7 +783,15 @@ def _pq_fit(spark: SparkSession, sf_dir: str):
     practice: centroids need a representative sample, not the
     corpus; driver threads let Spark schedule the fixed-count fits
     in parallel). Returns (base, centroids) with centroids as plain
-    Python lists, ready to embed as literal arrays."""
+    Python lists, ready to embed as literal arrays.
+
+    Sampling audit (the q175/q69 id-prefix hazard): this sample is
+    ``vec_id % 5 == 0`` — a MODULO stride, not a prefix — so it spans
+    the full id range and stays representative even when ids correlate
+    with content; no hash-reorder needed. The failure mode is also
+    structurally milder here: PQ codebooks feed an ADC lookup over
+    every code, not a cell-partitioned join, so a skewed codebook
+    costs recall, not a straggler task."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.ml.clustering import KMeans

@@ -1149,7 +1149,6 @@ def test_bmp_16bpp_pillow_interop():
 
     rng = np.random.default_rng(93)
     rgb = rng.integers(0, 256, (6, 11, 3)).astype(np.uint8)
-    img = Image.fromarray(rgb).convert("BGR;15") if hasattr(Image, "nothing") else None
     # Pillow's 16-bpp BMP save path varies by version; assemble via
     # its own decoder instead: OUR encoder has no 16-bpp writer, so
     # round-trip through Pillow reading OUR RGB555 bytes
@@ -1171,6 +1170,8 @@ def test_bmp_16bpp_pillow_interop():
     blob = hdr + info + rows
     ours = decode_bmp(blob)
     theirs = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
-    # Pillow expands 5-bit channels with bit replication (v<<3 | v>>2),
-    # we use exact v*255//31 — identical results for 5-bit inputs
+    # modern Pillow's BGR;15 unpacker expands 5-bit channels with the
+    # same exact v*255//31 scaling this decoder uses (bit replication
+    # (v<<3)|(v>>2) would NOT match: v=4 gives 33 vs 32). Equality
+    # here therefore pins both decoders to the exact-scaling convention
     assert np.array_equal(ours, theirs)
