@@ -1,5 +1,6 @@
 from sklearn_raster_spark.estimators.numpy_models import (
     FixedGaussianNB,
+    FixedKNeighbors,
     FixedLinearModel,
     FixedPCA,
     GaussianNBNP,
@@ -12,6 +13,7 @@ from sklearn_raster_spark.estimators.numpy_models import (
 
 __all__ = [
     "FixedGaussianNB",
+    "FixedKNeighbors",
     "FixedLinearModel",
     "FixedPCA",
     "GaussianNBNP",

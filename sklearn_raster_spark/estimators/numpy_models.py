@@ -271,6 +271,54 @@ class FixedPCA:
         return [f"pc{j}" for j in range(self.components_.shape[0])]
 
 
+class FixedKNeighbors:
+    """k-NN against a FIXED literal fit set, emitting SQUARED
+    euclidean distances — the kneighbors analog of ``FixedLinearModel``
+    (reference differential-oracle pattern,
+    ``/root/reference/tests/test_estimator.py:300-318``; kneighbors
+    surface ``/root/reference/src/sklearn_raster/estimator.py:345-518``).
+
+    Exists so the q44 kneighbors path (broadcast fit set + Arrow
+    mapInPandas brute force through ``SparkEstimator.kneighbors``) has
+    a hash-exact SQL oracle: with dyadic fit coordinates every
+    ``(x - f)`` is a correctly-rounded double op, the per-point
+    distance accumulates left-to-right in the SAME IEEE order as the
+    oracle's ``(x-f)*(x-f) + ...`` chain, and emitting the SQUARED
+    distance skips the one op (sqrt) whose cross-engine agreement
+    would need an ulp argument. Ties break by fit index on both sides
+    (stable argsort here, ``ORDER BY d2, fid`` in the oracle) — and
+    with bit-identical d2 on both sides the tie SET is identical too.
+    """
+
+    _estimator_type = "regressor"
+
+    def __init__(self, points, n_neighbors: int = 3):
+        self.points = points
+        self.n_neighbors = n_neighbors
+
+    def fit(self, X, y=None):
+        self._X = np.asarray(self.points, dtype=np.float64)
+        return self
+
+    def kneighbors(self, X, n_neighbors: int | None = None, return_distance: bool = True):
+        k = n_neighbors or self.n_neighbors
+        X = np.asarray(X, dtype=np.float64)
+        cols = []
+        for j in range(self._X.shape[0]):
+            d = X[:, 0] - self._X[j, 0]
+            d2 = d * d
+            for c in range(1, X.shape[1]):
+                d = X[:, c] - self._X[j, c]
+                # sequential left-to-right, identical to the SQL chain
+                d2 = d2 + d * d
+            cols.append(d2)
+        D2 = np.stack(cols, axis=1)
+        idx = np.argsort(D2, axis=1, kind="stable")[:, :k]
+        if not return_distance:
+            return idx
+        return np.take_along_axis(D2, idx, axis=1), idx
+
+
 class GaussianNBNP:
     """Gaussian naive Bayes classifier."""
 

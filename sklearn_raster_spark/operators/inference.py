@@ -454,3 +454,96 @@ def q173_pca_transform_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ff = _twin_frame(spark, sf_dir)
     out = est.transform(ff, compile_expressions=False)
     return out.df.select("vec_id", "pc0", "pc1")
+
+
+# Fixed fit set for the q44 kneighbors twin: 6 points, all coordinates
+# dyadic rationals (exact doubles in Spark, numpy and DuckDB alike)
+_KNN_FIT = (
+    (0.0, 0.0, 0.0, 0.0),
+    (0.5, -0.25, 1.0, 0.125),
+    (-1.0, 0.75, -0.5, 0.25),
+    (1.5, 1.25, -0.75, -0.5),
+    (-0.125, -1.5, 0.625, 1.0),
+    (0.25, 0.5, -1.25, -0.375),
+)
+_KNN_K = 3
+
+
+def _knn_d2_sql(j: int) -> str:
+    """Squared distance to fit point j as a left-to-right `+` chain,
+    term-for-term identical to FixedKNeighbors.kneighbors."""
+    terms = []
+    for d in range(_TWIN_DIMS):
+        x = f"CAST(embedding[{d + 1}] AS DOUBLE)"
+        f = repr(_KNN_FIT[j][d])
+        terms.append(f"({x} - {f}) * ({x} - {f})")
+    return " + ".join(terms)
+
+
+def _knn_oracle() -> str:
+    branches = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {j} AS fid, {_knn_d2_sql(j)} AS d2 "
+        f"FROM embeddings WHERE {_FINITE_SQL}"
+        for j in range(len(_KNN_FIT))
+    )
+    dist_cols = ",\n           ".join(
+        f"MAX(CASE WHEN rn = {r} THEN d2 END) AS dist_{r}"
+        for r in range(1, _KNN_K + 1)
+    )
+    idx_cols = ",\n           ".join(
+        f"MAX(CASE WHEN rn = {r} THEN fid END) AS idx_{r}"
+        for r in range(1, _KNN_K + 1)
+    )
+    return f"""
+    WITH d AS (
+        {branches}
+    ),
+    r AS (
+        SELECT vec_id, fid, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d2, fid
+               ) AS rn
+        FROM d
+    )
+    SELECT vec_id,
+           {dist_cols},
+           {idx_cols}
+    FROM r
+    WHERE rn <= {_KNN_K}
+    GROUP BY vec_id
+    """
+
+
+@query(
+    "q176_kneighbors_portable",
+    oracle=_knn_oracle(),
+    doc="Portable twin of q44 (E5 kneighbors through the broadcast "
+        "fit-set Arrow mapInPandas brute-force path): FIXED 6-point "
+        "dyadic fit set, SQUARED distances accumulated left-to-right "
+        "per fit point (bit-identical to the oracle's `+` chain — "
+        "emitting d^2 instead of d removes sqrt, the only op in the "
+        "pipeline needing an ulp argument), indices = stable argsort "
+        "matching the oracle's ROW_NUMBER ... ORDER BY d2, fid "
+        "tie-break. The fitted-state query's execution path and "
+        "dist+idx multi-output contract (O9), hash-graded. "
+        "Reference: estimator.py:345-518, tests/test_estimator.py:"
+        "107-222.",
+)
+def q176_kneighbors_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.estimators import FixedKNeighbors
+
+    est = SparkEstimator(FixedKNeighbors(_KNN_FIT, n_neighbors=_KNN_K))
+    est.fit(
+        pd.DataFrame(
+            np.zeros((2, _TWIN_DIMS)),
+            columns=[f"e{i}" for i in range(_TWIN_DIMS)],
+        ),
+        pd.Series([0.0, 1.0], name="label"),
+    )
+    ff = _twin_frame(spark, sf_dir)
+    out = est.kneighbors(ff, n_neighbors=_KNN_K)
+    return out.df.select(
+        "vec_id",
+        *[f"dist_{r}" for r in range(1, _KNN_K + 1)],
+        *[f"idx_{r}" for r in range(1, _KNN_K + 1)],
+    )

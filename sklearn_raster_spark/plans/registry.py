@@ -113,41 +113,175 @@ def query(
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # Round-11 policy (VERDICT r10 next #1 — the r9 advice the last
-    # two rounds skipped): (1) new/changed queries lead — q171/q172/
-    # q173 are the portable oracle twins for the fitted-state queries
-    # (FIXED-parameter NB classify / NB proba / PCA transform through
-    # the SAME broadcast-model Arrow mapInPandas paths as q41/q42/q43,
-    # hash-exact oracles; operators/inference.py, the q48-twins-q40
-    # pattern), q174 drive-grades the connector's NEW corruption
-    # posture (permissive scan over an arithmetically-corrupted shard
-    # dir), and q169/q170 re-grade because the connector changed this
-    # round (staged-commit writer with real overwrite, content-based
-    # stream offsets, Arrow-batched stream read, strict/permissive
-    # decode contract — all five ADVICE r10 items). (2) Then the
-    # ENTIRE 33-query r06-stale backlog (q40-q50, q58, q66, q74/q75/
-    # q77/q79/q83, q85-q97, q118, q159) — after this round's grade no
-    # query's newest hard driver row is older than r07. (3) The 11
-    # remaining slots take a cross-section of the OLDEST (r07) cohort:
-    # relational anchors (q01/q20/q32/q36), the dedup family (q51/q52/
-    # q104/q122), sketches (q106), and streaming (q107/q116). (4) The
-    # rest, oldest driver grade first. Everything stays value-checked
-    # on every suite run by the registry-wide oracle sweep
-    # (tests/test_oracle_sweep.py) regardless of window position;
-    # per-query timing comes from the bench, which runs all 174.
-    # q175 is round 11's late addition: the MEASURED fix for the q119
-    # sf10 wall (ALS top-k via IVF-ANN over item factors, cogrouped
-    # blocked GEMM — see SCALE.md decade 2); rows-only with a pinned
-    # recall floor (tests/test_als_ann.py)
+    # Round-12 policy (VERDICT r11 next #1 — the staleness protocol,
+    # three rounds running): (1) new/changed queries lead — q176 is
+    # the NEW kneighbors portable twin (FixedKNeighbors through the
+    # broadcast fit-set Arrow brute-force path, squared-distance
+    # dyadic oracle; the last inference family without a hash-graded
+    # twin), q169/q170/q174 re-grade because the connector changed
+    # again (range-aware type validation + from_pydict safety net,
+    # watermark+frontier stream offsets, manifest-based overwrite),
+    # q69 re-grades with its hash-ordered quantizer fit sample (the
+    # r11 weak flag) and q175 with the empty-cell probe mask — both
+    # also pick up KMeansNP's k-means++ seeding. (2) Then the ENTIRE
+    # 32-query r07-stale cohort — the q02-q19 relational block,
+    # q34/q35/q37/q39, q65/q80/q98/q99, and q103/q108/q109/q111/q114/
+    # q122 — computed from CORRECTNESS_r01..r11 as max driver round
+    # per query, exactly as r11 did. (3) The 12 remaining slots take
+    # the r08 cohort's
+    # cross-section nearest this round's changes: the ANN family
+    # (q54/q55/q56/q157/q136 — quantizer/neighbor queries adjacent to
+    # the q69 fix), q119 (shares the ALS model with q175), and broad
+    # anchors (q21/q31/q53/q117/q120/q76). (4) The tail orders
+    # strictly oldest-driver-row first so future rotations keep
+    # shrinking staleness. After this round no query's newest driver
+    # row is older than r08. Everything stays value-checked every
+    # suite run by the registry-wide oracle sweep
+    # (tests/test_oracle_sweep.py) regardless of window position.
+    "q176_kneighbors_portable",
+    "q169_python_datasource",
+    "q170_stream_python_datasource",
+    "q174_pyds_permissive_scan",
+    "q69_ann_ivf",
     "q175_als_ann_recommendations",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_customers_per_region",
+    "q08_customers_with_orders",
+    "q09_customers_without_orders",
+    "q103_chi_square_contingency",
+    "q108_priority_sample",
+    "q109_repetition_signals",
+    "q10_returned_item_revenue",
+    "q111_quantile_binning",
+    "q114_training_mix",
+    "q11_distinct_segments_per_nation",
+    "q122_incremental_dedup",
+    "q12_rollup_order_status",
+    "q13_cube_returnflag_status",
+    "q14_grouping_sets",
+    "q15_top3_orders_per_customer",
+    "q16_running_totals",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_orders_above_customer_avg",
+    "q34_map_funcs",
+    "q35_union_type_promotion",
+    "q37_ranking_functions",
+    "q39_stat_aggregates",
+    "q65_bigram_counts",
+    "q80_dynamic_session_window",
+    "q98_bitwise_aggregates",
+    "q99_checksum_source",
+    "q54_kneighbors_lsh",
+    "q55_knn_cosine_bruteforce",
+    "q56_ann_lsh",
+    "q157_ann_ivf_portable",
+    "q136_pq_ann_search",
+    "q119_als_recommendations",
+    "q21_string_funcs",
+    "q31_asof_join",
+    "q53_simhash_neardup",
+    "q117_stream_interval_join",
+    "q120_pagerank",
+    "q76_grouped_agg_pandas_udaf",
+    # ---- 50-query driver window closes here ----
+    "q100_bounded_neardup",
+    "q113_scd2_intervals",
+    "q121_boilerplate_passages",
+    "q123_cms_heavy_hitters",
+    "q124_khop_reachability",
+    "q126_grouped_split",
+    "q129_rolling_anomaly",
+    "q130_stream_tumbling_window",
+    "q132_bm25_retrieval",
+    "q133_skyline_parts",
+    "q134_data_quality_checks",
+    "q137_stream_sliding_window",
+    "q138_bag_set_ops",
+    "q140_cumulative_distinct_users",
+    "q141_cohort_retention",
+    "q143_incremental_aggregate",
+    "q147_walk_forward_split",
+    "q148_rolling_median_jvm",
+    "q151_simhash_portable",
+    "q152_binaryfile_source",
+    "q155_ann_signlsh_portable",
+    "q156_grouped_model_fit",
+    "q158_grouped_model_score",
+    "q160_pq_adc_portable",
+    "q57_embedding_neardup",
+    "q59_stateful_running_agg",
+    "q78_udtf_lateral_trigrams",
+    "q146_negative_sampling",
+    "q149_pipeline_composition",
+    "q150_minhash_portable",
+    "q153_stream_semi_join",
+    "q38_interval_join",
+    "q101_contamination_check",
+    "q102_sequence_packing",
+    "q105_fixed_size_sample",
+    "q110_outlier_flags",
+    "q112_embedding_quantize",
+    "q115_audio_window_energy",
+    "q125_triangle_count",
+    "q127_fuzzy_name_join",
+    "q128_maxsim_late_interaction",
+    "q131_inverted_index",
+    "q135_product_quantization",
+    "q139_mode_aggregate",
+    "q142_rolling_median_udwf",
+    "q144_stream_session_window",
+    "q145_entity_resolution",
+    "q154_stream_outer_join",
+    "q161_image_decode_features",
+    "q162_audio_decode_features",
+    "q163_jpeg_decode_fidelity",
+    "q164_gif_decode_features",
+    "q165_video_decode_fidelity",
+    "q166_media_quarantine",
+    "q167_stream_media_quarantine",
+    "q168_variant_shred",
+    "q22_date_funcs",
+    "q23_math_funcs",
+    "q24_array_funcs",
+    "q25_json_funcs",
+    "q26_tumbling_window",
+    "q27_sliding_window",
+    "q28_session_window",
+    "q29_dedup_keep_first",
+    "q30_event_pivot",
+    "q33_explode_ordinality",
+    "q60_text_stats",
+    "q61_language_id",
+    "q62_fingerprint",
+    "q63_regex_tokens",
+    "q64_quality_filter",
+    "q67_inverse_transform_roundtrip",
+    "q68_raster_stack_source",
+    "q70_multimodal_features",
+    "q71_merge_upsert",
+    "q72_hash_split",
+    "q73_stratified_sample",
+    "q81_multimodal_frame_sample",
+    "q82_multimodal_resize",
+    "q84_copurchase_components",
+    "q01_pricing_summary",
+    "q104_dedup_corpus",
+    "q106_contamination_bloom",
+    "q107_stream_dedup",
+    "q116_stream_inference",
+    "q118_frequent_itemsets",
+    "q159_pagerank_portable",
     "q171_nb_classify_portable",
     "q172_nb_proba_portable",
     "q173_pca_transform_portable",
-    "q174_pyds_permissive_scan",
-    "q169_python_datasource",
-    "q170_stream_python_datasource",
-    "q118_frequent_itemsets",
-    "q159_pagerank_portable",
+    "q20_price_band_join",
+    "q32_approx_count_distinct",
+    "q36_sort_merge_join",
     "q40_linear_inference_nodata",
     "q41_nb_classify_embeddings",
     "q42_nb_proba_embeddings",
@@ -159,6 +293,8 @@ _WINDOW_ORDER = (
     "q48_compiled_linear_inference",
     "q49_csv_source",
     "q50_exact_dedup",
+    "q51_jaccard_pairs",
+    "q52_minhash_lsh_pairs",
     "q58_json_source",
     "q66_wide_long_reshape",
     "q74_orc_source",
@@ -179,143 +315,6 @@ _WINDOW_ORDER = (
     "q95_event_funnel",
     "q96_tfidf_top_terms",
     "q97_regression_aggregates",
-    "q01_pricing_summary",
-    "q20_price_band_join",
-    "q32_approx_count_distinct",
-    "q36_sort_merge_join",
-    "q51_jaccard_pairs",
-    "q52_minhash_lsh_pairs",
-    "q104_dedup_corpus",
-    "q106_contamination_bloom",
-    "q107_stream_dedup",
-    "q116_stream_inference",
-    # ---- 50-query driver window closes here (q122 yielded its slot
-    # to q175; it keeps the first post-window position) ----
-    "q122_incremental_dedup",
-    "q65_bigram_counts",
-    "q80_dynamic_session_window",
-    "q34_map_funcs",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_customers_per_region",
-    "q08_customers_with_orders",
-    "q09_customers_without_orders",
-    "q10_returned_item_revenue",
-    "q11_distinct_segments_per_nation",
-    "q12_rollup_order_status",
-    "q13_cube_returnflag_status",
-    "q14_grouping_sets",
-    "q15_top3_orders_per_customer",
-    "q16_running_totals",
-    "q17_topk_orders",
-    "q18_set_ops",
-    "q19_orders_above_customer_avg",
-    "q98_bitwise_aggregates",
-    "q99_checksum_source",
-    "q103_chi_square_contingency",
-    "q35_union_type_promotion",
-    "q37_ranking_functions",
-    "q39_stat_aggregates",
-    "q108_priority_sample",
-    "q109_repetition_signals",
-    "q111_quantile_binning",
-    "q114_training_mix",
-    "q54_kneighbors_lsh",
-    "q53_simhash_neardup",
-    "q76_grouped_agg_pandas_udaf",
-    "q78_udtf_lateral_trigrams",
-    "q151_simhash_portable",
-    "q152_binaryfile_source",
-    "q156_grouped_model_fit",
-    "q158_grouped_model_score",
-    "q55_knn_cosine_bruteforce",
-    "q56_ann_lsh",
-    "q57_embedding_neardup",
-    "q69_ann_ivf",
-    "q100_bounded_neardup",
-    "q148_rolling_median_jvm",
-    "q155_ann_signlsh_portable",
-    "q157_ann_ivf_portable",
-    "q160_pq_adc_portable",
-    "q31_asof_join",
-    "q59_stateful_running_agg",
-    "q113_scd2_intervals",
-    "q117_stream_interval_join",
-    "q119_als_recommendations",
-    "q120_pagerank",
-    "q121_boilerplate_passages",
-    "q123_cms_heavy_hitters",
-    "q124_khop_reachability",
-    "q126_grouped_split",
-    "q129_rolling_anomaly",
-    "q130_stream_tumbling_window",
-    "q132_bm25_retrieval",
-    "q133_skyline_parts",
-    "q134_data_quality_checks",
-    "q136_pq_ann_search",
-    "q137_stream_sliding_window",
-    "q138_bag_set_ops",
-    "q140_cumulative_distinct_users",
-    "q141_cohort_retention",
-    "q143_incremental_aggregate",
-    "q147_walk_forward_split",
-    "q21_string_funcs",
-    "q146_negative_sampling",
-    "q149_pipeline_composition",
-    "q150_minhash_portable",
-    "q153_stream_semi_join",
-    "q38_interval_join",
-    "q166_media_quarantine",
-    "q167_stream_media_quarantine",
-    "q168_variant_shred",
-    "q163_jpeg_decode_fidelity",
-    "q164_gif_decode_features",
-    "q165_video_decode_fidelity",
-    "q161_image_decode_features",
-    "q162_audio_decode_features",
-    "q154_stream_outer_join",
-    "q110_outlier_flags",
-    "q142_rolling_median_udwf",
-    "q70_multimodal_features",
-    "q81_multimodal_frame_sample",
-    "q82_multimodal_resize",
-    "q115_audio_window_energy",
-    "q112_embedding_quantize",
-    "q128_maxsim_late_interaction",
-    "q67_inverse_transform_roundtrip",
-    "q68_raster_stack_source",
-    "q22_date_funcs",
-    "q23_math_funcs",
-    "q24_array_funcs",
-    "q25_json_funcs",
-    "q26_tumbling_window",
-    "q27_sliding_window",
-    "q28_session_window",
-    "q29_dedup_keep_first",
-    "q30_event_pivot",
-    "q33_explode_ordinality",
-    "q60_text_stats",
-    "q61_language_id",
-    "q62_fingerprint",
-    "q63_regex_tokens",
-    "q64_quality_filter",
-    "q71_merge_upsert",
-    "q72_hash_split",
-    "q73_stratified_sample",
-    "q84_copurchase_components",
-    "q101_contamination_check",
-    "q102_sequence_packing",
-    "q105_fixed_size_sample",
-    "q125_triangle_count",
-    "q127_fuzzy_name_join",
-    "q131_inverted_index",
-    "q135_product_quantization",
-    "q139_mode_aggregate",
-    "q144_stream_session_window",
-    "q145_entity_resolution",
 )
 
 

@@ -65,6 +65,9 @@ EXECUTE = {
     "q174_pyds_permissive_scan",
     # ALS-ANN: toPandas fit sample + mapInPandas + cogrouped GEMM
     "q175_als_ann_recommendations",
+    # round-12: the kneighbors twin runs the broadcast fit-set Arrow
+    # mapInPandas brute-force path (pandas boundary)
+    "q176_kneighbors_portable",
 }
 
 
