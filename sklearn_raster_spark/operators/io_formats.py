@@ -507,23 +507,26 @@ def q169_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The custom connector's STREAMING half (sources/pyds.py "
         "JsonlShardsStreamReader, Python Data Source API): "
         "spark.readStream.format('jsonl_shards') tails the same shard "
-        "directory q169 wrote — the offset is the CONTENT-BASED set "
-        "of consumed shard names, each micro-batch reads end - start, "
-        "so a straggler shard landing mid-stream (even one sorting "
-        "before consumed names) is picked up by the next diff instead "
-        "of silently skipped, and availableNow terminates exactly "
-        "when the directory is drained. Shards decode executor-side "
-        "through the same Arrow RecordBatch path as the batch reader. "
-        "A complete-mode per-language aggregation hash-matches plain "
-        "SQL over the source table, proving the incremental "
-        "file-source semantics (binaryFile's discipline, reproduced "
-        "in connector Python) deliver every row exactly once. "
-        "Together q169/q170/q174 cover the connector API's full "
-        "surface: batch read with pushdown + pruning, staged-commit "
-        "distributed write, incremental streaming read, and the "
-        "permissive corruption posture. Scale: offset state is the "
-        "seen-shard log (the FileStreamSource trade); listing cost "
-        "matches any file streaming source.",
+        "directory q169 wrote — the offset is a COMPACTED consumed "
+        "set (publication-mtime watermark + explicit frontier, round "
+        "12), each micro-batch reads end - start, so a straggler "
+        "shard landing mid-stream (even one whose name sorts before "
+        "consumed shards — names play no ordering role) is picked up "
+        "by the next diff instead of silently skipped, and "
+        "availableNow terminates exactly when the directory is "
+        "drained. Shards decode executor-side through the same Arrow "
+        "RecordBatch path as the batch reader. A complete-mode "
+        "per-language aggregation hash-matches plain SQL over the "
+        "source table, proving the incremental file-source semantics "
+        "(binaryFile's discipline, reproduced in connector Python) "
+        "deliver every row exactly once. Together q169/q170/q174 "
+        "cover the connector API's full surface: batch read with "
+        "pushdown + pruning, staged-commit distributed write with "
+        "atomic-manifest overwrite, incremental streaming read, and "
+        "the permissive corruption posture. Scale: offset state is "
+        "O(recent publish rate) under the late allowance — strictly "
+        "smaller than FileStreamSource's unbounded seen-files log; "
+        "listing cost matches any file streaming source.",
 )
 def q170_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sklearn_raster_spark.session import ensure_workers_can_import

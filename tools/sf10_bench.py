@@ -28,7 +28,12 @@ REPO = str(Path(__file__).resolve().parent.parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-# the top-10 sf1-cost queries (BENCH_SF1.json, round 10)
+# the top-10 sf1-cost queries (BENCH_SF1.json, round 10), plus — round
+# 12 (VERDICT r11 next #6) — the relational/window heads and q175, so
+# the decade table covers every operator family, not just the LLM
+# pipeline: q01 (wide agg), q03 (join+agg+topk), q36 (sort-merge
+# join), q88 (gaps-and-islands windows), q175 (the measured ALS-ANN
+# fix, re-timed per round so its 6.3x claim tracks the living code)
 TOP = [
     "q119_als_recommendations",
     "q52_minhash_lsh_pairs",
@@ -40,6 +45,11 @@ TOP = [
     "q104_dedup_corpus",
     "q150_minhash_portable",
     "q128_maxsim_late_interaction",
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q36_sort_merge_join",
+    "q88_order_gaps_islands",
+    "q175_als_ann_recommendations",
 ]
 
 
