@@ -865,16 +865,25 @@ def _pq_code_terms(centroids):
         "mean-predictor baseline) are pytest-pinned.",
 )
 def q135_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.utils.fold_kernels import (
+        pq_codes_kernel,
+        pq_sqerr_kernel,
+    )
+
     base, centroids = _pq_fit(spark, sf_dir)
-    terms = _pq_code_terms(centroids)
-    sq_err = terms[0][1]
-    for _, b in terms[1:]:
-        sq_err = sq_err + b
+    # r12 OPT (guide §4.2): the 8x16 per-row distance folds ran as
+    # interpreted higher-order functions (~2 s per encode pass at
+    # sf0.1); the Arrow kernels compute the identical sequential-fold
+    # float64 distances (cumsum operand order), the identical
+    # first-occurrence argmin codes, and the identical left-to-right
+    # sq_error sum — bit-equality pinned by tests/test_fold_kernels.py;
+    # _pq_code_terms remains the expression-form reference.
+    subs = F.array(*[f"sub{s}" for s in range(PQ_SUBSPACES)])
+    codes_arr = pq_codes_kernel(centroids)(subs)
+    sq_err = pq_sqerr_kernel(centroids)(subs)
     return base.select(
         "vec_id",
-        F.array_join(
-            F.array(*[code for code, _ in terms]).cast("array<string>"), "-"
-        ).alias("codes"),
+        F.array_join(codes_arr.cast("array<string>"), "-").alias("codes"),
         F.round(sq_err, 6).alias("sq_error"),
     )
 
@@ -902,11 +911,15 @@ PQ_RERANK_FACTOR = 10  # ADC candidates per final result, exact re-ranked
         "scan is pytest-pinned.",
 )
 def q136_pq_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.utils.fold_kernels import pq_codes_kernel
+
     base, centroids = _pq_fit(spark, sf_dir)
-    terms = _pq_code_terms(centroids)
+    # r12 OPT: vectorized encode (see q135) — identical codes
     coded = base.select(
         F.col("vec_id").alias("nid"),
-        F.array(*[code for code, _ in terms]).alias("codes"),
+        pq_codes_kernel(centroids)(
+            F.array(*[f"sub{s}" for s in range(PQ_SUBSPACES)])
+        ).alias("codes"),
     )
 
     # driver-side LUTs for the (tiny, fixed) query set: lut[s][c] =
@@ -1476,41 +1489,38 @@ def _pqp_oracle() -> str:
         "cut. Reference analog: kneighbors (estimator.py:345-518).",
 )
 def q160_pq_adc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sklearn_raster_spark.utils.fold_kernels import pq_codes_kernel
+
     base = _pq_base(spark, sf_dir)
     embedding_dim(read_table(spark, sf_dir, "embeddings"), expect=_EMB_DIM)
-    terms = _pq_code_terms(_PQP_CODEBOOKS)
+    # r12 OPT: vectorized encode (see q135) — identical codes, so the
+    # DuckDB oracle grade is unaffected (hash-verified this round);
+    # the query-LUT folds stay JVM expressions (N_QUERIES rows only)
     coded = base.select(
         F.col("vec_id").alias("nid"),
-        F.array(*[code for code, _ in terms]).alias("codes"),
+        pq_codes_kernel(_PQP_CODEBOOKS)(
+            F.array(*[f"sub{s}" for s in range(PQ_SUBSPACES)])
+        ).alias("codes"),
     )
-    # per-query LUTs from the SAME fold expressions the corpus encode
-    # uses — l{s}[c] = ||query_sub_s - codebook[s][c]||^2, in-engine
-
-    def lut_col(s: int):
-        cents = _PQP_CODEBOOKS[s]
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(f"sub{s}"),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        ).alias(f"l{s}")
+    # per-query LUTs via the Arrow kernel — lut[s][c] =
+    # ||query_sub_s - codebook[s][c]||^2, identical sequential-fold
+    # values, still computed in-engine (executor-side, never the
+    # driver). r12 OPT: the expression form embedded 8x16 centroid
+    # literal arrays; ANALYZING that tree cost ~5 s at sf0.1 for five
+    # query rows — the plan, not the data, was the bottleneck.
+    from sklearn_raster_spark.utils.fold_kernels import pq_lut_kernel
 
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
-        *[lut_col(s) for s in range(PQ_SUBSPACES)],
+        pq_lut_kernel(_PQP_CODEBOOKS)(
+            F.array(*[f"sub{s}" for s in range(PQ_SUBSPACES)])
+        ).alias("lut"),
     )
     adc = None
     for s in range(PQ_SUBSPACES):
         term = F.element_at(
-            F.col(f"l{s}"), F.element_at(F.col("codes"), s + 1) + 1
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
         )
         adc = term if adc is None else adc + term
     scored = (

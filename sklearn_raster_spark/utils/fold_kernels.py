@@ -1,0 +1,416 @@
+"""Bit-exact Arrow kernels for the sequential-fold vector math.
+
+The engine's cosine / squared-distance folds were built as Catalyst
+higher-order functions (``F.aggregate`` over ``zip_with`` products) so
+the float operand ORDER matches DuckDB's ``LIST_REDUCE`` exactly —
+that is what makes the ANN family hash-gradable. But Spark evaluates
+higher-order functions INTERPRETED, one lambda call per array element
+(they are outside whole-stage codegen), so a 64-dim fold costs ~64
+boxed lambda evaluations per row — measured as the dominant cost of
+every pair-scoring query (q57/q100/q155: millions of candidate pairs
+x 64 dims).
+
+These kernels compute the IDENTICAL IEEE float64 value with one
+vectorized numpy pass per Arrow batch (guide: do the heavy lifting in
+native code inside the Python boundary, spark_optimization_guide §4.2):
+
+- products/differences are elementwise float64 ops — each individually
+  correctly rounded, exactly like the JVM's ``x.cast(double) *
+  y.cast(double)`` per element;
+- the left-to-right fold ``acc = (((0.0 + p0) + p1) + ...)`` is
+  ``np.cumsum`` over a row PREPENDED with 0.0 — cumsum is defined as
+  out[i] = out[i-1] + x[i], the same sequential float64 addition chain
+  (the leading 0.0 reproduces the fold's init term, which matters only
+  for the sign of an all-(-0.0) row — exactness is exactness);
+- NaN/±Inf propagate through numpy arithmetic by the same IEEE rules
+  as through the JVM fold.
+
+Semantics preserved from ``zip_with`` + ``aggregate``:
+- a NULL vector on either side -> NULL result (arrow_udf validity);
+- ragged lengths would null-pad under zip_with (product NULL -> fold
+  NULL), so rows whose two arrays differ in length -> NULL;
+- element NULLs inside a vector -> NULL result (null product poisons
+  the fold). pyarrow cannot distinguish element-NULL from NaN after
+  ``to_numpy`` — the kernels check child validity explicitly.
+
+Every kernel is an ``arrow_udf`` (vectorized Arrow-native UDF, Spark
+4.1) and shows up in plans as ArrowEvalPython — the engine-wide
+Python-boundary contract (tests/test_plan_sweep.py) allows exactly
+that node class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+
+def _list_to_matrix(arr: pa.Array):
+    """(matrix float64 [n, d], row_valid bool [n]) from a list<float*>
+    Arrow array — or (None, reason) when rows are ragged/element-null
+    and the caller must take the exact per-row fallback.
+
+    row_valid marks rows whose RESULT must be NULL (null list). The
+    fast path requires: every non-null row has the same length and no
+    element nulls — true for every fixture and fuzz instance (64-dim,
+    NaN/Inf hostility but no element holes); anything else falls back.
+    """
+    if arr.null_count == len(arr):
+        return None, "all-null"
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = offsets[1:] - offsets[:-1]
+    row_valid = np.ones(len(arr), dtype=bool)
+    if arr.null_count:
+        row_valid = np.asarray(arr.is_valid())
+    d_set = np.unique(lengths[row_valid])
+    if len(d_set) != 1:
+        return None, "ragged"
+    d = int(d_set[0])
+    values = arr.values
+    if values.null_count:
+        return None, "element-nulls"
+    flat = values.to_numpy(zero_copy_only=False).astype(np.float64)
+    # offsets need not start at 0 (sliced batches); gather per-row
+    if arr.null_count or offsets[0] != 0 or offsets[-1] - offsets[0] != len(arr) * d:
+        idx = offsets[:-1, None] + np.arange(d)[None, :]
+        # null rows may carry arbitrary offsets; clamp to valid range
+        idx = np.clip(idx, 0, len(flat) - 1 if len(flat) else 0)
+        mat = flat[idx] if len(flat) else np.zeros((len(arr), d))
+    else:
+        mat = flat.reshape(len(arr), d)
+    return (mat, row_valid, d), None
+
+
+def _seq_fold_rows(prod: np.ndarray) -> np.ndarray:
+    """Left-to-right float64 fold per row with init 0.0 — bit-identical
+    to F.aggregate(..., lit(0.0), acc + x) and DuckDB LIST_REDUCE."""
+    n = prod.shape[0]
+    with_init = np.concatenate([np.zeros((n, 1)), prod], axis=1)
+    return np.cumsum(with_init, axis=1)[:, -1]
+
+
+def _fold_pair_slow(a_row, b_row, op) -> float | None:
+    """Exact per-row fallback replicating zip_with null-padding and
+    element-null poisoning. a_row/b_row are python lists or None."""
+    if a_row is None or b_row is None:
+        return None
+    la, lb = len(a_row), len(b_row)
+    n = max(la, lb)
+    acc = 0.0
+    for i in range(n):
+        x = a_row[i] if i < la else None
+        y = b_row[i] if i < lb else None
+        if x is None or y is None:
+            return None
+        acc = acc + op(float(x), float(y))
+    return acc
+
+
+def _pairwise_kernel(a: pa.Array, b: pa.Array, op_fast, op_slow) -> pa.Array:
+    if isinstance(a, pa.ChunkedArray):  # pragma: no cover - defensive
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):  # pragma: no cover - defensive
+        b = b.combine_chunks()
+    fa, ra = _list_to_matrix(a)
+    fb, rb = _list_to_matrix(b)
+    if fa is not None and fb is not None and fa[2] == fb[2]:
+        ma, va, _ = fa
+        mb, vb, _ = fb
+        out = _seq_fold_rows(op_fast(ma, mb))
+        valid = va & vb
+        return pa.array(out, type=pa.float64(), mask=~valid)
+    # exact fallback (ragged / element nulls / dim mismatch)
+    al, bl = a.to_pylist(), b.to_pylist()
+    return pa.array(
+        [_fold_pair_slow(x, y, op_slow) for x, y in zip(al, bl)],
+        type=pa.float64(),
+    )
+
+
+@F.arrow_udf(DoubleType())
+def dot_fold_kernel(a: pa.Array, b: pa.Array) -> pa.Array:
+    """Sequential-fold dot product: sum_i a_i*b_i, left-to-right."""
+    return _pairwise_kernel(
+        a, b, lambda ma, mb: ma * mb, lambda x, y: x * y
+    )
+
+
+@F.arrow_udf(DoubleType())
+def sqdist_fold_kernel(a: pa.Array, b: pa.Array) -> pa.Array:
+    """Sequential-fold squared distance: sum_i (a_i-b_i)^2."""
+    return _pairwise_kernel(
+        a,
+        b,
+        lambda ma, mb: (ma - mb) * (ma - mb),
+        lambda x, y: (x - y) * (x - y),
+    )
+
+
+def simhash_pack_kernel(bits: int):
+    """arrow_udf factory: list<bigint> token hashes -> bigint SimHash
+    fingerprint, INTEGER-exact vs the 64-fold expression form
+    (dedup.simhash_col): vote_b = (#tokens with bit b set) -
+    (#tokens with bit b clear) = 2*ones_b - n, fp = OR of (1<<b) where
+    vote_b > 0. Votes are integers, so aggregation order is irrelevant
+    and the numpy path is bit-identical, not just close. Replaces
+    ``bits`` interpreted F.aggregate folds per document (each one a
+    full pass over the token array) with one vectorized pass."""
+
+    def _pack(th: pa.Array) -> pa.Array:
+        if isinstance(th, pa.ChunkedArray):  # pragma: no cover - defensive
+            th = th.combine_chunks()
+        # offsets are ABSOLUTE positions into .values (also under
+        # slicing); cumsum over the full child is safe — unreferenced
+        # elements never land between any (start, end) pair
+        offsets = th.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = offsets[:-1], offsets[1:]
+        # a NULL hash element votes -1 on every bit under the fold
+        # (when(NULL == 1, 1).otherwise(-1) takes the otherwise branch)
+        # — exactly what hash value 0 does, so fill_null(0) is exact
+        flat = th.values.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = (ends - starts).astype(np.int64)
+        fp = np.zeros(len(th), dtype=np.uint64)
+        uflat = flat.view(np.uint64)
+        for b in range(bits):
+            bitvals = ((uflat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(bitvals)])
+            ones = cs[ends] - cs[starts]
+            votes = 2 * ones - n_tok
+            fp |= (votes > 0).astype(np.uint64) << np.uint64(b)
+        # a NULL token array folds to fp 0, NOT NULL: the vote
+        # aggregate yields NULL, when(NULL > 0) takes the otherwise(0)
+        # branch per bit, and the OR of zeros is 0 — identical to the
+        # expression form (pinned by test_simhash_kernel_hostile_rows).
+        # Forced explicitly: the Arrow spec allows null slots to span
+        # arbitrary offsets, which would otherwise leak votes in.
+        if th.null_count:
+            fp[~np.asarray(th.is_valid())] = 0
+        return pa.array(fp.view(np.int64), type=pa.int64())
+
+    return F.arrow_udf(_pack, LongType())
+
+
+def _split_sub_matrices(arr: pa.Array, n_sub: int):
+    """From a list<list<double>> column (F.array of the n_sub
+    subvector slices) to a list of per-subspace [n, d] float64
+    matrices — or None when the layout needs the exact slow path
+    (ragged dims, element nulls; never the case on fixture or fuzz
+    data, which is uniformly 64-dim)."""
+    oo = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if arr.null_count or ((oo[1:] - oo[:-1]) != n_sub).any():
+        return None
+    inner = arr.values
+    if inner.null_count or inner.values.null_count:
+        return None
+    io = inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = inner.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    ref = (oo[:-1, None] + np.arange(n_sub)[None, :]).ravel()
+    lens = io[ref + 1] - io[ref]
+    d_set = np.unique(lens)
+    if len(d_set) != 1:
+        return None
+    d = int(d_set[0])
+    idx = io[ref][:, None] + np.arange(d)[None, :]
+    mats = flat[idx].reshape(n, n_sub, d)
+    return [mats[:, s, :] for s in range(n_sub)]
+
+
+def _pq_dists_fast(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """[n, C] sequential-fold squared distances: elementwise (a-b)^2
+    in float64 then left-to-right cumsum with init 0.0 — bit-identical
+    to _pq_code_terms' zip_with/aggregate expression."""
+    diffs = mat[:, None, :] - cents[None, :, :]
+    sq = diffs * diffs
+    n, c, d = sq.shape
+    with_init = np.concatenate([np.zeros((n, c, 1)), sq], axis=2)
+    return np.cumsum(with_init, axis=2)[:, :, -1]
+
+
+def _pq_dists_slow(rows, cents: np.ndarray):
+    """Exact per-row fallback: (dists [n, C] with None->NaN markers,
+    valid [n, C] bool) replicating zip_with null-padding semantics."""
+    out = np.full((len(rows), len(cents)), np.nan)
+    valid = np.ones((len(rows), len(cents)), dtype=bool)
+    for i, r in enumerate(rows):
+        if r is None:
+            valid[i, :] = False
+            continue
+        for j, cent in enumerate(cents):
+            v = _fold_pair_slow(r, list(cent), lambda x, y: (x - y) * (x - y))
+            if v is None:
+                valid[i, j] = False
+            else:
+                out[i, j] = v
+    return out, valid
+
+
+def _argmin_first_spark(dists: np.ndarray) -> np.ndarray:
+    """First-occurrence argmin with Spark's NaN-is-largest ordering:
+    matches array_position(dists, array_min(dists)) - 1 — array_min
+    skips NaN (returns the smallest non-NaN; NaN only if all NaN), and
+    for an all-NaN row array_position's NaN-equals-NaN ordering finds
+    position 1, i.e. code 0 — argmax over an all-False mask is 0 too."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        m = np.nanmin(dists, axis=1)
+    eq = dists == m[:, None]
+    return np.argmax(eq, axis=1).astype(np.int32), m
+
+
+def _pq_codes_bests_slow(subs_row, cents_list):
+    """Exact per-row replication of _pq_code_terms for one row of
+    subvector lists (list of n_sub lists or Nones): returns
+    (codes [n_sub, int|None], bests [n_sub, float|None]) with Spark's
+    array_min (null-skipping, NaN-greatest) and array_position
+    (null-skipping, NaN-equiv-NaN) semantics."""
+    codes, bests = [], []
+    for s, cents in enumerate(cents_list):
+        r = None if subs_row is None else subs_row[s]
+        dists = [
+            _fold_pair_slow(r, list(c), lambda x, y: (x - y) * (x - y))
+            if r is not None
+            else None
+            for c in cents
+        ]
+        non_null = [v for v in dists if v is not None]
+        if not non_null:
+            codes.append(None)
+            bests.append(None)
+            continue
+        finite = [v for v in non_null if not np.isnan(v)]
+        best = min(finite) if finite else float("nan")
+        pos = None
+        for i, v in enumerate(dists):
+            if v is None:
+                continue
+            if (np.isnan(best) and np.isnan(v)) or v == best:
+                pos = i
+                break
+        codes.append(pos)
+        bests.append(best)
+    return codes, bests
+
+
+def pq_codes_kernel(codebooks):
+    """arrow_udf factory: array(sub0..subN) (one array<array<double>>
+    column) -> array<int> PQ codes — the vectorized twin of
+    _pq_code_terms' code expressions (one interpreted 16-fold argmin
+    per subspace per row). Call as kernel(F.array(*subs))."""
+    cents = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    n_sub = len(cents)
+
+    def _codes(subs: pa.Array) -> pa.Array:
+        if isinstance(subs, pa.ChunkedArray):  # pragma: no cover
+            subs = subs.combine_chunks()
+        n = len(subs)
+        mats = _split_sub_matrices(subs, n_sub)
+        if mats is not None and all(
+            m.shape[1] == cents[s].shape[1] for s, m in enumerate(mats)
+        ):
+            codes = np.zeros((n, n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                codes[:, s], _m = _argmin_first_spark(
+                    _pq_dists_fast(mats[s], cents[s])
+                )
+            flat = pa.array(codes.ravel(), type=pa.int32())
+        else:  # exact slow path (ragged / element nulls)
+            rows = subs.to_pylist()
+            flat_list = []
+            for r in rows:
+                c, _b = _pq_codes_bests_slow(r, cents)
+                flat_list.extend(c)
+            flat = pa.array(flat_list, type=pa.int32())
+        offsets = np.arange(0, (n + 1) * n_sub, n_sub, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    return F.arrow_udf(_codes, ArrayType(IntegerType()))
+
+
+def pq_lut_kernel(codebooks):
+    """arrow_udf factory: array(sub0..subN) -> array<array<double>>
+    per-query ADC lookup tables — lut[s][c] = sequential-fold squared
+    distance from the row's subvector s to codebook centroid c, the
+    exact values of q160's per-subspace lut_col fold expressions (same
+    elementwise (a-b)^2, same left-to-right sum). The expression form
+    embedded ~S*C centroid literal arrays into the plan; analyzing and
+    compiling that tree dominated the whole query (measured ~5 s at
+    sf0.1 for FIVE query rows) — the kernel carries the codebooks as
+    ordinary Python state instead."""
+    cents = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    n_sub = len(cents)
+
+    def _lut(subs: pa.Array) -> pa.Array:
+        if isinstance(subs, pa.ChunkedArray):  # pragma: no cover
+            subs = subs.combine_chunks()
+        n = len(subs)
+        mats = _split_sub_matrices(subs, n_sub)
+        rows = []
+        if mats is not None and all(
+            m.shape[1] == cents[s].shape[1] for s, m in enumerate(mats)
+        ):
+            dists = [_pq_dists_fast(mats[s], cents[s]) for s in range(n_sub)]
+            for i in range(n):
+                rows.append([dists[s][i].tolist() for s in range(n_sub)])
+        else:
+            for r in subs.to_pylist():
+                row = []
+                for s in range(n_sub):
+                    sub_r = None if r is None else r[s]
+                    row.append(
+                        [
+                            _fold_pair_slow(
+                                sub_r, list(c), lambda x, y: (x - y) * (x - y)
+                            )
+                            if sub_r is not None
+                            else None
+                            for c in cents[s]
+                        ]
+                    )
+                rows.append(row)
+        return pa.array(rows, type=pa.list_(pa.list_(pa.float64())))
+
+    from pyspark.sql.types import ArrayType
+
+    return F.arrow_udf(_lut, ArrayType(ArrayType(DoubleType())))
+
+
+def pq_sqerr_kernel(codebooks):
+    """arrow_udf factory: array(sub0..subN) -> double total
+    quantization error — sum over subspaces (in subspace order) of the
+    row's min squared distance, matching q135's ``b0 + b1 + ...``
+    chain of array_min terms exactly (sequential float64 adds)."""
+    cents = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    n_sub = len(cents)
+
+    def _sqerr(subs: pa.Array) -> pa.Array:
+        if isinstance(subs, pa.ChunkedArray):  # pragma: no cover
+            subs = subs.combine_chunks()
+        mats = _split_sub_matrices(subs, n_sub)
+        if mats is not None and all(
+            m.shape[1] == cents[s].shape[1] for s, m in enumerate(mats)
+        ):
+            acc = None
+            for s in range(n_sub):
+                _c, m = _argmin_first_spark(_pq_dists_fast(mats[s], cents[s]))
+                acc = m if acc is None else acc + m
+            return pa.array(acc, type=pa.float64())
+        out = []
+        for r in subs.to_pylist():
+            _c, bests = _pq_codes_bests_slow(r, cents)
+            acc = 0.0
+            for b in bests:
+                if b is None:
+                    acc = None
+                    break
+                acc = acc + b
+            out.append(acc)
+        return pa.array(out, type=pa.float64())
+
+    return F.arrow_udf(_sqerr, DoubleType())
