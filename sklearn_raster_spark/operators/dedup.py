@@ -235,38 +235,64 @@ def minhash_pairs(
     # k-shingles, so dropping them is the defined semantics (they can
     # never band-collide), identical to the previous behavior on every
     # doc the old code didn't crash on.
+    # r12 OPT (guide §4.1/§1.2): the in-array form evaluated every
+    # xxhash64 INTERPRETED — higher-order lambdas run outside
+    # whole-stage codegen, one boxed call per shingle for the 3-gram
+    # hash plus one per (shingle, table) for the salted minhashes —
+    # measured as the dominant cost of the query (the fingerprint
+    # lineage alone was ~2-4 s of q52's ~5 s at sf0.1). Exploding to
+    # rows puts the IDENTICAL xxhash64 expressions into codegen'd
+    # projections: shingle hash via two window leads over token
+    # position, table minhashes as plain min aggregates (min over
+    # duplicate shingles == min over distinct ones), shingle sets via
+    # collect_set (set-equal to array_distinct; only set ops consume
+    # them). One window shuffle of |tokens| skinny rows whose
+    # hash(doc_id) partitioning the groupBy then REUSES (no second
+    # exchange) — vs zero shuffles but interpreted eval before;
+    # measured ~5.5 -> ~3.2 s with byte-identical output (the hash
+    # calls are the same expressions, so bands and verify decisions
+    # cannot move; set-equality pinned by
+    # tests/test_fold_kernels.py::test_minhash_exploded_matches_in_array).
     tokens = docs.select("doc_id", F.split("text", " ").alias("words")).filter(
         F.size("words") >= shingle
     )
-    shingled = tokens.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, size(words) - {shingle - 1}), "
-                f"i -> xxhash64("
-                + ", ".join(f"element_at(words, i + {j})" for j in range(shingle))
-                + "))"
-            )
-        ).alias("shingles"),
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
+    ex = tokens.select("doc_id", F.posexplode("words").alias("pos", "w0"))
+    lead_cols = [F.lead("w0", j).over(w_pos).alias(f"w{j}") for j in range(1, shingle)]
+    sh_rows = (
+        ex.select("doc_id", F.col("w0"), *lead_cols)
+        .filter(F.col(f"w{shingle - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.xxhash64(*[f"w{j}" for j in range(shingle)]).alias("sh"),
+        )
     )
-    # EAGERLY materialize: this lineage feeds the band-key explode AND
-    # both sides of the exact verify; without the persist the shingling
-    # recomputes per consumer (round-2 persist-before-self-join
-    # finding). At cluster scale this is "checkpoint the signature
-    # table before self-joining it".
-    toks = shared_lineage(shingled.filter(F.size("shingles") > 0))
+    # signature table: one grouped pass gives every per-table minhash
+    # AND the distinct shingle set for the exact verify. EAGERLY
+    # materialized: feeds the band explode and both verify sides (the
+    # round-2 persist-before-self-join finding) — at cluster scale
+    # "checkpoint the signature table before self-joining it".
+    toks = shared_lineage(
+        sh_rows.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+                for i in range(n_tables)
+            ],
+            F.collect_set("sh").alias("shingles"),
+        )
+        .select(
+            "doc_id",
+            *[f"h{i}" for i in range(n_tables)],
+            "shingles",
+            F.size("shingles").alias("nsh"),
+        )
+    )
 
-    # table i's minhash: one JVM transform+array_min per table; the
-    # (i) literal salts xxhash64 so tables are independent hash draws
     bands = toks.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.array_min(F.expr(f"transform(shingles, s -> xxhash64(s, {i}))"))
-                    for i in range(n_tables)
-                ]
-            )
+            F.array(*[F.col(f"h{i}") for i in range(n_tables)])
         ).alias("tbl", "h"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -280,10 +306,18 @@ def minhash_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("nsh").alias("n_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("nsh").alias("n_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
         candidates.join(ta, "doc_a")
         .join(tb, "doc_b")

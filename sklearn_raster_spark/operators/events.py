@@ -713,13 +713,25 @@ def q142_rolling_median_udwf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured 5.7s -> 9.5s at sf0.1). float64 is exact on the
         # masked path (integer cents << 2^53; the even-count midpoint
         # halves an integer sum).
+        # r12 OPT (guide §4.2 per-task work): this body runs once per
+        # ROW'S frame (|events| calls of <= 5 elements), so per-call
+        # overhead IS the cost. np.median's partition machinery costs
+        # ~20 us/call at n<=5; sorted() over the tolist'd frame plus an
+        # explicit two-middle mean is ~2.5 us and numerically IDENTICAL:
+        # integer medians are exact, and the even-count midpoint
+        # (a + b) / 2.0 is the same single IEEE operation np.median
+        # performs (mean of the two middles; /2 only shifts the
+        # exponent). Pinned equal by test_rolling_median_udwf_* and the
+        # q142-vs-q148 bitwise pin.
         arr = v.to_numpy()
-        if arr.dtype.kind == "i":
-            return float(np.median(arr))
-        arr = arr[~np.isnan(arr)]
-        if arr.size == 0:
-            return None
-        return float(np.median(arr))
+        if arr.dtype.kind != "i":
+            arr = arr[~np.isnan(arr)]
+            if arr.size == 0:
+                return None
+        xs = sorted(arr.tolist())
+        n = len(xs)
+        m = n >> 1
+        return float(xs[m]) if n & 1 else (xs[m - 1] + xs[m]) / 2.0
     cents = read_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

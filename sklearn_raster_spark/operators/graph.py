@@ -404,34 +404,34 @@ def q120_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select("node").localCheckpoint(eager=True)
-    n_nodes = nodes.count()
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    deg = deg.localCheckpoint(eager=True)  # feeds n_nodes count AND the edge join
+    n_nodes = deg.count()
+    ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     edges_deg = (
         edges.join(deg, edges.pa == deg.node)
         .select("pa", "pb", "deg")
         .localCheckpoint(eager=True)
     )
     teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
+    # r12 OPT (guide §2.4/§5): the loop runs a FIXED iteration count with
+    # no data-dependent decisions, so per-iteration localCheckpoints were
+    # pure overhead — each groupBy already materializes a shuffle
+    # boundary (the natural recovery point), and one lazy 8-level plan
+    # executes in a single job. The per-iteration nodes left join is
+    # also gone: the graph is symmetric and edge-defined, so every node
+    # has an in-edge and the contribution aggregate covers all |V| nodes
+    # (the q159 invariant; coalesce never fired). Measured 4.6 -> 2.9 s
+    # at sf0.1 with max |rank delta| = 0.0 vs the checkpointed form.
     for _ in range(PAGERANK_ITERS):
-        contribs = (
+        ranks = (
             edges_deg.join(ranks, edges_deg.pa == ranks.node)
             .select(F.col("pb").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
-            .agg(F.sum("c").alias("in_rank"))
-        )
-        # every node has deg >= 1 here (edge-defined graph), so no
-        # dangling-mass term; teleport keeps total mass at 1
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
+            .agg(
                 (
-                    F.lit(teleport)
-                    + F.lit(PAGERANK_DAMPING) * F.coalesce("in_rank", F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(teleport) + F.lit(PAGERANK_DAMPING) * F.sum("c")
+                ).alias("rank")
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 10).alias("rank"))
 
@@ -534,6 +534,14 @@ def q159_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb", "deg")
         .localCheckpoint(eager=True)
     )
+    # r12 OPT (guide §2.4/§5): fixed iteration count, no data-dependent
+    # control flow — the per-iteration localCheckpoints were pure
+    # overhead (each groupBy is already a materialized shuffle
+    # boundary), so the 8 iterations now build ONE lazy plan executed
+    # by the final action. Integer arithmetic is order-independent, so
+    # the result is bit-identical (probe: set-equality vs the
+    # checkpointed form; oracle hash unchanged). Measured 4.9 -> 3.5 s
+    # at sf0.1.
     for _ in range(PAGERANK_ITERS):
         # symmetric graph: every node has >= 1 in-edge, so the inner
         # join + groupBy covers all |V| nodes (the oracle relies on the
@@ -543,6 +551,5 @@ def q159_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("pb").alias("node"), F.expr("r div deg").alias("c"))
             .groupBy("node")
             .agg((F.expr("(85 * sum(c)) div 100") + F.lit(tele)).alias("r"))
-            .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("node").alias("partkey"), F.col("r").alias("rank_e12"))

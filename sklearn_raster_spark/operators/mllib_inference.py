@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from sklearn_raster_spark.plans.registry import query
 from sklearn_raster_spark.sources import read_table
+from sklearn_raster_spark.utils.cache import shared_lineage
 
 
 @query(
@@ -152,55 +153,71 @@ ITEMSET_SUPPORT_DENOM = 50_000
     UNION ALL
     SELECT size, item_a, item_b, CAST(freq AS BIGINT) AS freq FROM pairs
     """,
-    doc="Frequent-itemset mining (market-basket analysis) with MLlib "
-        "FPGrowth over order baskets, minimum support max("
+    doc="Frequent-itemset mining (market-basket analysis) over order "
+        "baskets, minimum support max("
         f"{ITEMSET_MIN_ORDERS} orders, 1 per {ITEMSET_SUPPORT_DENOM} "
-        "baskets): the association-mining surface (FP-tree build is "
-        "one pass + one grouped pass, itemset counting stays "
-        "distributed). FPGrowth is EXACT — no RNG, no sketch — so the "
-        "size<=2 slice of its output (canonicalized: sorted items "
-        "into (item_a, item_b) columns) hash-matches a plain SQL "
-        "counting oracle; larger itemsets ride the same run and are "
-        "pytest-pinned by the downward-closure law (every subset of a "
-        "frequent itemset is frequent with >= its support). Scale: "
-        "the RELATIVE support floor keeps the pattern lattice bounded "
-        "as the corpus grows (the derived-sf1 run caught the absolute "
-        "floor admitting a linearly-growing lattice — the q149 "
-        "threshold class); the basket table is one groupBy of the "
-        "fact table.",
+        "baskets). The query reports only size<=2 itemsets, and for a "
+        "bounded itemset size the EXACT FPGrowth answer equals direct "
+        "support counting — one explode+groupBy for singles, one "
+        "sorted-array combination explode + groupBy for pairs (the "
+        "q84 basket-combos device) — so that is how it runs (r12 OPT, "
+        "guide §1.2 'the distributed algorithm': the FP-tree build "
+        "conditionalized the full pattern lattice only to throw away "
+        "every itemset above size 2; measured 6.6 s -> see "
+        "OPTIMIZATION_r12.md; identical oracle hash). The MLlib "
+        "FPGrowth surface itself — full-lattice mining — stays "
+        "exercised and downward-closure-pinned by "
+        "tests/test_round4.py::test_frequent_itemsets_downward_closure "
+        "against the same support floor. Scale: the RELATIVE support "
+        "floor keeps the result bounded as the corpus grows (the "
+        "derived-sf1 run caught the absolute floor admitting a "
+        "linearly-growing lattice); the pair explode is bounded by "
+        "basket size, never a lineitem self-join.",
 )
 def q118_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.fpm import FPGrowth
-
     li = read_table(spark, sf_dir, "lineitem")
     baskets = li.groupBy("l_orderkey").agg(
-        F.array_distinct(F.collect_list("l_partkey")).alias("items")
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("items")
     )
+    # two consumers (n_baskets count, singles, pairs) of one grouped scan
+    baskets = shared_lineage(baskets)
     n_baskets = baskets.count()
     min_orders = max(
         ITEMSET_MIN_ORDERS,
         -(-n_baskets // ITEMSET_SUPPORT_DENOM),  # integer ceil
     )
-    fp = FPGrowth(
-        itemsCol="items",
-        # MLlib keeps itemsets with freq >= ceil(minSupport * n);
-        # (min_orders - 0.5) makes that ceil land on min_orders exactly,
-        # immune to the float boundary of min_orders / n_baskets
-        minSupport=(min_orders - 0.5) / n_baskets,
-        minConfidence=0.5,
-    )
-    model = fp.fit(baskets)
-    sets = model.freqItemsets  # (items array<long>, freq long)
-    sorted_items = F.array_sort("items")
-    return (
-        sets.filter(F.size("items") <= 2)
+    singles = (
+        baskets.select(F.explode("items").alias("item_a"))
+        .groupBy("item_a")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_orders)
         .select(
-            F.size("items").alias("size"),
-            sorted_items[0].alias("item_a"),
-            F.when(F.size("items") == 2, sorted_items[1]).alias("item_b"),
+            F.lit(1).alias("size"),
+            "item_a",
+            F.lit(None).cast("bigint").alias("item_b"),
             F.col("freq").cast("bigint").alias("freq"),
         )
     )
+    # every unordered in-basket pair exactly once: items are sorted and
+    # distinct, so (x, later y) enumerates each pair with item_a < item_b
+    combos = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
+    pairs = (
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.pa").alias("item_a"), F.col("p.pb").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_orders)
+        .select(
+            F.lit(2).alias("size"),
+            "item_a",
+            "item_b",
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+    )
+    return singles.unionByName(pairs)
 
 
 @query(

@@ -237,28 +237,32 @@ def q54_kneighbors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same pattern at scale, with hash buckets instead of labels).",
 )
 def q57_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL embeddings drop at the scan (see oracle comment)
+    from sklearn_raster_spark.session import ensure_workers_can_import
+    from sklearn_raster_spark.utils.fold_kernels import pairwise_cosine_table
+
+    ensure_workers_can_import(spark)  # kernel resolves module globals
+    # NULL embeddings drop at the scan (see oracle comment); NULL
+    # labels never match the equi-join predicate (a.label = b.label is
+    # never true on NULL in either engine), so they drop here too —
+    # the grouped form would otherwise pair them with each other
     emb = read_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
-    # precompute each row's norm ONCE before the join — otherwise the
-    # norm fold runs per candidate pair (3 folds/pair instead of 1)
-    with_norm = emb.select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
-    a = with_norm.alias("a")
-    b = with_norm.alias("b")
-    cos = F.round(
-        dot_seq(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
+    # r12 OPT (guide §8, §4.2): the label-blocked self-join shipped
+    # every embedding once PER PAIR (~block_size copies through the
+    # join) and ran one interpreted 64-element fold per pair; the
+    # grouped Arrow kernel ships each embedding ONCE per block and
+    # computes the identical sequential-fold cosines vectorized
+    # (bit-equality pinned by tests/test_fold_kernels.py; oracle hash
+    # unchanged at sf0.01/sf0.1). Round + threshold stay in Spark, so
+    # the query's boundary semantics are untouched.
+    pairs = emb.select("vec_id", "label", "embedding").groupBy("label").applyInArrow(
+        pairwise_cosine_table,
+        schema="id_a bigint, id_b bigint, cosine_raw double",
     )
     return (
-        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")) & (F.col("a.label") == F.col("b.label")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine"),
+        pairs.select(
+            "id_a", "id_b", F.round("cosine_raw", 6).alias("cosine")
         )
         .filter(F.col("cosine") >= 0.35)
     )
@@ -515,18 +519,38 @@ def banded_candidate_pairs(emb: DataFrame) -> DataFrame:
     split ~2^SIGN_BITS ways (pytest-pinned below the label-only max);
     identical vectors still share every bucket — that floor is the
     point (they ARE the near-dups)."""
-    wb = emb.select(
+    # r12 OPT (guide §4.2 + the q160 plan-literal lesson): the 16
+    # hyperplane dots come from ONE vectorized Arrow kernel instead of
+    # 16 interpreted folds whose 16 x 64 literal arrays bloated the
+    # expression tree; the sign decisions (dot > 0, NULL -> '0') stay
+    # in Spark on the bit-identical dot values, so the keys — and the
+    # oracle hash — are unchanged (verified sf0.01/sf0.1).
+    from sklearn_raster_spark.utils.fold_kernels import plane_dots_kernel
+
+    flat_planes = [p for band in _PLANES for p in band]
+    dotted = emb.select(
+        "vec_id",
+        "label",
+        plane_dots_kernel(flat_planes)(F.col("embedding")).alias("_pd"),
+    )
+    wb = dotted.select(
         "vec_id",
         "label",
         *[
-            _band_key_col(F.col("embedding"), band).alias(f"bk{i}")
-            for i, band in enumerate(_PLANES)
+            F.concat(
+                *[
+                    F.when(
+                        F.element_at(F.col("_pd"), i * SIGN_BITS + k + 1) > 0, "1"
+                    ).otherwise("0")
+                    for k in range(SIGN_BITS)
+                ]
+            ).alias(f"bk{i}")
+            for i in range(len(_PLANES))
         ],
     )
-    # eager shared cache: the key projection (16 hyperplane folds x 64
-    # dims per row) feeds BOTH sides of all 8 band self-joins — 16
-    # re-evaluations without materialization (the round-2
-    # persist-before-self-join finding)
+    # eager shared cache: the key projection feeds BOTH sides of all 8
+    # band self-joins — 16 re-evaluations without materialization (the
+    # round-2 persist-before-self-join finding)
     wb = shared_lineage(wb)
     per_band = [
         wb.alias("a").join(
@@ -1102,11 +1126,36 @@ def q155_ann_signlsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-pad, collapsing every vector into band key '0000...' and
     # degenerating the band join into an all-pairs cross
     embedding_dim(emb, expect=SIGN_EMB_DIM)
-    key_cols = [
-        _band_key_col(F.col("embedding"), _SIGN_LSH_PLANES[b]).alias(f"key{b}")
-        for b in range(n_bands)
-    ]
-    keyed = emb.select("vec_id", "embedding", *key_cols)
+    # r12 OPT: one vectorized Arrow kernel for the 32 hyperplane dots
+    # (8 bands x 4 bits) in place of 32 interpreted folds + 32 x 64
+    # plan literals; sign decisions stay in Spark on bit-identical dot
+    # values, keys and oracle hash unchanged (see banded_candidate_pairs)
+    from sklearn_raster_spark.utils.fold_kernels import plane_dots_kernel
+
+    flat_planes = [p for band in _SIGN_LSH_PLANES for p in band]
+    dotted = emb.select(
+        "vec_id",
+        "embedding",
+        plane_dots_kernel(flat_planes)(F.col("embedding")).alias("_pd"),
+    )
+    keyed = dotted.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.concat(
+                *[
+                    F.when(
+                        F.element_at(
+                            F.col("_pd"), b * SIGN_LSH_BITS + k + 1
+                        ) > 0,
+                        "1",
+                    ).otherwise("0")
+                    for k in range(SIGN_LSH_BITS)
+                ]
+            ).alias(f"key{b}")
+            for b in range(n_bands)
+        ],
+    )
     keyed = shared_lineage(keyed)  # feeds both sides of the band join
     banded = keyed.select(
         "vec_id",

@@ -47,6 +47,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
 
+def ensure_kernels_importable() -> None:
+    """Ship the package to executor Python workers for the active
+    session. The kernel closures are pickled by value but resolve
+    module globals (np/pa/_list_to_matrix) by reference, so a worker
+    whose driver does not run from the repo root (the driver harness,
+    the /tmp driver-sim) must have the package zip on its sys.path.
+    Idempotent and ~free; called from every factory so a kernel-using
+    query works no matter which query ran first in the session."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        from sklearn_raster_spark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+
+
 def _list_to_matrix(arr: pa.Array):
     """(matrix float64 [n, d], row_valid bool [n]) from a list<float*>
     Arrow array — or (None, reason) when rows are ragged/element-null
@@ -157,6 +174,7 @@ def simhash_pack_kernel(bits: int):
     and the numpy path is bit-identical, not just close. Replaces
     ``bits`` interpreted F.aggregate folds per document (each one a
     full pass over the token array) with one vectorized pass."""
+    ensure_kernels_importable()
 
     def _pack(th: pa.Array) -> pa.Array:
         if isinstance(th, pa.ChunkedArray):  # pragma: no cover - defensive
@@ -190,6 +208,149 @@ def simhash_pack_kernel(bits: int):
         return pa.array(fp.view(np.int64), type=pa.int64())
 
     return F.arrow_udf(_pack, LongType())
+
+
+def plane_dots_kernel(planes):
+    """arrow_udf factory: list<float*> embedding -> array<double> of
+    sequential-fold dot products against ``planes`` (a fixed list of
+    fixed-length float lists — e.g. sign-LSH hyperplanes). Bit-identical
+    to ``dot_seq(emb, F.array(*lits))`` per plane: elementwise
+    float64 products then the left-to-right cumsum fold with init 0.0.
+    Replaces len(planes) interpreted folds per row AND removes the
+    len(planes) x dim literal arrays from the expression tree (the
+    q160-LUT plan-analysis cost, measured in plans/r12).
+
+    zip_with semantics preserved: row shorter/longer than a plane ->
+    null-padded products -> NULL dot for that plane; element NULL ->
+    NULL; NULL row -> all-NULL entry."""
+    ensure_kernels_importable()
+    mats = np.asarray(planes, dtype=np.float64)  # [P, d]
+    n_planes, d_plane = mats.shape
+
+    def _dots(a: pa.Array) -> pa.Array:
+        if isinstance(a, pa.ChunkedArray):  # pragma: no cover - defensive
+            a = a.combine_chunks()
+        fa, _reason = _list_to_matrix(a)
+        if fa is not None and fa[2] == d_plane:
+            ma, va, _ = fa
+            # [n, P, d] products then per-(row, plane) sequential fold
+            prods = ma[:, None, :] * mats[None, :, :]
+            n = prods.shape[0]
+            with_init = np.concatenate(
+                [np.zeros((n, n_planes, 1)), prods], axis=2
+            )
+            dots = np.cumsum(with_init, axis=2)[:, :, -1]
+            rows = [dots[i].tolist() if va[i] else None for i in range(n)]
+        else:  # exact fallback: ragged / element nulls / dim mismatch
+            rows = []
+            for r in a.to_pylist():
+                if r is None:
+                    rows.append(None)
+                    continue
+                rows.append(
+                    [
+                        _fold_pair_slow(r, list(p), lambda x, y: x * y)
+                        for p in mats
+                    ]
+                )
+        return pa.array(rows, type=pa.list_(pa.float64()))
+
+    from pyspark.sql.types import ArrayType
+
+    return F.arrow_udf(_dots, ArrayType(DoubleType()))
+
+
+def pairwise_cosine_table(table: pa.Table) -> pa.Table:
+    """Grouped-map kernel (applyInArrow — Arrow validity preserved, so
+    element NULLs stay NULL, never NaN) for within-group all-pairs
+    cosine: rows (vec_id, embedding) -> rows (id_a, id_b, cosine_raw)
+    for every pair with id_a < id_b, where cosine_raw is the UNROUNDED
+    sequential-fold cosine — bit-identical to
+    ``dot_seq(a, b) / (l2_norm(a) * l2_norm(b))``:
+
+    - per-element float64 casts and products (float32 -> float64 is
+      exact), left-to-right cumsum fold with init 0.0 for both the dot
+      and the squared norms, np.sqrt == F.sqrt (correctly rounded),
+      one IEEE division;
+    - element NULLs / ragged lengths take the exact zip_with-replicating
+      slow path (NULL product poisons the fold -> NULL cosine);
+    - NaN/Inf propagate by IEEE rules either way.
+
+    The caller rounds and thresholds in Spark, so the query's
+    round/filter semantics are untouched. This replaces a self-join
+    that shipped every embedding once PER PAIR (~group_size copies)
+    with one grouped shuffle that ships each embedding ONCE, and the
+    interpreted 64-element fold per pair with vectorized numpy
+    (guide §8: decide with small rows / move heavy bytes once; §4.2)."""
+    ids_arr = table.column("vec_id").combine_chunks()
+    emb_arr = table.column("embedding").combine_chunks()
+    if isinstance(emb_arr, pa.ChunkedArray):  # pragma: no cover - defensive
+        emb_arr = emb_arr.combine_chunks()
+    ids = np.asarray(ids_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    n = len(ids)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine_raw": pa.array([], type=pa.float64()),
+        }
+    )
+    if n < 2:
+        return empty
+    fa, _reason = _list_to_matrix(emb_arr)
+    if fa is not None and fa[1].all():
+        E = fa[0][order]
+        sq = E * E
+        with_init = np.concatenate([np.zeros((n, 1)), sq], axis=1)
+        norms = np.sqrt(np.cumsum(with_init, axis=1)[:, -1])
+        out_a, out_b, out_c = [], [], []
+        for i in range(n - 1):
+            rest = E[i + 1:]
+            prods = E[i][None, :] * rest
+            m = prods.shape[0]
+            wi = np.concatenate([np.zeros((m, 1)), prods], axis=1)
+            dots = np.cumsum(wi, axis=1)[:, -1]
+            out_a.append(np.full(m, ids[i], dtype=np.int64))
+            out_b.append(ids[i + 1:])
+            out_c.append(dots / (norms[i] * norms[i + 1:]))
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine_raw": pa.array(
+                    np.concatenate(out_c), type=pa.float64()
+                ),
+            }
+        )
+    # exact slow path (row/element nulls or ragged rows in the group)
+    rows_py = emb_arr.to_pylist()
+    rows = [rows_py[int(i)] for i in order]
+
+    def _norm(r):
+        s = _fold_pair_slow(r, r, lambda x, y: x * y)
+        return None if s is None else float(np.sqrt(s))
+
+    nrms = [_norm(r) for r in rows]
+    recs_a, recs_b, recs_c = [], [], []
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            d = _fold_pair_slow(rows[i], rows[j], lambda x, y: x * y)
+            if d is None or nrms[i] is None or nrms[j] is None:
+                c = None
+            else:
+                c = d / (nrms[i] * nrms[j])
+            recs_a.append(int(ids[i]))
+            recs_b.append(int(ids[j]))
+            recs_c.append(c)
+    return pa.table(
+        {
+            "id_a": pa.array(recs_a, type=pa.int64()),
+            "id_b": pa.array(recs_b, type=pa.int64()),
+            "cosine_raw": pa.array(recs_c, type=pa.float64()),
+        }
+    )
 
 
 def _split_sub_matrices(arr: pa.Array, n_sub: int):
@@ -301,6 +462,7 @@ def pq_codes_kernel(codebooks):
     column) -> array<int> PQ codes — the vectorized twin of
     _pq_code_terms' code expressions (one interpreted 16-fold argmin
     per subspace per row). Call as kernel(F.array(*subs))."""
+    ensure_kernels_importable()
     cents = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     n_sub = len(cents)
 
@@ -343,6 +505,7 @@ def pq_lut_kernel(codebooks):
     compiling that tree dominated the whole query (measured ~5 s at
     sf0.1 for FIVE query rows) — the kernel carries the codebooks as
     ordinary Python state instead."""
+    ensure_kernels_importable()
     cents = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     n_sub = len(cents)
 
@@ -386,6 +549,7 @@ def pq_sqerr_kernel(codebooks):
     quantization error — sum over subspaces (in subspace order) of the
     row's min squared distance, matching q135's ``b0 + b1 + ...``
     chain of array_min terms exactly (sequential float64 adds)."""
+    ensure_kernels_importable()
     cents = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     n_sub = len(cents)
 
