@@ -214,6 +214,11 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppjoin_prefix_index,
     )
 
+    # NOTE (r12, measured and rejected): persisting this prefix index
+    # for the ip/cp sides halved wall locally at 5-10x the CPU (the
+    # q51 finding — cached-stats join planning + lost AQE coalescing);
+    # the lazy form keeps the shuffle map side deduped by AQE stage
+    # reuse and the CPU budget flat.
     prefixed = ppjoin_prefix_index(base.select("doc_id", "b", "ts"), INC_JACCARD, carry=("b",))
     # both sides derive from ``prefixed``: every column must be
     # renamed per side or the join predicate resolves both references

@@ -164,6 +164,15 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) 
     # so a pruning fix lands in both graded queries at once); the
     # exact-verify step below reuses the RAW token sets, so the ranked
     # arrays of the naive formulation never exist.
+    # NOTE (r12, measured and rejected): persisting `prefixed` for the
+    # two self-join sides HALVED wall-clock locally but cost 5-10x the
+    # CPU (taskCpuTime 5-6 s -> 42-50 s at sf0.1): the InMemoryRelation
+    # swaps AQE's runtime-planned join for a cached-stats broadcast
+    # join, loses AQE partition coalescing, and pays columnar
+    # cache (de)serialization per side — wall fell only because 10x
+    # the work spread over 32 cores. At 100 TB CPU work is the budget,
+    # so the lazy form (AQE stage reuse dedups the shuffle map side)
+    # stays.
     prefixed = ppjoin_prefix_index(toks, threshold, carry=("source",))
     a, b = prefixed.alias("a"), prefixed.alias("b")
     candidates = (
@@ -417,24 +426,31 @@ def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(word_shingle_array(k))).alias("shingle"),
     )
-    sh = shared_lineage(sh)  # feeds signatures AND both verify sides
-    sigs = sh.select(
+    # r12 OPT (guide §2.3/§2.4, the q52 shape): ONE grouped pass over
+    # the shingle rows computes every per-table signature (min over
+    # the identical md5-60bit expressions — min per (doc, tbl) of the
+    # exploded struct form equals min of each salted hash directly)
+    # AND the verify shingle set, replacing the 3x struct explode +
+    # second groupBy(doc_id, tbl) shuffle; the persisted table is the
+    # 1-row-per-doc signature table, not the exploded shingle rows.
+    # Oracle hash unchanged (same hash family, same sets — verified at
+    # sf0.001/0.01/0.1 this round).
+    toks = shared_lineage(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    _md5_int60(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))
+                ).alias(f"h{i}")
+                for i in range(MINHASH_PORT_TABLES)
+            ],
+            F.collect_set("shingle").alias("ss"),
+        )
+    )
+    sigs = toks.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("tbl"),
-                        _md5_int60(
-                            F.concat_ws("#", F.col("shingle"), F.lit(str(i)))
-                        ).alias("hv"),
-                    )
-                    for i in range(MINHASH_PORT_TABLES)
-                ]
-            )
-        ).alias("s"),
-    ).groupBy("doc_id", F.col("s.tbl").alias("tbl")).agg(
-        F.min("s.hv").alias("h")
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(MINHASH_PORT_TABLES)])
+        ).alias("tbl", "h"),
     )
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("tbl").alias("tbl_a"), F.col("h").alias("h_a")
@@ -452,9 +468,8 @@ def q150_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    sa = toks.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    sb = toks.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
     inter = F.size(F.array_intersect("ss_a", "ss_b"))
     jac = inter.cast("double") / (F.size("ss_a") + F.size("ss_b") - inter)
     return (
@@ -743,9 +758,13 @@ def q104_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q51 pairs are DISTINCT (doc_a, doc_b) with doc_a < doc_b
     comps = connected_components(pairs, src="doc_a", dst="doc_b", assume_distinct=True)
     keeper = F.coalesce(F.col("component"), F.col("doc_id"))
+    # r12 OPT (guide §3.1): the keeper map is near-dup nodes only —
+    # tiny relative to the corpus by construction (the docstring's
+    # 100 TB argument) — so broadcast it instead of shuffling every
+    # corpus doc_id into a sort-merge join.
     return (
         docs.select("doc_id")
-        .join(comps, docs.doc_id == comps.node, "left")
+        .join(F.broadcast(comps), docs.doc_id == comps.node, "left")
         .select(
             "doc_id",
             keeper.alias("keeper"),

@@ -58,13 +58,22 @@ def connected_components(
     the dedup would spend a full |E| shuffle proving nothing.
     Duplicate edges would not change the fixpoint anyway (min is
     idempotent) — only the per-level join work."""
-    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
-        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    # r12 OPT (guide §2.4/§5): checkpoint the DIRECTED pairs BEFORE the
+    # two-branch symmetrizing union — both union branches share the
+    # caller's (often expensive) pair lineage, and while ReusedExchange
+    # dedups the map side, everything past the last exchange (q51's
+    # broadcast-verify intersects, q84's final agg+filter) executed
+    # once per branch. One |E| checkpoint; the union over it is two
+    # trivial cached scans, so sym no longer needs its own 2|E| copy.
+    base = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if not assume_distinct:
-        sym = sym.distinct()
-    # two consumers (hook + contract) — materialize once
-    sym = sym.localCheckpoint(eager=True)
+        # distinct output feeds hook + contract — materialize once
+        sym = sym.distinct().localCheckpoint(eager=True)
 
     def hook(e: DataFrame, max_jumps: int = 64) -> DataFrame:
         """Min-star hook with full path compression over edge set
@@ -253,11 +262,13 @@ KHOP_SEED_MOD = 500  # graph nodes with partkey % this == 0 are seeds
         "ITERATIVE traversal is hash-graded exactly.",
 )
 def q124_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _copurchase_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .localCheckpoint(eager=True)
+    # r12 OPT: checkpoint the directed pairs once, THEN symmetrize —
+    # the union's branches otherwise replay the basket-explode pair
+    # lineage past its last exchange once per branch (see
+    # connected_components), and the checkpoint halves to |E| rows.
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     frontier = (
         edges.select("src")
@@ -277,9 +288,11 @@ def q124_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(
-            nxt.select("node", F.lit(d).alias("dist"))
-        ).localCheckpoint(eager=True)
+        # r12 OPT: visited is a union of ALREADY-checkpointed frontier
+        # frames — keep it lazy (the per-hop eager materialization of
+        # the growing union was one extra job per hop for data the
+        # anti-join can read from the cached pieces directly)
+        visited = visited.unionByName(nxt.select("node", F.lit(d).alias("dist")))
         frontier = nxt
     return visited.select(F.col("node").alias("partkey"), F.col("dist").cast("int"))
 
@@ -398,10 +411,12 @@ PAGERANK_DAMPING = 0.85
         "iteration monotonicity).",
 )
 def q120_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _copurchase_pairs(spark, sf_dir)
-    edges = (
-        pairs.unionByName(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
-        .localCheckpoint(eager=True)
+    # r12 OPT: checkpoint directed pairs, symmetrize lazily (see
+    # connected_components — halves the checkpoint, runs the pair
+    # lineage's post-exchange tail once instead of once per branch)
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.unionByName(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
     deg = edges.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.localCheckpoint(eager=True)  # feeds n_nodes count AND the edge join
@@ -518,10 +533,12 @@ def _pagerank_portable_oracle() -> str:
         "localCheckpoint lineage cuts.",
 )
 def q159_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _copurchase_pairs(spark, sf_dir)
-    edges = (
-        pairs.unionByName(pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
-        .localCheckpoint(eager=True)
+    # r12 OPT: checkpoint directed pairs, symmetrize lazily (see
+    # connected_components — halves the checkpoint, runs the pair
+    # lineage's post-exchange tail once instead of once per branch)
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.unionByName(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
     deg = edges.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.localCheckpoint(eager=True)  # feeds n_nodes count AND the edge join

@@ -367,25 +367,43 @@ def q106_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached lineage); power-of-two bits keep pmod cheap
     n_train = max(train_sh.count(), 1)
     m_bits = max(1 << 16, 1 << (n_train * BLOOM_BITS_PER_ITEM - 1).bit_length())
-    words = F.broadcast(build_bloom_words(train_sh, "shingle", m_bits))
-
-    ev = shingles.filter(F.col("split") != "train").select(
-        "doc_id", "split", *_bloom_position_cols("shingle", m_bits)
+    # r12 OPT (guide §2.4): densify the sparse (word, bits) aggregate
+    # into ONE row holding the whole bitmap as array<bigint> — probing
+    # k positions becomes k O(1) element_at lookups in a single
+    # codegen'd projection behind one broadcast nested-loop attach,
+    # instead of k chained broadcast hash joins (k join nodes, k hash
+    # probes and row copies per shingle). Bits are identical (same
+    # build aggregate; absent words densify to 0 == the old
+    # coalesce(miss)). The bitmap row is m_bits/64 longs — the same
+    # bytes the broadcast table carried; a bloom only works at all if
+    # that fits one node.
+    words = build_bloom_words(train_sh, "shingle", m_bits)
+    bitmap = F.broadcast(
+        spark.range(m_bits // 64)
+        .select(F.col("id").alias("word"))
+        .join(words, "word", "left")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("word", F.coalesce("bits", F.lit(0)).alias("bits"))
+                    )
+                ),
+                lambda s: s["bits"],
+            ).alias("bm")
+        )
     )
-    # k chained broadcast joins — each probes one position's word; the
-    # probe stays in the scan stage (no shuffle until the final agg)
+
+    ev = (
+        shingles.filter(F.col("split") != "train")
+        .select("doc_id", "split", *_bloom_position_cols("shingle", m_bits))
+        .crossJoin(bitmap)
+    )
     hit_terms = []
     for j in range(BLOOM_K):
-        w = words.select(
-            F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}")
-        )
-        ev = ev.join(
-            w, F.shiftright(f"_pos{j}", 6) == F.col(f"_w{j}"), "left"
-        )
+        word_idx = (F.shiftright(f"_pos{j}", 6) + 1).cast("int")  # 1-based
         bit = F.expr(f"shiftleft(1L, CAST(pmod(_pos{j}, 64) AS INT))")
-        hit_terms.append(
-            F.coalesce(F.col(f"_b{j}").bitwiseAND(bit) != 0, F.lit(False))
-        )
+        hit_terms.append(F.element_at("bm", word_idx).bitwiseAND(bit) != 0)
     all_hit = hit_terms[0]
     for t in hit_terms[1:]:
         all_hit = all_hit & t
