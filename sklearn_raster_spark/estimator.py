@@ -567,27 +567,10 @@ class SparkEstimator:
         fit_X = np.asarray(getattr(self.estimator, "_X"), dtype=np.float64)
         spark = ff.df.sparkSession
 
-        # Arrow batch upload (a pandas frame), NOT a row-list
-        # createDataFrame: the pickle-per-row path costs ~1 s driver
-        # time for a 2k x 64 fit set and was the single largest
-        # first-run cost of this operator.
+        # (r12: the fit-row DataFrame upload that fed the old per-pair
+        # distance join is gone — the top-k kernel carries fit_X in its
+        # task closure instead; see knn_topk_map below.)
         import pandas as pd
-
-        # Explicit schema + list-of-list cells: the Arrow path (session.py
-        # turns it on) would infer list<double> from ndarray cells, but a
-        # BARE SparkSession (the driver's correctness harness) falls back
-        # to _inferSchemaFromList, which cannot type an ndarray cell
-        # (CANNOT_INFER_TYPE_FOR_FIELD — the round-5 q54 driver crash).
-        # The schema string types both paths identically.
-        fit_arrs = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "fit_idx": np.arange(fit_X.shape[0], dtype=np.int64),
-                    "fit_arr": fit_X.tolist(),
-                }
-            ),
-            schema="fit_idx long, fit_arr array<double>",
-        )
 
         # Seeded unit-norm Gaussian hyperplanes (the same projection
         # family BucketedRandomProjectionLSH draws; numpy-side so both
@@ -647,20 +630,31 @@ class SparkEstimator:
         # candidate pairs, no join back to the query vectors. (Round 3
         # shipped the pair distinct + re-join formulation: two extra
         # full-candidate shuffles, plus ML-pipeline hashing overhead.)
-        def q_bucket(plane) -> "F.Column":
-            lits = ", ".join(f"{float(v)!r}D" for v in plane)
-            return F.expr(
-                f"CAST(FLOOR(aggregate(zip_with(arr, array({lits}), "
-                f"(x, p) -> x * p), 0D, (acc, x) -> acc + x) "
-                f"/ {float(bucket_length)!r}D) AS LONG)"
-            )
+        # r12 OPT (guide §4.2): the per-plane zip_with/aggregate dots ran
+        # INTERPRETED (num_hash_tables x dim boxed lambda calls per row);
+        # plane_dots_kernel computes the identical sequential-fold
+        # float64 dots vectorized (bit-equality pinned by
+        # tests/test_fold_kernels.py), so floor(dot / bucket_length)
+        # lands every row in the IDENTICAL bucket. The old expression
+        # string remains the semantic reference:
+        #   CAST(FLOOR(aggregate(zip_with(arr, array(<plane lits>),
+        #        (x, p) -> x * p), 0D, (acc, x) -> acc + x) / <len>D)
+        #        AS LONG)
+        from sklearn_raster_spark.utils.fold_kernels import (
+            knn_topk_map,
+            plane_dots_kernel,
+        )
 
+        dots = plane_dots_kernel([list(map(float, p)) for p in planes])
         q_keys = vec.select(
             "_rid",
             "arr",
-            F.posexplode(F.array(*[q_bucket(p) for p in planes])).alias(
-                "_tbl", "_bucket"
-            ),
+            F.posexplode(
+                F.transform(
+                    dots(F.col("arr")),
+                    lambda x: F.floor(x / F.lit(float(bucket_length))).cast("long"),
+                )
+            ).alias("_tbl", "_bucket"),
         ).withColumn("_tbl", F.col("_tbl").cast("long"))
         # Candidate DEDUP happens map-side, BEFORE any distance math: a
         # (_rid, fit_idx) pair colliding in several tables appears once
@@ -676,31 +670,28 @@ class SparkEstimator:
             F.collect_set("fit_idx").alias("cand_idx"),
             F.first("arr").alias("arr"),  # identical across a _rid's rows
         )
-        diff_sq = F.zip_with("arr", "fit_arr", lambda x, y: (x - y) * (x - y))
-        dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
-        # Distance runs once per DISTINCT candidate pair. cand_sets left
-        # the exchange hash-partitioned on _rid, and explode + broadcast
-        # join + project all preserve that partitioning — so this top-k
-        # aggregate needs NO further exchange, and the scatter-back join
-        # below reuses the same layout for its topk side. One shuffle
-        # end-to-end on the candidate path.
-        cands = (
-            cand_sets.select("_rid", "arr", F.explode("cand_idx").alias("fit_idx"))
-            .join(F.broadcast(fit_arrs), "fit_idx")
-            .select(
-                "_rid",
-                F.struct(dist.alias("d"), F.col("fit_idx").alias("i")).alias("cand"),
-            )
-        )
-        topk = cands.groupBy("_rid").agg(
-            F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("top")
+        # r12 OPT (guide §4.2/§2.3): distance + top-k now run in ONE
+        # mapInArrow kernel over the aggregated candidate sets — each
+        # query row crosses the Python boundary once with its candidate
+        # ID SET (never per pair: the §5-rejected pair-level kernel
+        # shipped both 64-dim vectors per candidate pair and lost 4-6x).
+        # Replaces, per row: |cand| interpreted 64-element folds
+        # (explode + broadcast fit_arrs join) and a collect_list +
+        # array_sort aggregate. Bit-identical (dist values, tie order,
+        # padding) — pinned by tests/test_fold_kernels.py::test_knn_topk.
+        # cand_sets left the exchange hash-partitioned on _rid and
+        # mapInArrow preserves partitioning, so the scatter-back join
+        # below still reuses that layout. One shuffle end-to-end on the
+        # candidate path; the fit-row join side is gone.
+        topk = knn_topk_map(
+            cand_sets.select("_rid", "arr", "cand_idx"), fit_X, k
         )
         dist_cols = [
-            F.coalesce(F.col("top")[i - 1]["d"], F.lit(float("nan"))).alias(f"dist_{i}")
+            F.coalesce(F.col(f"dist_{i}"), F.lit(float("nan"))).alias(f"dist_{i}")
             for i in range(1, k + 1)
         ]
         idx_cols = [
-            F.coalesce(F.col("top")[i - 1]["i"].cast("int"), F.lit(_INT32_MIN)).alias(f"idx_{i}")
+            F.coalesce(F.col(f"idx_{i}"), F.lit(_INT32_MIN)).alias(f"idx_{i}")
             for i in range(1, k + 1)
         ]
         out_cols = (dist_cols + idx_cols) if return_distance else idx_cols

@@ -14,6 +14,20 @@ from __future__ import annotations
 import numpy as np
 
 
+def _sql_double(v) -> str:
+    """SQL text of a float64 literal that parses to the IDENTICAL
+    double F.lit(v) would embed: repr() is the shortest exact
+    round-trip for finite values; NaN/Inf have no literal syntax and
+    take the CAST keyword forms Spark folds to the same constants."""
+    v = float(v)
+    if not np.isfinite(v):
+        if np.isnan(v):
+            return "(CAST('NaN' AS DOUBLE))"
+        return "(CAST('Infinity' AS DOUBLE))" if v > 0 else "(CAST('-Infinity' AS DOUBLE))"
+    return f"({v!r}D)"
+
+
+
 class StandardScalerNP:
     """(x - mean) / std per feature."""
 
@@ -35,11 +49,19 @@ class StandardScalerNP:
         return [f"scaled_{i}" for i in range(self.n_features_in_)]
 
     def transform_to_spark_columns(self, feature_cols):
-        """Compile transform to Catalyst expressions (affine per column)."""
+        """Compile transform to Catalyst expressions (affine per column).
+
+        r12 OPT (guide §7.3, the _embedding_frame lesson): built as
+        parsed SQL strings, not chained Column ops — each py4j Column
+        call costs ~1 ms of driver time and the wide frames hit this
+        64 times per output; F.expr parses to the IDENTICAL tree
+        (repr() round-trips float64 exactly, left-assoc chains match
+        the old loop order), pinned by tests/test_fold_kernels.py::
+        test_compiled_expression_strings_match_column_form."""
         from pyspark.sql import functions as F
 
         return [
-            (F.col(c) - F.lit(float(m))) / F.lit(float(s))
+            F.expr(f"(`{c}` - {_sql_double(m)}) / {_sql_double(s)}")
             for c, m, s in zip(feature_cols, self.mean_, self.scale_)
         ]
 
@@ -47,8 +69,8 @@ class StandardScalerNP:
         from pyspark.sql import functions as F
 
         return [
-            F.col(c) * F.lit(float(s)) + F.lit(float(m))
-            for c, m, s in zip(feature_cols, self.mean_, self.scale_)
+            F.expr(f"`{c}` * {_sql_double(s)} + {_sql_double(m)}")
+            for c, s, m in zip(feature_cols, self.scale_, self.mean_)
         ]
 
 
@@ -84,12 +106,17 @@ class PCANP:
         the scaler/linear compiled paths)."""
         from pyspark.sql import functions as F
 
+        # r12 OPT (guide §7.3): parsed strings, not n_components x dim
+        # chained Column ops — see StandardScalerNP.transform_to_spark_
+        # columns; "0.0D + t1 + t2 ..." parses left-associative, the
+        # exact Add chain the old F.lit(0.0) + ... loop built.
         out = []
         for j in range(self.n_components):
-            expr = F.lit(0.0)
-            for c, m, v in zip(feature_cols, self.mean_, self.components_[j]):
-                expr = expr + (F.col(c) - F.lit(float(m))) * F.lit(float(v))
-            out.append(expr)
+            terms = "0.0D" + "".join(
+                f" + (`{c}` - {_sql_double(m)}) * {_sql_double(v)}"
+                for c, m, v in zip(feature_cols, self.mean_, self.components_[j])
+            )
+            out.append(F.expr(terms))
         return out
 
     def inverse_transform_to_spark_columns(self, feature_cols):
@@ -98,10 +125,11 @@ class PCANP:
 
         out = []
         for i in range(self.n_features_in_):
-            expr = F.lit(float(self.mean_[i]))
-            for c, v in zip(feature_cols, self.components_[:, i]):
-                expr = expr + F.col(c) * F.lit(float(v))
-            out.append(expr)
+            terms = _sql_double(self.mean_[i]) + "".join(
+                f" + `{c}` * {_sql_double(v)}"
+                for c, v in zip(feature_cols, self.components_[:, i])
+            )
+            out.append(F.expr(terms))
         return out
 
 
@@ -128,12 +156,15 @@ class LinearRegressionNP:
 
         coef = np.atleast_2d(self.coef_.T if self.coef_.ndim > 1 else self.coef_)
         intercept = np.atleast_1d(self.intercept_)
+        # r12 OPT (guide §7.3): parsed strings, not chained Column ops
+        # (see StandardScalerNP) — identical left-assoc Add chain
         out = []
         for t in range(coef.shape[0]):
-            expr = F.lit(float(intercept[t]))
-            for c, w in zip(feature_cols, coef[t]):
-                expr = expr + F.col(c) * F.lit(float(w))
-            out.append(expr)
+            terms = _sql_double(intercept[t]) + "".join(
+                f" + `{c}` * {_sql_double(w)}"
+                for c, w in zip(feature_cols, coef[t])
+            )
+            out.append(F.expr(terms))
         return out
 
 

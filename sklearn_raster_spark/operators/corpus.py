@@ -209,10 +209,7 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df is computed over batch+corpus so both sides agree on the global
     # token order, then the index splits into batch/corpus sides and
     # only batch x corpus joins — the corpus never self-joins.
-    from sklearn_raster_spark.operators.dedup import (
-        ppjoin_pair_pruning,
-        ppjoin_prefix_index,
-    )
+    from sklearn_raster_spark.operators.dedup import ppjoin_prefix_index
 
     # NOTE (r12, measured and rejected): persisting this prefix index
     # for the ip/cp sides halved wall locally at 5-10x the CPU (the
@@ -220,28 +217,19 @@ def q122_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lazy form keeps the shuffle map side deduped by AQE stage
     # reuse and the CPU budget flat.
     prefixed = ppjoin_prefix_index(base.select("doc_id", "b", "ts"), INC_JACCARD, carry=("b",))
-    # both sides derive from ``prefixed``: every column must be
-    # renamed per side or the join predicate resolves both references
-    # to the SAME attribute (a trivially-true tok == tok)
-    ip = prefixed.filter(F.col("b") >= INC_BUCKET).select(
-        F.col("doc_id").alias("i_id"),
-        F.col("ntok").alias("i_n"),
-        F.col("tok").alias("i_tok"),
-        F.col("_rn").alias("i_rn"),
-    )
-    cp = prefixed.filter(F.col("b") < INC_BUCKET).select(
-        F.col("doc_id").alias("c_id"),
-        F.col("ntok").alias("c_n"),
-        F.col("tok").alias("c_tok"),
-        F.col("_rn").alias("c_rn"),
-    )
+    # r12 OPT (guide §2.5/§4.2): the batch x corpus candidate equi-join
+    # on tok is replaced by grouped-Arrow enumeration
+    # (fold_kernels.ppjoin_pairs_asym) — identical pruning predicates
+    # vectorized per token group instead of a row-at-a-time SMJ whose
+    # parallelism is capped by distinct-token count (q51's rationale;
+    # the pair multiset is pinned by tests, distinct + exact verify
+    # unchanged). The old join form (ip x cp with ppjoin_pair_pruning)
+    # remains the semantic reference in git history and q51's comment.
+    from sklearn_raster_spark.utils.fold_kernels import ppjoin_pairs_asym
+
     candidates = (
-        ip.join(
-            cp,
-            (ip.i_tok == cp.c_tok)
-            & ppjoin_pair_pruning(ip.i_n, ip.i_rn, cp.c_n, cp.c_rn, INC_JACCARD),
-        )
-        .select("i_id", "c_id")
+        ppjoin_pairs_asym(prefixed, INC_JACCARD, left_mask_col=F.col("b") >= INC_BUCKET)
+        .select(F.col("id_a").alias("i_id"), F.col("id_b").alias("c_id"))
         .distinct()
     )
     ti = inc.select(

@@ -174,20 +174,23 @@ def q51_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) 
     # so the lazy form (AQE stage reuse dedups the shuffle map side)
     # stays.
     prefixed = ppjoin_prefix_index(toks, threshold, carry=("source",))
-    a, b = prefixed.alias("a"), prefixed.alias("b")
+    # r12 OPT (guide §2.5/§4.2): the candidate SELF-JOIN on
+    # (tok, source) is replaced by grouped-Arrow enumeration
+    # (fold_kernels.ppjoin_pairs_self) — the SMJ enumerated every
+    # same-token collision row-at-a-time with parallelism bounded by
+    # distinct key groups (a hot token's postings land in ONE task and
+    # AQE cannot split a single key); the kernel ships the same slim
+    # posting rows once per group and applies the IDENTICAL length +
+    # positional predicates vectorized. Same pair multiset (pinned by
+    # tests), same distinct, same exact verify -> same result. The old
+    # join form remains the semantic reference:
+    #   a.join(b, a.tok==b.tok & a.source==b.source & a.doc_id<b.doc_id
+    #            & ppjoin_pair_pruning(...))
+    from sklearn_raster_spark.utils.fold_kernels import ppjoin_pairs_self
+
     candidates = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & ppjoin_pair_pruning(
-                F.col("a.ntok"), F.col("a._rn"),
-                F.col("b.ntok"), F.col("b._rn"),
-                threshold,
-            ),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        ppjoin_pairs_self(prefixed, threshold, group_cols=("source", "tok"))
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
     # exact verify on the candidate set only, against the RAW token

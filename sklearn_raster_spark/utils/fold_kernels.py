@@ -495,6 +495,301 @@ def pq_codes_kernel(codebooks):
     return F.arrow_udf(_codes, ArrayType(IntegerType()))
 
 
+_INT32_MIN = -(2**31)
+
+
+def knn_topk_map(cand_sets, fit_X, k: int):
+    """mapInArrow top-k over LSH candidate sets — the q54 hot tail.
+
+    ``cand_sets`` rows are (_rid, arr array<double>, cand_idx
+    array<bigint>); the result has (_rid, dist_1..k double,
+    idx_1..k int) where dist/idx replicate the expression form
+
+        explode(cand_idx) -> join fit_arrs -> struct(sqrt(seq-fold
+        (a-b)^2), fit_idx) -> collect_list -> array_sort -> slice(k)
+        -> coalesce(nan / int32-min tail padding)
+
+    BIT-exactly: per-candidate distances are the same elementwise
+    float64 (a-b)^2 then left-to-right cumsum fold with init 0.0, the
+    same correctly-rounded sqrt, and the same (dist, fit_idx) struct
+    ordering — NaN greater than every number, NaN tie -> fit_idx,
+    NULL dist (element-null/ragged rows, slow path) FIRST like
+    Catalyst's InterpretedOrdering sorts null struct fields
+    (pinned by tests/test_fold_kernels.py::test_knn_topk_*). What it
+    removes, per guide §4.2/§2.3: one interpreted 64-element fold PER
+    CANDIDATE PAIR, the explode + broadcast-join against the fit-row
+    table, and the per-row collect_list + array_sort — each query row
+    crosses the Python boundary ONCE with its candidate-id set (the
+    §5-rejected pair-level kernel shipped both vectors per PAIR, which
+    is why it lost; this shape ships |rows|, not |pairs|).
+
+    The fit set rides the task closure (it is broadcast-sized by
+    construction — the LSH path exists for fit sets too big for a
+    BROADCAST JOIN of per-row copies, but the matrix itself is one
+    copy per task). Pair math runs in bounded chunks so peak memory
+    is ~PAIR_CHUNK x d floats regardless of batch candidate volume."""
+    import pyarrow as pa_mod
+
+    ensure_kernels_importable()
+    fX = np.ascontiguousarray(np.asarray(fit_X, dtype=np.float64))
+    d_fit = fX.shape[1]
+    # small chunks + preallocated in-place buffers: the pair math never
+    # requests fresh pages from the OS after the first chunk (measured
+    # on this host: ~100 MB of FRESH allocations can cost seconds in a
+    # bad memory window, while recycled buffers are ~ms — the same
+    # reason the JVM fold never hiccuped; also the 100 TB posture,
+    # bounded per-task memory)
+    pair_chunk = 1 << 14
+
+    def _row_slow(arr_row, cand_row):
+        """Exact fallback for one row: replicate zip_with null-padding,
+        NULL-dist-first struct ordering (InterpretedOrdering: a null
+        field compares SMALLEST), NaN-greatest, fit_idx tie-break."""
+        cands = []
+        for fi in cand_row or []:
+            fi = int(fi)
+            frow = fX[fi].tolist() if 0 <= fi < len(fX) else None
+            s = _fold_pair_slow(arr_row, frow, lambda x, y: (x - y) * (x - y))
+            dist = None if s is None else float(np.sqrt(s))
+            cands.append((dist, fi))
+
+        def key(c):
+            dist, fi = c
+            if dist is None:
+                return (0, 0.0, fi)  # null field sorts first
+            if np.isnan(dist):
+                return (2, 0.0, fi)  # NaN greater than every number
+            return (1, dist, fi)
+
+        cands.sort(key=key)
+        dists = [c[0] for c in cands[:k]] + [None] * max(0, k - len(cands))
+        idxs = [c[1] for c in cands[:k]] + [None] * max(0, k - len(cands))
+        # tail padding matches the coalesce(nan / int32-min) wrapper
+        dists = [float("nan") if v is None else v for v in dists]
+        idxs = [_INT32_MIN if v is None else v for v in idxs]
+        return dists, idxs
+
+    def _fn(batches):
+        for batch in batches:
+            rid = batch.column(0)
+            arr = batch.column(1)
+            cand = batch.column(2)
+            if isinstance(arr, pa_mod.ChunkedArray):  # pragma: no cover
+                arr = arr.combine_chunks()
+            if isinstance(cand, pa_mod.ChunkedArray):  # pragma: no cover
+                cand = cand.combine_chunks()
+            n = len(rid)
+            fa, _ = _list_to_matrix(arr)
+            cand_ok = (
+                cand.null_count == 0 and cand.values.null_count == 0
+            )
+            out_d = np.full((n, k), np.nan)
+            out_i = np.full((n, k), _INT32_MIN, dtype=np.int64)
+            if fa is not None and fa[1].all() and fa[2] == d_fit and cand_ok:
+                Q = fa[0]
+                co = cand.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                cflat = cand.values.to_numpy(zero_copy_only=False).astype(np.int64)
+                # offsets are absolute child positions (sliced batches)
+                lo, hi = co[0], co[-1]
+                counts = co[1:] - co[:-1]
+                qidx = np.repeat(np.arange(n, dtype=np.int64), counts)
+                cid = cflat[lo:hi]
+                P = len(cid)
+                dists = np.empty(P, dtype=np.float64)
+                buf_a = np.empty((pair_chunk, d_fit))
+                buf_b = np.empty((pair_chunk, d_fit))
+                for s in range(0, P, pair_chunk):
+                    e = min(s + pair_chunk, P)
+                    m = e - s
+                    a = buf_a[:m]
+                    b = buf_b[:m]
+                    np.take(Q, qidx[s:e], axis=0, out=a)
+                    np.take(fX, cid[s:e], axis=0, out=b)
+                    np.subtract(a, b, out=a)
+                    np.multiply(a, a, out=a)
+                    # in-place cumsum == _seq_fold_rows here: the fold's
+                    # leading 0.0 only matters when the FIRST term is
+                    # -0.0, and a square is never -0.0
+                    np.cumsum(a, axis=1, out=a)
+                    np.sqrt(a[:, -1], out=dists[s:e])
+                order = np.lexsort((cid, dists, qidx))
+                qs = qidx[order]
+                starts = np.searchsorted(qs, np.arange(n), side="left")
+                ranks = np.arange(P, dtype=np.int64) - starts[qs]
+                keep = ranks < k
+                out_d[qs[keep], ranks[keep]] = dists[order][keep]
+                out_i[qs[keep], ranks[keep]] = cid[order][keep]
+            else:  # exact slow path: ragged / element-null rows
+                arrs = arr.to_pylist()
+                cands = cand.to_pylist()
+                for i in range(n):
+                    out_d[i], out_i[i] = _row_slow(arrs[i], cands[i])
+            cols = {"_rid": rid}
+            for j in range(k):
+                cols[f"dist_{j + 1}"] = pa_mod.array(
+                    out_d[:, j], type=pa_mod.float64()
+                )
+            for j in range(k):
+                cols[f"idx_{j + 1}"] = pa_mod.array(
+                    out_i[:, j].astype(np.int32), type=pa_mod.int32()
+                )
+            yield pa_mod.record_batch(cols)
+
+    schema = "_rid long, " + ", ".join(
+        [f"dist_{j + 1} double" for j in range(k)]
+        + [f"idx_{j + 1} int" for j in range(k)]
+    )
+    return cand_sets.mapInArrow(_fn, schema)
+
+
+def _ppjoin_block_pairs(ids_a, na_a, rn_a, ids_b, na_b, rn_b, threshold, upper_only):
+    """Vectorized PPJoin length + positional pruning over the cross of
+    two posting lists (one token's inverted-list group). Exactly the
+    predicates of dedup.ppjoin_pair_pruning: J >= t forces
+    t*|x| <= |y| <= |x|/t, and a prefix collision at (pa, pb) can add
+    at most 1 + min(na-pa, nb-pb) overlap, which must reach
+    alpha = ceil(t/(1+t)*(na+nb)). Same float64 arithmetic (int *
+    double literal, double ceil) as the Catalyst form. ``upper_only``
+    emits only id_a < id_b (the self-join orientation; the predicates
+    themselves are symmetric). Blocked so per-iteration temporaries
+    stay ~1 MB (allocator-recycled; see knn_topk_map note)."""
+    tcoef = threshold / (1.0 + threshold)
+    out_a, out_b = [], []
+    n_b = len(ids_b)
+    if n_b == 0 or len(ids_a) == 0:
+        return out_a, out_b
+    block = max(1, (1 << 20) // n_b)
+    for s in range(0, len(ids_a), block):
+        e = min(s + block, len(ids_a))
+        ai = na_a[s:e, None].astype(np.float64)
+        bj = na_b[None, :].astype(np.float64)
+        ok = (bj * threshold <= ai) & (ai * threshold <= bj)
+        alpha = np.ceil(tcoef * (ai + bj))
+        pos = 1 + np.minimum(
+            na_a[s:e, None] - rn_a[s:e, None], na_b[None, :] - rn_b[None, :]
+        )
+        ok &= pos >= alpha
+        if upper_only:
+            ok &= ids_a[s:e, None] < ids_b[None, :]
+        ii, jj = np.nonzero(ok)
+        if len(ii):
+            out_a.append(ids_a[s:e][ii])
+            out_b.append(ids_b[jj])
+    return out_a, out_b
+
+
+def ppjoin_pairs_self(prefixed, threshold: float, group_cols):
+    """Grouped-Arrow PPJoin candidate enumeration — the q51 self-join's
+    equi-join on (carry..., tok) re-shaped as groupBy + applyInArrow.
+
+    Why (guide §2.5/§4.2): the SMJ form enumerates every same-token
+    collision ROW-AT-A-TIME inside the join operator, and its
+    parallelism is bounded by distinct (carry, tok) key groups — on a
+    degenerate (small-vocabulary) corpus a handful of hot tokens hold
+    most postings and AQE cannot split a single key. Grouping ships
+    the SAME slim posting rows once and enumerates the cross
+    vectorized; the pruning predicates are numerically identical, the
+    emitted multiset of (id_a < id_b) pairs is exactly the join's
+    output (pinned by tests/test_fold_kernels.py::test_ppjoin_*), and
+    the caller's distinct()/verify are untouched, so the final result
+    cannot move. NULL carry keys are filtered first — a NULL never
+    equi-joins, and a grouped kernel WOULD otherwise pair them.
+
+    ``prefixed`` must have (doc_id, ntok, _rn, *group_cols)."""
+    import pyarrow as pa_mod
+
+    from pyspark.sql import functions as FF
+
+    ensure_kernels_importable()
+    thr = float(threshold)
+
+    def fn(table: "pa_mod.Table") -> "pa_mod.Table":
+        ids = np.asarray(
+            table.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        na = np.asarray(
+            table.column("ntok").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        rn = np.asarray(
+            table.column("_rn").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, na, rn = ids[order], na[order], rn[order]
+        out_a, out_b = _ppjoin_block_pairs(ids, na, rn, ids, na, rn, thr, True)
+        if not out_a:
+            return pa_mod.table(
+                {
+                    "id_a": pa_mod.array([], type=pa_mod.int64()),
+                    "id_b": pa_mod.array([], type=pa_mod.int64()),
+                }
+            )
+        return pa_mod.table(
+            {
+                "id_a": pa_mod.array(np.concatenate(out_a), type=pa_mod.int64()),
+                "id_b": pa_mod.array(np.concatenate(out_b), type=pa_mod.int64()),
+            }
+        )
+
+    src = prefixed
+    for c in group_cols:
+        src = src.filter(FF.col(c).isNotNull())
+    return src.groupBy(*group_cols).applyInArrow(fn, "id_a long, id_b long")
+
+
+def ppjoin_pairs_asym(prefixed, threshold: float, left_mask_col):
+    """Asymmetric (batch x corpus) variant for q122: group by tok,
+    pair rows where ``left_mask_col`` is true against rows where it is
+    false — exactly the ip x cp equi-join with ppjoin_pair_pruning, no
+    id ordering. Returns (id_a=left/batch id, id_b=right/corpus id)."""
+    import pyarrow as pa_mod
+
+    ensure_kernels_importable()
+    thr = float(threshold)
+
+    def fn(table: "pa_mod.Table") -> "pa_mod.Table":
+        ids = np.asarray(
+            table.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        na = np.asarray(
+            table.column("ntok").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        rn = np.asarray(
+            table.column("_rn").combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        lm = np.asarray(
+            table.column("_lm").combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(bool)
+        out_a, out_b = _ppjoin_block_pairs(
+            ids[lm], na[lm], rn[lm], ids[~lm], na[~lm], rn[~lm], thr, False
+        )
+        if not out_a:
+            return pa_mod.table(
+                {
+                    "id_a": pa_mod.array([], type=pa_mod.int64()),
+                    "id_b": pa_mod.array([], type=pa_mod.int64()),
+                }
+            )
+        return pa_mod.table(
+            {
+                "id_a": pa_mod.array(np.concatenate(out_a), type=pa_mod.int64()),
+                "id_b": pa_mod.array(np.concatenate(out_b), type=pa_mod.int64()),
+            }
+        )
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as FF
+
+    mask = left_mask_col if isinstance(left_mask_col, Column) else FF.col(left_mask_col)
+    src = prefixed.withColumn("_lm", mask)
+    return src.groupBy("tok").applyInArrow(fn, "id_a long, id_b long")
+
+
 def pq_lut_kernel(codebooks):
     """arrow_udf factory: array(sub0..subN) -> array<array<double>>
     per-query ADC lookup tables — lut[s][c] = sequential-fold squared

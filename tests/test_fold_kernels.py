@@ -448,3 +448,324 @@ def test_minhash_exploded_matches_in_array(spark, sf_dir):
     }
     new_pairs = {tuple(r) for r in minhash_pairs(docs).collect()}
     assert ref_pairs == new_pairs
+
+
+def _knn_expr_reference(spark, cand_sets, fit_X, k):
+    """The pre-r12 expression form of the q54 top-k tail (explode +
+    broadcast fit-row join + struct sort + slice + coalesce padding) —
+    kept verbatim as the semantic reference the kernel must hit
+    bit-for-bit, including NULL-dist / NaN / tie ordering."""
+    import numpy as np
+    import pandas as pd
+
+    fit_arrs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fit_idx": np.arange(fit_X.shape[0], dtype=np.int64),
+                "fit_arr": fit_X.tolist(),
+            }
+        ),
+        schema="fit_idx long, fit_arr array<double>",
+    )
+    diff_sq = F.zip_with("arr", "fit_arr", lambda x, y: (x - y) * (x - y))
+    dist = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
+    cands = (
+        cand_sets.select("_rid", "arr", F.explode("cand_idx").alias("fit_idx"))
+        .join(F.broadcast(fit_arrs), "fit_idx")
+        .select(
+            "_rid",
+            F.struct(dist.alias("d"), F.col("fit_idx").alias("i")).alias("cand"),
+        )
+    )
+    topk = cands.groupBy("_rid").agg(
+        F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("top")
+    )
+    int32_min = -(2**31)
+    # F.get, not [i-1]: under ANSI (Spark 4 default) the production
+    # form's [i-1] would THROW on a row with < k candidates — no
+    # fixture row ever has fewer, but the documented tail-padding
+    # intent (and the kernel) is get-null -> coalesce(nan / int32-min)
+    return topk.select(
+        "_rid",
+        *[
+            F.coalesce(F.get("top", i - 1)["d"], F.lit(float("nan"))).alias(f"dist_{i}")
+            for i in range(1, k + 1)
+        ],
+        *[
+            F.coalesce(F.get("top", i - 1)["i"].cast("int"), F.lit(int32_min)).alias(
+                f"idx_{i}"
+            )
+            for i in range(1, k + 1)
+        ],
+    )
+
+
+def _rows_bitwise_equal(old_rows, new_rows):
+    import math
+    import struct as _struct
+
+    def canon(rows):
+        out = {}
+        for r in rows:
+            vals = []
+            for v in list(r)[1:]:
+                if isinstance(v, float):
+                    vals.append(_struct.pack("<d", v))  # NaN-safe bit compare
+                else:
+                    vals.append(v)
+            out[r[0]] = tuple(vals)
+        return out
+
+    o, n = canon(old_rows), canon(new_rows)
+    assert o == n and len(o) > 0
+    del math
+
+
+def test_knn_topk_kernel_matches_expression(spark, sf_dir):
+    """q54's kernel tail vs the expression reference on REAL embedding
+    rows (incl. any fixture NULL/NaN hostility) with deterministic
+    synthetic candidate sets, bit-for-bit."""
+    import numpy as np
+
+    from sklearn_raster_spark.utils.fold_kernels import knn_topk_map
+
+    rng = np.random.RandomState(7)
+    fit_X = rng.standard_normal((100, 64))
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .limit(800)
+    )
+    # deterministic pseudo-random candidate sets of varying size
+    cand_sets = emb.select(
+        F.col("vec_id").alias("_rid"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("arr"),
+        F.expr(
+            "array_distinct(transform(sequence(1, 1 + pmod(vec_id, 37)), "
+            "i -> pmod(xxhash64(vec_id, i), 100)))"
+        ).alias("cand_idx"),
+    )
+    old_rows = _knn_expr_reference(spark, cand_sets, fit_X, 3).collect()
+    new_rows = knn_topk_map(cand_sets, fit_X, 3).collect()
+    _rows_bitwise_equal(sorted(old_rows), sorted(new_rows))
+
+
+def test_knn_topk_kernel_hostile_rows(spark):
+    """Element-null / NaN / ragged query rows and tie candidates must
+    replicate the expression tail exactly: NULL-dist candidates take
+    the struct ordering's null-field position, NaN sorts greater than
+    every number, ties break by fit_idx, tails pad nan / int32-min."""
+    import numpy as np
+
+    from sklearn_raster_spark.utils.fold_kernels import knn_topk_map
+
+    fit_X = np.asarray(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.5, 0.5, 0.5]],
+        dtype=np.float64,
+    )
+    rows = [
+        (1, [0.0, 0.0, 0.0], [0, 1, 2, 3]),      # tie between fit 1 and 2
+        (2, [float("nan"), 0.0, 0.0], [0, 1]),    # NaN dists
+        (3, [1.0, None, 0.0], [0, 1, 2]),         # element null -> NULL dist
+        (4, [1.0, 0.0], [0, 3]),                  # ragged (zip_with pads)
+        (5, [0.25, 0.25, 0.25], [3]),             # fewer than k candidates
+        (6, [float("inf"), 0.0, 0.0], [0, 1, 2, 3]),  # inf dists
+    ]
+    df = spark.createDataFrame(
+        rows, "_rid long, arr array<double>, cand_idx array<bigint>"
+    )
+    old_rows = _knn_expr_reference(spark, df, fit_X, 3).collect()
+    new_rows = knn_topk_map(df, fit_X, 3).collect()
+    _rows_bitwise_equal(sorted(old_rows), sorted(new_rows))
+
+
+def test_compiled_expression_strings_match_column_form(spark):
+    """The r12 string-compiled model expressions (numpy_models
+    _sql_double paths) must produce bit-identical results to the
+    chained-Column loops they replaced — awkward literals included
+    (negatives, denormals, huge magnitudes, exact dyadics)."""
+    import struct as _struct
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from sklearn_raster_spark.estimators.numpy_models import (
+        LinearRegressionNP,
+        PCANP,
+        StandardScalerNP,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.standard_normal((40, 6)) * np.array([1e-300, 1e300, 1.0, 3.7, 1e-7, 42.0])
+    cols = [f"f{i}" for i in range(6)]
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in rng.standard_normal((25, 6))],
+        ", ".join(f"{c} double" for c in cols),
+    )
+
+    sc_m = StandardScalerNP().fit(X)
+    pca_m = PCANP(n_components=3).fit(X)
+    lr_m = LinearRegressionNP().fit(X, rng.standard_normal(40))
+
+    def old_scaler_t(fc):
+        return [(SF.col(c) - SF.lit(float(m))) / SF.lit(float(s))
+                for c, m, s in zip(fc, sc_m.mean_, sc_m.scale_)]
+
+    def old_scaler_i(fc):
+        return [SF.col(c) * SF.lit(float(s)) + SF.lit(float(m))
+                for c, s, m in zip(fc, sc_m.scale_, sc_m.mean_)]
+
+    def old_pca_t(fc):
+        out = []
+        for j in range(pca_m.n_components):
+            e = SF.lit(0.0)
+            for c, m, v in zip(fc, pca_m.mean_, pca_m.components_[j]):
+                e = e + (SF.col(c) - SF.lit(float(m))) * SF.lit(float(v))
+            out.append(e)
+        return out
+
+    def old_pca_i(fc):
+        out = []
+        for i in range(pca_m.n_features_in_):
+            e = SF.lit(float(pca_m.mean_[i]))
+            for c, v in zip(fc, pca_m.components_[:, i]):
+                e = e + SF.col(c) * SF.lit(float(v))
+            out.append(e)
+        return out
+
+    def old_lr(fc):
+        coef = np.atleast_2d(lr_m.coef_.T if lr_m.coef_.ndim > 1 else lr_m.coef_)
+        intercept = np.atleast_1d(lr_m.intercept_)
+        out = []
+        for t in range(coef.shape[0]):
+            e = SF.lit(float(intercept[t]))
+            for c, w in zip(fc, coef[t]):
+                e = e + SF.col(c) * SF.lit(float(w))
+            out.append(e)
+        return out
+
+    pca_cols3 = cols[:3]  # inverse maps 3 pcs -> 6 features
+    pairs = [
+        (sc_m.transform_to_spark_columns(cols), old_scaler_t(cols)),
+        (sc_m.inverse_transform_to_spark_columns(cols), old_scaler_i(cols)),
+        (pca_m.transform_to_spark_columns(cols), old_pca_t(cols)),
+        (pca_m.inverse_transform_to_spark_columns(pca_cols3), old_pca_i(pca_cols3)),
+        (lr_m.to_spark_columns(cols), old_lr(cols)),
+    ]
+    for new_exprs, old_exprs in pairs:
+        assert len(new_exprs) == len(old_exprs)
+        sel = []
+        for i, (ne, oe) in enumerate(zip(new_exprs, old_exprs)):
+            sel += [ne.alias(f"n{i}"), oe.alias(f"o{i}")]
+        for row in df.select(*sel).collect():
+            for i in range(len(new_exprs)):
+                a, b = row[f"n{i}"], row[f"o{i}"]
+                assert _struct.pack("<d", a) == _struct.pack("<d", b), (i, a, b)
+
+
+def test_ppjoin_pairs_self_matches_join(spark, sf_dir):
+    """The grouped-Arrow candidate enumeration must emit EXACTLY the
+    self-join's pair multiset (same prefix index, same length +
+    positional predicates, a<b orientation) — including dropping
+    NULL carry keys the equi-join could never match."""
+    from collections import Counter
+
+    from sklearn_raster_spark.operators.dedup import (
+        ppjoin_pair_pruning,
+        ppjoin_prefix_index,
+    )
+    from sklearn_raster_spark.utils.fold_kernels import ppjoin_pairs_self
+
+    docs = read_table(spark, sf_dir, "documents")
+    # hostile rows: NULL source (never equi-joins), duplicate text
+    hostile = spark.createDataFrame(
+        [
+            (900001, None, "alpha beta gamma delta epsilon"),
+            (900002, None, "alpha beta gamma delta epsilon"),
+            (900003, "srcX", "alpha beta gamma delta zeta"),
+            (900004, "srcX", "alpha beta gamma delta zeta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    docs = docs.select("doc_id", "source", "text").unionByName(hostile)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("ts"),
+    )
+    prefixed = ppjoin_prefix_index(toks, 0.6, carry=("source",))
+    a, b = prefixed.alias("a"), prefixed.alias("b")
+    ref = Counter(
+        (r[0], r[1])
+        for r in a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ppjoin_pair_pruning(
+                F.col("a.ntok"), F.col("a._rn"), F.col("b.ntok"), F.col("b._rn"), 0.6
+            ),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .collect()
+    )
+    new = Counter(
+        (r[0], r[1])
+        for r in ppjoin_pairs_self(prefixed, 0.6, group_cols=("source", "tok")).collect()
+    )
+    assert ref == new and len(new) > 0
+    assert (900003, 900004) in new  # hostile dup pair present
+    assert (900001, 900002) not in new  # NULL source never joins
+
+
+def test_ppjoin_pairs_asym_matches_join(spark, sf_dir):
+    """Asymmetric variant vs the ip x cp equi-join, exact multiset."""
+    from collections import Counter
+
+    from sklearn_raster_spark.operators.corpus import INC_BUCKET, hash_bucket
+    from sklearn_raster_spark.operators.dedup import (
+        ppjoin_pair_pruning,
+        ppjoin_prefix_index,
+    )
+    from sklearn_raster_spark.utils.fold_kernels import ppjoin_pairs_asym
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("b"),
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("ts"),
+    )
+    prefixed = ppjoin_prefix_index(base.select("doc_id", "b", "ts"), 0.8, carry=("b",))
+    ip = prefixed.filter(F.col("b") >= INC_BUCKET).select(
+        F.col("doc_id").alias("i_id"),
+        F.col("ntok").alias("i_n"),
+        F.col("tok").alias("i_tok"),
+        F.col("_rn").alias("i_rn"),
+    )
+    cp = prefixed.filter(F.col("b") < INC_BUCKET).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("ntok").alias("c_n"),
+        F.col("tok").alias("c_tok"),
+        F.col("_rn").alias("c_rn"),
+    )
+    ref = Counter(
+        (r[0], r[1])
+        for r in ip.join(
+            cp,
+            (ip.i_tok == cp.c_tok)
+            & ppjoin_pair_pruning(ip.i_n, ip.i_rn, cp.c_n, cp.c_rn, 0.8),
+        )
+        .select("i_id", "c_id")
+        .collect()
+    )
+    new = Counter(
+        (r[0], r[1])
+        for r in ppjoin_pairs_asym(
+            prefixed, 0.8, left_mask_col=F.col("b") >= INC_BUCKET
+        ).collect()
+    )
+    assert ref == new and len(new) > 0
