@@ -188,7 +188,7 @@ def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df*100 >= pct*N in integers == the oracle's HAVING, exactly
     n_docs = docs.count()
     base = docs.select("doc_id", "source", "text", F.split("text", " ").alias("ws"))
-    base = shared_lineage(base)  # feeds stage 1, dedup, shingles, packing
+    base = shared_lineage(base, eager=False)  # feeds stage 1, dedup, shingles, packing
     return stage_pack_summary(
         stage_quota(
             stage_decontaminate(stage_split(stage_dedup(stage_clean(base, n_docs))))
@@ -209,7 +209,7 @@ def stage_clean(base: DataFrame, n_docs: int) -> DataFrame:
     sh2 = base.filter(F.size("ws") >= 2).select(
         "doc_id", _shingle_expr(2).alias("shingle")
     )
-    sh2 = shared_lineage(sh2)
+    sh2 = shared_lineage(sh2, eager=False)
     boiler = (
         sh2.groupBy("shingle")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -248,11 +248,11 @@ def stage_split(df: DataFrame) -> DataFrame:
 def stage_decontaminate(df: DataFrame) -> DataFrame:
     """Drop TRAIN docs sharing any SHINGLE_N-gram with a val/test doc
     (q101 reversed); expects the split column assigned."""
-    assigned = shared_lineage(df)
+    assigned = shared_lineage(df, eager=False)
     shn = assigned.filter(F.size("ws") >= SHINGLE_N).select(
         "doc_id", "split", _shingle_expr(SHINGLE_N).alias("shingle")
     )
-    shn = shared_lineage(shn)
+    shn = shared_lineage(shn, eager=False)
     eval_sh = shn.filter(F.col("split") != "train").select("shingle").distinct()
     contaminated = (
         shn.filter(F.col("split") == "train")

@@ -751,20 +751,69 @@ def q128_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         l2_norm(F.col("embedding")).alias("cnrm"),
     )
-    sims = (
-        cv.crossJoin(F.broadcast(qv))
-        .filter(F.col("cid") != F.col("qid"))
-        .select(
-            "qid",
-            "qlabel",
-            "clabel",
-            F.round(
-                dot_seq(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
+    # r12 OPT (guide §4.2): the broadcast cross join evaluated one
+    # INTERPRETED 64-element dot fold per (corpus row, query token)
+    # pair; the query-token side is a FIXED bounded workload (the cap
+    # above — the same argument under which q136 collects its query
+    # rows), so collect it once and compute every query dot per corpus
+    # row in ONE vectorized plane_dots_kernel pass (bit-identical to
+    # dot_seq per plane — float multiply commutes bitwise, fold order
+    # unchanged; pinned by tests/test_fold_kernels.py). qnrm values are
+    # the Spark-computed ones, re-uploaded and broadcast-joined by
+    # token position, so sim arithmetic is untouched. Oracle hash
+    # verified at sf0.001/0.01/0.1.
+    q_rows = qv.collect()
+    if not q_rows:
+        sims = (
+            cv.crossJoin(F.broadcast(qv))
+            .filter(F.col("cid") != F.col("qid"))
+            .select(
+                "qid",
+                "qlabel",
+                "clabel",
+                F.round(
+                    dot_seq(F.col("qe"), F.col("ce"))
+                    / (F.col("qnrm") * F.col("cnrm")),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("sim"),
             )
-            .cast("decimal(18,6)")
-            .alias("sim"),
         )
-    )
+    else:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        from sklearn_raster_spark.utils.fold_kernels import plane_dots_kernel
+
+        planes = [[float(x) for x in r["qe"]] for r in q_rows]
+        meta_schema = StructType(
+            [StructField("pos", IntegerType(), False)]
+            + [qv.schema["qid"], qv.schema["qlabel"], qv.schema["qnrm"]]
+        )
+        meta = spark.createDataFrame(
+            [(i, r["qid"], r["qlabel"], r["qnrm"]) for i, r in enumerate(q_rows)],
+            meta_schema,
+        )
+        sims = (
+            cv.select(
+                "cid",
+                "clabel",
+                "cnrm",
+                F.posexplode(plane_dots_kernel(planes)(F.col("ce"))).alias(
+                    "pos", "dot"
+                ),
+            )
+            .join(F.broadcast(meta), "pos")
+            .filter(F.col("cid") != F.col("qid"))
+            .select(
+                "qid",
+                "qlabel",
+                "clabel",
+                F.round(F.col("dot") / (F.col("qnrm") * F.col("cnrm")), 6)
+                .cast("decimal(18,6)")
+                .alias("sim"),
+            )
+        )
     tokmax = sims.groupBy("qid", "qlabel", "clabel").agg(F.max("sim").alias("m"))
     return tokmax.groupBy("qlabel", "clabel").agg(
         F.sum("m").cast("double").alias("maxsim_score"),

@@ -233,14 +233,30 @@ def plane_dots_kernel(planes):
         fa, _reason = _list_to_matrix(a)
         if fa is not None and fa[2] == d_plane:
             ma, va, _ = fa
-            # [n, P, d] products then per-(row, plane) sequential fold
-            prods = ma[:, None, :] * mats[None, :, :]
-            n = prods.shape[0]
-            with_init = np.concatenate(
-                [np.zeros((n, n_planes, 1)), prods], axis=2
-            )
-            dots = np.cumsum(with_init, axis=2)[:, :, -1]
-            rows = [dots[i].tolist() if va[i] else None for i in range(n)]
+            n = ma.shape[0]
+            # one plane at a time through TWO small reused buffers (the
+            # [n, P, d] broadcast form allocated ~3 x n*P*d fresh doubles
+            # per batch — hundreds of MB at P=80, which this host's
+            # fresh-page stalls turn into seconds; see knn_topk_map).
+            # buf[:, 0] = 0.0 keeps the fold's init term so an
+            # all-(-0.0)-products row folds to +0.0 exactly like
+            # F.aggregate(..., lit(0.0), ...).
+            out = np.empty((n, n_planes))
+            buf = np.empty((n, d_plane + 1))
+            buf[:, 0] = 0.0
+            for p in range(n_planes):
+                np.multiply(ma, mats[p][None, :], out=buf[:, 1:])
+                np.cumsum(buf, axis=1, out=buf)
+                out[:, p] = buf[:, -1]
+                buf[:, 0] = 0.0  # cumsum overwrote the init column
+            if va.all():
+                flat = pa.array(out.ravel(), type=pa.float64())
+                offs = pa.array(
+                    np.arange(0, (n + 1) * n_planes, n_planes, dtype=np.int32),
+                    type=pa.int32(),
+                )
+                return pa.ListArray.from_arrays(offs, flat)
+            rows = [out[i].tolist() if va[i] else None for i in range(n)]
         else:  # exact fallback: ragged / element nulls / dim mismatch
             rows = []
             for r in a.to_pylist():

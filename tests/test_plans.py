@@ -131,11 +131,18 @@ def test_pq_encode_has_no_join(spark, sf_dir):
 
 
 def test_maxsim_streams_corpus_once(spark, sf_dir):
-    """q128: query tokens broadcast (nested-loop against the tiny
-    side), never a shuffle of the corpus for the join."""
+    """q128: query-token info reaches the corpus via BROADCAST — r12's
+    position-keyed BroadcastHashJoin after the vectorized dot kernel
+    (previously a BroadcastNestedLoopJoin of the raw token rows) —
+    never a shuffle of the corpus for the join: the only Exchanges are
+    the two aggregate shuffles."""
+    import re
+
     plan = _plan(spark, sf_dir, "q128_maxsim_late_interaction")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
 
 
 def test_incremental_aggregate_is_aggregate_only(spark, sf_dir):
