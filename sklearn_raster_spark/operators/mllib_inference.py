@@ -179,8 +179,11 @@ def q118_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("items")
     )
-    # two consumers (n_baskets count, singles, pairs) of one grouped scan
-    baskets = shared_lineage(baskets)
+    # two consumers (n_baskets count, singles, pairs) of one grouped
+    # scan. LAZY persist (r12 opt, guide §5): the n_baskets count right
+    # below populates the cache — the eager count() inside
+    # shared_lineage ran the identical job twice back-to-back
+    baskets = shared_lineage(baskets, eager=False)
     n_baskets = baskets.count()
     min_orders = max(
         ITEMSET_MIN_ORDERS,

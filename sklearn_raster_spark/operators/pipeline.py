@@ -263,10 +263,12 @@ def q101_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         word_shingles(SHINGLE_N).alias("shingle"),
     )
-    # eager shared cache: the tokenize+slide lineage feeds both the
-    # train shingle set and the eval side of the join — materialize
-    # once, tracked against repeat-invocation leaks
-    shingles = shared_lineage(shingles)
+    # shared cache: the tokenize+slide lineage feeds both the train
+    # shingle set and the eval side of the join. LAZY (r12 opt, guide
+    # §5): whichever consumer scans first populates it (deterministic
+    # lineage — split+slide+hash-bucket of parquet text); the eager
+    # count() pass bought nothing here
+    shingles = shared_lineage(shingles, eager=False)
     train_sh = (
         shingles.filter(F.col("split") == "train")
         .select("shingle")
@@ -360,8 +362,10 @@ def q106_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles(SHINGLE_N).alias("shingle"),
     )
     # the tokenize+slide lineage feeds the bloom build (train side),
-    # the sizing count, and the probe side — materialize once
-    shingles = shared_lineage(shingles)
+    # the sizing count, and the probe side. LAZY (r12 opt, guide §5):
+    # the n_train sizing count below populates the cache — the eager
+    # count() inside shared_lineage ran a near-identical job twice
+    shingles = shared_lineage(shingles, eager=False)
     train_sh = shingles.filter(F.col("split") == "train").select("shingle").distinct()
     # size the filter off the actual item count (one count job over the
     # cached lineage); power-of-two bits keep pmod cheap

@@ -650,11 +650,15 @@ def q112_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL or non-finite vectors quantize to nothing (oracle applies
     # the identical predicate; utils/vectors.py contract)
     emb = read_table(spark, sf_dir, "embeddings").filter(finite_embedding())
+    # LAZY persist (r12 opt, guide §5): the dim-stats BROADCAST build
+    # job populates the cache before the quantize pass scans it;
+    # deterministic lineage (posexplode of parquet embeddings)
     ex = shared_lineage(
         emb.select(
             "vec_id",
             F.posexplode("embedding").alias("dim", "xf"),
-        ).select("vec_id", (F.col("dim") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+        ).select("vec_id", (F.col("dim") + 1).alias("i"), F.col("xf").cast("double").alias("x")),
+        eager=False,
     )
     sc = ex.groupBy("i").agg(
         (F.lit(127.0) / F.nullif(F.max(F.abs(F.col("x"))), F.lit(0.0))).alias("scale")
