@@ -189,9 +189,18 @@ def q149_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     base = docs.select("doc_id", "source", "text", F.split("text", " ").alias("ws"))
     base = shared_lineage(base, eager=False)  # feeds stage 1, dedup, shingles, packing
+    # r12 OPT (guide §2.3, shuffle fewer bytes): nothing past
+    # stage_dedup reads `text` (split/quota key on doc_id, decon and
+    # packing on ws), yet it rode the decon anti-join and the quota
+    # window shuffles — the heaviest column in the carrier. Dropping
+    # it here cannot change any aggregate (column is unused) and the
+    # oracle hash pins that. The stages themselves keep the full
+    # carrier contract for recomposition (tests/test_round6.py).
     return stage_pack_summary(
         stage_quota(
-            stage_decontaminate(stage_split(stage_dedup(stage_clean(base, n_docs))))
+            stage_decontaminate(
+                stage_split(stage_dedup(stage_clean(base, n_docs)).drop("text"))
+            )
         )
     )
 

@@ -552,6 +552,18 @@ def banded_candidate_pairs(emb: DataFrame) -> DataFrame:
     # band self-joins — 16 re-evaluations without materialization (the
     # round-2 persist-before-self-join finding)
     wb = shared_lineage(wb)
+    # NOTE (r12, measured and rejected): collapsing the 8 per-band
+    # self-joins into ONE explode+(label, band, key) self-join (the
+    # q155 shape) produced the identical pair set (multiset-pinned in
+    # tests/test_llm_ops.py::test_banded_candidates_match_per_band_
+    # reference, oracle-green both SFs) but measured SLOWER in
+    # alternating same-window legs (medians 2.24/2.40/2.44 -> 2.72/
+    # 2.81 s at sf0.1): the per-band joins all broadcast-probe this
+    # small cached key table with zero exchanges, while the explode
+    # form pays a real shuffle plus a double explode of the cache. At
+    # cluster scale the two shuffle the same bytes (explode: one
+    # exchange of 8x rows; per-band: 8 exchanges of 1x), so the local
+    # form is kept — it is strictly better here and no worse there.
     per_band = [
         wb.alias("a").join(
             wb.alias("b"),

@@ -136,6 +136,50 @@ def test_bounded_blocks_cap_candidates(spark, sf_dir):
     assert total_banded_pairs < label_pairs * len(_PLANES) / 2
 
 
+def test_banded_candidates_match_per_band_reference(spark, sf_dir):
+    """The single explode+band self-join (r12 opt) must admit EXACTLY
+    the distinct pair set the original 8 per-band self-joins admitted
+    — rebuilt here from _band_key_col as the semantic reference,
+    including the NULL-label drop (equi-join semantics both ways)."""
+    from pyspark.sql import functions as F
+
+    from sklearn_raster_spark.operators.similarity import (
+        _PLANES,
+        _band_key_col,
+        banded_candidate_pairs,
+    )
+    from sklearn_raster_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    got = {(r.id_a, r.id_b) for r in banded_candidate_pairs(emb).collect()}
+
+    keyed = emb.select(
+        "vec_id",
+        "label",
+        *[
+            _band_key_col(F.col("embedding"), band).alias(f"bk{i}")
+            for i, band in enumerate(_PLANES)
+        ],
+    )
+    ref = set()
+    for i in range(len(_PLANES)):
+        rows = (
+            keyed.alias("a")
+            .join(
+                keyed.alias("b"),
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id"))
+                & (F.col(f"a.bk{i}") == F.col(f"b.bk{i}")),
+            )
+            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+            .collect()
+        )
+        ref.update((r.id_a, r.id_b) for r in rows)
+    assert got == ref and len(got) > 0
+
+
 def test_bounded_neardup_recall_vs_exhaustive(spark, sf_dir):
     """OR-ed bands must recover >= 85% of the exhaustive label-join
     pairs (banding math predicts ~98% at cosine >= 0.35, B=8, r=2)."""
