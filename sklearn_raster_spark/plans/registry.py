@@ -103,92 +103,55 @@ def query(
 #   round 1 graded the first 50 in module-import order;
 #   round 2 front-loaded the round-1-ungraded backlog;
 #   round 3 leads with EVERYTHING that has never had a driver row —
-#   the fixed q72, q85-q91 (registered past the boundary last round),
-#   the round-3 queries q92-q99, and the two never-graded rows-only
-#   queries q54/q69 — so no query is ever newer than its first grade
-#   again; the remaining slots re-grade a broad cross-section of the
-#   green surface (relational core, scalar functions, temporal,
-#   LLM-pipeline anchors) as regression coverage.
+#   so no query is ever newer than its first grade again; later
+#   rounds rotate the oldest-graded cohort forward.
 # Names listed but not (yet) registered are skipped; registered names
 # not listed append at the end in registration order, so nothing is
 # ever silently dropped.
 _WINDOW_ORDER = (
-    # Round-12 policy (VERDICT r11 next #1 — the staleness protocol,
-    # three rounds running): (1) new/changed queries lead — q176 is
-    # the NEW kneighbors portable twin (FixedKNeighbors through the
-    # broadcast fit-set Arrow brute-force path, squared-distance
-    # dyadic oracle; the last inference family without a hash-graded
-    # twin), q169/q170/q174 re-grade because the connector changed
-    # again (range-aware type validation + from_pydict safety net,
-    # watermark+frontier stream offsets, manifest-based overwrite),
-    # q69 re-grades with its hash-ordered quantizer fit sample (the
-    # r11 weak flag) and q175 with the empty-cell probe mask — both
-    # also pick up KMeansNP's k-means++ seeding. (2) Then the ENTIRE
-    # 32-query r07-stale cohort — the q02-q19 relational block,
-    # q34/q35/q37/q39, q65/q80/q98/q99, and q103/q108/q109/q111/q114/
-    # q122 — computed from CORRECTNESS_r01..r11 as max driver round
-    # per query, exactly as r11 did. (3) The 12 remaining slots take
-    # the r08 cohort's
-    # cross-section nearest this round's changes: the ANN family
-    # (q54/q55/q56/q157/q136 — quantizer/neighbor queries adjacent to
-    # the q69 fix), q119 (shares the ALS model with q175), and broad
-    # anchors (q21/q31/q53/q117/q120/q76). (4) The tail orders
-    # strictly oldest-driver-row first so future rotations keep
-    # shrinking staleness. After this round no query's newest driver
-    # row is older than r08. Everything stays value-checked every
-    # suite run by the registry-wide oracle sweep
-    # (tests/test_oracle_sweep.py) regardless of window position.
-    "q176_kneighbors_portable",
-    "q169_python_datasource",
-    "q170_stream_python_datasource",
-    "q174_pyds_permissive_scan",
-    "q69_ann_ivf",
-    "q175_als_ann_recommendations",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q06_forecast_revenue",
-    "q07_customers_per_region",
-    "q08_customers_with_orders",
-    "q09_customers_without_orders",
-    "q103_chi_square_contingency",
-    "q108_priority_sample",
-    "q109_repetition_signals",
-    "q10_returned_item_revenue",
-    "q111_quantile_binning",
-    "q114_training_mix",
-    "q11_distinct_segments_per_nation",
+    # Round-13 policy (VERDICT r12 next #2): a FIXED 10-query SENTINEL
+    # set leads EVERY window from now on, so the driver's round-over-
+    # round per-query comparison always has a common subset (r12's
+    # fully-rotated window shared only 4 names with r11's and the
+    # per-query PERF block came back empty). The sentinels span the
+    # engine's cost classes: relational agg (q01), PPJoin + CC + the
+    # end-to-end dedup composition (q51/q84/q104/q122), counting
+    # (q118), the pipeline composition (q149), the kernelized ANN/PQ
+    # paths (q155/q160), and the ALS fit (q175). DO NOT rotate these
+    # out; rotate only the post-sentinel slots.
+    "q01_pricing_summary",
+    "q51_jaccard_pairs",
+    "q84_copurchase_components",
+    "q104_dedup_corpus",
+    "q118_frequent_itemsets",
     "q122_incremental_dedup",
-    "q12_rollup_order_status",
-    "q13_cube_returnflag_status",
-    "q14_grouping_sets",
-    "q15_top3_orders_per_customer",
-    "q16_running_totals",
-    "q17_topk_orders",
-    "q18_set_ops",
-    "q19_orders_above_customer_avg",
-    "q34_map_funcs",
-    "q35_union_type_promotion",
-    "q37_ranking_functions",
-    "q39_stat_aggregates",
-    "q65_bigram_counts",
-    "q80_dynamic_session_window",
-    "q98_bitwise_aggregates",
-    "q99_checksum_source",
-    "q54_kneighbors_lsh",
-    "q55_knn_cosine_bruteforce",
-    "q56_ann_lsh",
+    "q149_pipeline_composition",
+    "q155_ann_signlsh_portable",
+    "q160_pq_adc_portable",
+    "q175_als_ann_recommendations",
+    # r12-overlap regrade block: 12 names from round 12's graded
+    # window, so THIS round's window already intersects r12's in >= 10
+    # queries (sentinels contribute only q122/q175) and PERF_r13's
+    # per-query map is non-empty. Mix chosen hash-graded-first with
+    # the rows-only iterative/LSH anchors the optimization rounds
+    # keep touching.
+    "q176_kneighbors_portable",
     "q157_ann_ivf_portable",
-    "q136_pq_ann_search",
-    "q119_als_recommendations",
+    "q55_knn_cosine_bruteforce",
     "q21_string_funcs",
     "q31_asof_join",
-    "q53_simhash_neardup",
     "q117_stream_interval_join",
-    "q120_pagerank",
     "q76_grouped_agg_pandas_udaf",
-    # ---- 50-query driver window closes here ----
+    "q98_bitwise_aggregates",
+    "q99_checksum_source",
+    "q120_pagerank",
+    "q53_simhash_neardup",
+    "q54_kneighbors_lsh",
+    # Stale rotation: the 28 remaining slots take the oldest-graded
+    # cohort in the prior tail order (last driver row r08; the r12
+    # tail was already sorted oldest-first). Everything stays
+    # value-checked every suite run by the registry-wide oracle sweep
+    # (tests/test_oracle_sweep.py) regardless of window position.
     "q100_bounded_neardup",
     "q113_scd2_intervals",
     "q121_boilerplate_passages",
@@ -209,17 +172,17 @@ _WINDOW_ORDER = (
     "q148_rolling_median_jvm",
     "q151_simhash_portable",
     "q152_binaryfile_source",
-    "q155_ann_signlsh_portable",
     "q156_grouped_model_fit",
     "q158_grouped_model_score",
-    "q160_pq_adc_portable",
     "q57_embedding_neardup",
     "q59_stateful_running_agg",
     "q78_udtf_lateral_trigrams",
     "q146_negative_sampling",
-    "q149_pipeline_composition",
     "q150_minhash_portable",
     "q153_stream_semi_join",
+    # ---- 50-query driver window closes here ----
+    # Tail: oldest-first among the rest (the r12-graded block that is
+    # NOT in the overlap set ages from here; it is the freshest).
     "q38_interval_join",
     "q101_contamination_check",
     "q102_sequence_packing",
@@ -268,13 +231,9 @@ _WINDOW_ORDER = (
     "q73_stratified_sample",
     "q81_multimodal_frame_sample",
     "q82_multimodal_resize",
-    "q84_copurchase_components",
-    "q01_pricing_summary",
-    "q104_dedup_corpus",
     "q106_contamination_bloom",
     "q107_stream_dedup",
     "q116_stream_inference",
-    "q118_frequent_itemsets",
     "q159_pagerank_portable",
     "q171_nb_classify_portable",
     "q172_nb_proba_portable",
@@ -293,7 +252,6 @@ _WINDOW_ORDER = (
     "q48_compiled_linear_inference",
     "q49_csv_source",
     "q50_exact_dedup",
-    "q51_jaccard_pairs",
     "q52_minhash_lsh_pairs",
     "q58_json_source",
     "q66_wide_long_reshape",
@@ -315,6 +273,44 @@ _WINDOW_ORDER = (
     "q95_event_funnel",
     "q96_tfidf_top_terms",
     "q97_regression_aggregates",
+    # The r12-graded cohort not re-used above is the FRESHEST — it
+    # ages from the very end of the tail.
+    "q169_python_datasource",
+    "q170_stream_python_datasource",
+    "q174_pyds_permissive_scan",
+    "q69_ann_ivf",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_customers_per_region",
+    "q08_customers_with_orders",
+    "q09_customers_without_orders",
+    "q103_chi_square_contingency",
+    "q108_priority_sample",
+    "q109_repetition_signals",
+    "q10_returned_item_revenue",
+    "q111_quantile_binning",
+    "q114_training_mix",
+    "q11_distinct_segments_per_nation",
+    "q12_rollup_order_status",
+    "q13_cube_returnflag_status",
+    "q14_grouping_sets",
+    "q15_top3_orders_per_customer",
+    "q16_running_totals",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_orders_above_customer_avg",
+    "q34_map_funcs",
+    "q35_union_type_promotion",
+    "q37_ranking_functions",
+    "q39_stat_aggregates",
+    "q65_bigram_counts",
+    "q80_dynamic_session_window",
+    "q56_ann_lsh",
+    "q119_als_recommendations",
+    "q136_pq_ann_search",
 )
 
 
