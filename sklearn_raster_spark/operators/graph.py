@@ -72,8 +72,12 @@ def connected_components(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if not assume_distinct:
-        # distinct output feeds hook + contract — materialize once
-        sym = sym.distinct().localCheckpoint(eager=True)
+        # distinct output feeds hook + contract — still one
+        # materialization, but LAZY (r13, guide §5): hook's first
+        # fingerprint action computes every partition (a global
+        # aggregate), so the cache is fully built before contract
+        # reads it; the eager count() was a duplicate pass.
+        sym = sym.distinct().localCheckpoint(eager=False)
 
     def hook(e: DataFrame, max_jumps: int = 64) -> DataFrame:
         """Min-star hook with full path compression over edge set
@@ -87,7 +91,7 @@ def connected_components(
         graph on roots at least HALVES per level."""
         h = e.groupBy(F.col("src").alias("node")).agg(
             F.least(F.col("node"), F.min("dst")).alias("lbl")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # labels strictly decrease while any pointer is unresolved, so
         # a stable sum-of-labels fingerprint IS idempotence — one tiny
         # aggregate per jump, no change-join. Every lbl value is
@@ -95,6 +99,14 @@ def connected_components(
         # symmetric), so the jump self-join is total. DECIMAL sum: ids
         # may span the full 64-bit hash range (q145 hashes names), and
         # a bigint sum overflows under ANSI mode.
+        # r13 OPT (guide §5, VERDICT r12 #1): every checkpoint in this
+        # loop is LAZY and the fingerprint aggregate that follows it is
+        # the materializing action — a global agg computes EVERY
+        # partition, so the cache is complete (doCheckpoint truncates
+        # with no extra job) and the jump self-join below always reads
+        # a fully-built cache. The eager form ran TWO jobs per jump
+        # (checkpoint pass + fingerprint pass over the cache); q84's CC
+        # tail was ~15 such jobs of pure job-launch overhead.
         def _fp(df: DataFrame):
             return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
 
@@ -104,7 +116,7 @@ def connected_components(
             h = (
                 h.join(j, h.lbl == j.j_node)
                 .select("node", F.col("j_lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # _fp below materializes
             )
             new_fp = _fp(h)
             if new_fp == fp:
@@ -126,7 +138,10 @@ def connected_components(
             .select(F.col("_sl").alias("src"), F.col("_dl").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY (r13): the caller's convergence count() is the
+            # materializing action; hook/contract on the next level
+            # then read the complete cache
+            .localCheckpoint(eager=False)
         )
 
     # Level 1 runs on the full edge set; on clique-shaped graphs
@@ -142,10 +157,15 @@ def connected_components(
         # reps whose component already collapsed are absent from lvl
         # (their edges became self-loops), hence the left join.
         lmap = lvl.select(F.col("node").alias("_ln"), F.col("lbl").alias("_ll"))
+        # LAZY (r13): labels has exactly one consumer per level (the
+        # next level's fold, or the final action) — the chain of
+        # marked checkpoints materializes inside whichever job reads
+        # it first, still truncating lineage level by level, without
+        # one dedicated |V| materialization job per level.
         labels = (
             labels.join(lmap, labels.lbl == lmap._ln, "left")
             .select("node", F.coalesce("_ll", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         quotient = contract(quotient, lvl)
     else:  # pragma: no cover - adversarial diameter
@@ -419,7 +439,10 @@ def q120_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
     deg = edges.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    deg = deg.localCheckpoint(eager=True)  # feeds n_nodes count AND the edge join
+    # LAZY checkpoint (r13, guide §5): the count() right below is the
+    # materializing action (computes every partition), so the eager
+    # form ran the same |V| aggregate twice back-to-back
+    deg = deg.localCheckpoint(eager=False)  # feeds n_nodes count AND the edge join
     n_nodes = deg.count()
     ranks = deg.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     edges_deg = (
@@ -541,7 +564,10 @@ def q159_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
     deg = edges.groupBy(F.col("pa").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    deg = deg.localCheckpoint(eager=True)  # feeds n_nodes count AND the edge join
+    # LAZY checkpoint (r13, guide §5): the count() right below is the
+    # materializing action (computes every partition), so the eager
+    # form ran the same |V| aggregate twice back-to-back
+    deg = deg.localCheckpoint(eager=False)  # feeds n_nodes count AND the edge join
     n_nodes = deg.count()
     init = PAGERANK_SCALE // n_nodes
     tele = (15 * PAGERANK_SCALE // 100) // n_nodes
